@@ -1,0 +1,257 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths the built-in function set
+  * can't express efficiently (nested higher-order functions would evaluate
+  * the lambda interpreter per element). All are deterministic and
+  * null-intolerant, so Catalyst can push/prune around them freely.
+  *
+  * Derives from the reference's extension surface (similarity search /
+  * near-dup dedup have no counterpart in /root/reference — see SURVEY.md §2B)
+  * and public MinHash/SimHash literature (Broder 1997; Charikar 2002).
+  */
+object Expressions {
+
+  /** Cosine similarity between two float-array embeddings, accumulated in
+    * double, strictly left-to-right (index order) — deterministic across
+    * partitionings because it is a per-row scalar, no aggregation involved.
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** 64-bit FNV-1a over a UTF8 string with a seed mixed in; the base hash
+    * for MinHash permutations and SimHash token hashing. Public-domain
+    * algorithm (Fowler–Noll–Vo).
+    */
+  @inline private[functions] def fnv1a64(s: UTF8String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum hash over the input token/shingle array. One pass over the
+    * tokens per row; tokens hashed once and permuted with (a*h+b) mixes —
+    * O(tokens * k) longs, no per-element lambda interpretation.
+    */
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    // Deterministic per-function odd multipliers/addends from splitmix64.
+    private val as: Array[Long] = {
+      var x = seed ^ 0x9e3779b97f4a7c15L
+      Array.fill(numHashes) { x = splitmix(x); x | 1L }
+    }
+    private val bs: Array[Long] = {
+      var x = seed ^ 0x2545f4914f6cdd1dL
+      Array.fill(numHashes) { x = splitmix(x); x }
+    }
+    @inline private def splitmix(in: Long): Long = {
+      var z = in + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = fnv1a64(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < numHashes) {
+          val p = as(j) * h + bs(j)
+          if (p < sig(j)) sig(j) = p
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** SimHash (Charikar 2002): 64-bit fingerprint where bit i is the sign of
+    * the sum over tokens of ±1 according to bit i of the token hash.
+    * Near-duplicate texts land within small Hamming distance.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = fnv1a64(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Normalized word n-gram shingle set: lowercases, splits on whitespace,
+    * emits distinct space-joined n-grams — one pass of Java code per row.
+    *
+    * Exists because the composable form (regexp_extract_all +
+    * transform/slice/concat_ws higher-order functions) is catastrophically
+    * slow: CollapseProject inlines the tokenization subtree into the HOF
+    * lambda, so it is re-evaluated once PER ARRAY ELEMENT per row
+    * (measured ~110 ms/row on 80-word docs — ~1000× this expression).
+    */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val words = splitLowerWords(v.asInstanceOf[UTF8String])
+      if (words.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val seen = new java.util.LinkedHashSet[UTF8String]()
+        var i = 0
+        while (i + n <= words.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          seen.add(UTF8String.fromString(sb.toString))
+          i += 1
+        }
+        new GenericArrayData(seen.toArray)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Lowercased whitespace-split words (matches
+    * `regexp_extract_all(lower(text), '\S+')` for ASCII + Unicode
+    * whitespace handled by Character.isWhitespace).
+    */
+  private[functions] def splitLowerWords(s: UTF8String): Array[String] = {
+    val str = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(str.charAt(i))) i += 1
+      if (i > start) out += str.substring(start, i)
+    }
+    out.toArray
+  }
+
+  /** LSH band bucket keys straight from a shingle array: computes the
+    * `bands*rowsPerBand` MinHash signature AND hashes each band's slice in
+    * ONE pass, returning array<long> of length `bands`. Avoids a second
+    * expression over the signature (which CollapseProject would inline and
+    * re-evaluate per band — see [[WordShingles]] note).
+    */
+  case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int,
+                             seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    private val inner = MinHashSig(child, bands * rowsPerBand, seed)
+    override def nullSafeEval(v: Any): Any = {
+      val sig = inner.nullSafeEval(v).asInstanceOf[GenericArrayData]
+      val keys = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L ^ b
+        var r = 0
+        while (r < rowsPerBand) {
+          val x = sig.getLong(b * rowsPerBand + r)
+          h ^= x
+          h *= 0x100000001b3L
+          r += 1
+        }
+        keys(b) = h
+        b += 1
+      }
+      new GenericArrayData(keys)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** Karp–Rabin style rolling polynomial fingerprint of a string (document
+    * fingerprinting primitive; mod 2^64 arithmetic).
+    */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // Column-facing wrappers.
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+  def minhash_band_keys(shingles: Column, bands: Int, rowsPerBand: Int,
+                        seed: Long = 42L): Column =
+    Bridge.column(
+      MinHashBandKeys(Bridge.expression(shingles), bands, rowsPerBand, seed))
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
+    Bridge.column(MinHashSig(Bridge.expression(tokens), numHashes, seed))
+  def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def rolling_hash(s: Column): Column = Bridge.column(RollingHash(Bridge.expression(s)))
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row with
+  * `rightTime <= leftTime` within the same key group (the time-series
+  * primitive Spark lacks natively; composed union+window formulation).
+  *
+  * Scale shape: ONE shuffle of (key)-partitioned union, one sort within
+  * partitions — same cost as a sort-merge join, no per-row subquery, no
+  * range-explosion. Right rows sort before left rows at equal timestamps so
+  * the "<=" boundary is inclusive, matching the standard as-of contract.
+  */
+object AsOf {
+
+  /** @param left        probe side (keeps all rows)
+    * @param right       reference side
+    * @param key         equi-key column present on both sides
+    * @param leftTime    event-time column on left
+    * @param rightTime   event-time column on right
+    * @param payload     right columns to carry (renamed as given)
+    * @param tieBreak    right column ordering the tie at identical times
+    *                    (latest wins)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               payload: Seq[(String, String)],
+               tieBreak: String): DataFrame = {
+    val leftCols = left.columns
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: col(tieBreak).as("__tb") +:
+        payload.map { case (from, to) => col(from).as(to) }): _*)
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { case (df, (_, to)) =>
+      df.withColumn(to, last(col(to), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++ payload.map { case (_, to) => col(to) }): _*)
+  }
+}

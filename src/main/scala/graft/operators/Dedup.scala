@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+
+/** Deduplication operators for large-corpus training-data pipelines.
+  * Extension surface — no counterpart in the reference (SURVEY.md §2B).
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact dedup is one hash-aggregate on a fingerprint — a single shuffle
+  *    of (fingerprint, id), never the document bodies;
+  *  - MinHash+LSH turns O(n²) near-dup search into per-bucket candidate
+  *    generation: shuffle keys are (band, signature-slice) and only
+  *    bucket-colliding pairs are verified;
+  *  - SimHash gives a 64-bit sketch joinable by Hamming distance;
+  *  - n-gram Jaccard via an inverted shingle index: pairs are generated
+  *    only for documents sharing a shingle (skew note: drop ubiquitous
+  *    shingles — a stop-shingle appearing in d docs costs d² pairs).
+  */
+object Dedup {
+
+  /** Word n-gram shingles of normalized text (distinct set). Single-pass
+    * custom expression — the composable HOF form (transform+slice+concat_ws)
+    * re-evaluates the tokenization per element once CollapseProject inlines
+    * it into the lambda (measured ~1000× slower; see
+    * [[Expressions.WordShingles]]).
+    */
+  def shingles(text: Column, n: Int): Column =
+    Expressions.word_shingles(text, n)
+
+  /** Exact duplicate groups keyed by md5 of normalized text: one row per
+    * distinct content with the representative (minimum) id and the
+    * duplicate count. Single hash-aggregate; the shuffle carries
+    * (fingerprint, id) pairs only.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprintMd5(col(textCol)).as("fingerprint"),
+              col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-deduplicated corpus: keeps the minimum-id representative of each
+    * identical (normalized) content group.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ threshold via inverted shingle index.
+    * Emits (id_a, id_b, jaccard) with id_a < id_b. `maxShingleFreq` drops
+    * shingles appearing in more than that many documents — the skew guard
+    * that keeps the self-join from exploding on boilerplate shingles.
+    * (Dropping ubiquitous shingles is a recall-preserving move for HIGH
+    * thresholds only when dropped shingles are rare per doc; expose the
+    * knob, default off, so the oracle-checked query stays exact.)
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double,
+                        maxShingleFreq: Option[Int] = None): DataFrame = {
+    // the exploded shingle index feeds three consumers (sizes + both sides
+    // of the self-join) — persist so text is shingled once
+    val sh = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .persist()
+    val filtered = maxShingleFreq match {
+      case Some(cap) =>
+        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).select("sh")
+        sh.join(rare, Seq("sh"), "left_semi")
+      case None => sh
+    }
+    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"),
+            col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs, exact-verified.
+    *
+    * numHashes = bands * rowsPerBand signature via the [[Expressions.MinHashSig]]
+    * expression; documents are bucketed by (band, hash of the band's
+    * signature slice); bucket-colliding id pairs are the candidates; each
+    * candidate pair is then verified with exact shingle-set Jaccard so the
+    * output contains NO false positives (recall depends on the band shape:
+    * P[collide] = 1-(1-j^rows)^bands).
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int, threshold: Double,
+                      bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    // shingle sets are reused three times (banding + two verification
+    // fetches) — persist so the text is tokenized once
+    val withSh = df.select(col(idCol).as("id"),
+                           shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    // (band, bucketKey, id) — band keys computed in one pass; the bucket
+    // join shuffles only (band, key, id), never the shingle arrays
+    val banded = withSh.select(
+      col("id"),
+      posexplode(
+        Expressions.minhash_band_keys(col("sh"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // fetch shingle sets for exact verification of the (few) candidates
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash sketch per document: (id, simhash). Near-dup candidates are
+    * pairs within small Hamming distance; [[simhashPairs]] joins on rotated
+    * prefix blocks so only documents agreeing on one of the 4 16-bit blocks
+    * pair up (standard SimHash blocking, Manku et al. 2007).
+    */
+  def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+              Expressions.simhash64(
+                TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+                .as("simhash"))
+
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    // persist: materialization barrier so the sketch is hashed once, not
+    // re-inlined into every block-key expression on both join sides
+    val sk = simhashSketch(df, textCol, idCol).persist()
+    // block on each of the 4 16-bit chunks; a pair within hamming<=3 agrees
+    // exactly on at least one chunk (pigeonhole over 4 blocks)
+    val blocked = sk.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block", "key")))
+    val hamming = {
+      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+      bit_count(x)
+    }
+    blocked.as("a")
+      .join(blocked.as("b"),
+            col("a.block") === col("b.block") &&
+            col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              hamming.as("hamming"))
+      // filter BEFORE the dedup shuffle: the hamming test is per-row cheap
+      // and discards the bulk of bucket-collision pairs
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Embedding cosine near-duplicate pairs (brute force — the exact
+    * baseline; see Similarity.lshNearDupPairs for the scale path).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", Expressions.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

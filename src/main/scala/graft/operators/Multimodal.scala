@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` content + typed metadata,
+  * processed in partition-sized batches via `mapPartitions` (the Scala
+  * analogue of an Arrow-batched UDF: one iterator per partition, rows
+  * streamed, no driver collection).
+  *
+  * The actual media decode is STUBBED (this container has no image/audio
+  * codecs): [[StubCodec.decode]] derives deterministic pseudo-metadata from
+  * the byte content. The Spark-side contract — schema, batch iteration,
+  * partition preservation, null passthrough — is real and tested; swapping
+  * `StubCodec` for a JNI/FFmpeg decoder changes no plan shape.
+  */
+object Multimodal {
+
+  case class MediaMeta(n_bytes: Long, width: Int, height: Int, n_frames: Int)
+
+  /** Deterministic fake decode — STUB for a real codec. Pure integer math
+    * on the byte length so an external oracle can reproduce it.
+    */
+  object StubCodec {
+    def decode(content: Array[Byte]): MediaMeta = {
+      val n = content.length.toLong
+      MediaMeta(
+        n_bytes = n,
+        width = (64L + n % 513L).toInt,
+        height = (64L + (n * 31L) % 489L).toInt,
+        n_frames = (1L + n % 24L).toInt)
+    }
+  }
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("modality", StringType),
+    StructField("content", BinaryType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Attach a binary content column (here: utf-8 bytes of a text column —
+    * stand-in for real image/audio payloads) with a modality tag.
+    */
+  def attachBinary(df: DataFrame, idCol: String, textCol: String,
+                   modality: String = "image"): DataFrame =
+    df.select(col(idCol).as("id"), lit(modality).as("modality"),
+              col(textCol).cast("binary").as("content"))
+
+  /** Batched decode: mapPartitions over (id, modality, content) rows —
+    * each partition is one batch, the codec is invoked per row inside the
+    * executor, output schema is the typed metadata. Rows with null content
+    * pass through with null metadata (never dropped silently).
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    media.select(col("id"), col("modality"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mod = r.getString(1)
+          val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          if (content == null) Row(id, mod, null, null, null, null, null)
+          else {
+            val m = StubCodec.decode(content)
+            Row(id, mod, content, m.n_bytes, m.width, m.height, m.n_frames)
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame sampling stub: slices the binary into `k` evenly-spaced "frames"
+    * (fixed-width byte windows) — the plumbing for video frame extraction.
+    */
+  def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 16): DataFrame =
+    media.select(col("id"),
+      posexplode(
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          col("content").substr(
+            (i * greatest(octet_length(col("content")) / k, lit(1)) + 1)
+              .cast("int"),
+            lit(frameBytes))))
+        .as(Seq("frame_no", "frame_bytes")))
+}

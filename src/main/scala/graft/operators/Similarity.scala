@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a large-scale pipeline needs both:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set, stream
+  *    the corpus once, per-partition top-k via window. Cost O(|corpus|·|Q|·d)
+  *    with NO shuffle of the corpus (queries are broadcast; the only shuffle
+  *    is the final per-query top-k of |corpus-partitions|·k candidate rows).
+  *  - [[lshBuckets]]/[[lshNearDupPairs]] — approximate scale path: random
+  *    hyperplane signatures (Charikar 2002) bucket similar vectors together
+  *    so candidate generation is per-bucket, not all-pairs.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * @param corpus  (idCol, vecCol) table — arbitrarily large
+    * @param queries (idCol, vecCol) table — must fit in a broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+    val scored = joined.withColumn(
+      "cos", Expressions.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
+  /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
+    * with seeded deterministic Gaussian planes, packed into a long.
+    * Vectors with high cosine agree on most bits.
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, numBits: Int = 16, seed: Long = 42L): DataFrame = {
+    require(numBits <= 63, "numBits must fit in a long")
+    val rnd = new java.util.Random(seed)
+    val planes: Array[Array[Double]] =
+      Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+    // signature bit b = sign(v · plane_b); built with aggregate over zip —
+    // planes are literals folded into the plan (no join, no shuffle)
+    val sigBits: Seq[Column] = planes.toIndexedSeq.zipWithIndex.map {
+      case (p, b) =>
+        val planeLit = array(p.toIndexedSeq.map(lit): _*)
+        val dot = aggregate(
+          zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    df.withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
+  }
+
+  /** Near-dup candidate pairs from LSH buckets, verified with exact cosine.
+    * Multi-probe: `numTables` independent signatures (different seeds) are
+    * OR-ed for recall; output = exact-cosine-verified pairs (no false
+    * positives; recall grows with numTables).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double, numBits: Int = 16,
+                      numTables: Int = 4): DataFrame = {
+    val tables = (0 until numTables).map { t =>
+      val b = lshBuckets(df, idCol, vecCol, dim, numBits, seed = 42L + t)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                col("a.v").as("v_a"), col("b.v").as("v_b"))
+    }
+    tables.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Expressions.cosine_sim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source layer: validated scans with explicit schemas and projection.
+  *
+  * Mirrors the reference's `DataExtractor` contract (reference
+  * `Python Solution Application/main.py:54-94`): suffix validation at scan
+  * time, caller-supplied projection, explicit dtype control. The Spark-first
+  * difference: the scan stays lazy (Catalyst prunes columns and pushes
+  * filters into the file source), and "materialize" is the terminal action
+  * of the enclosing plan, not an eager conversion.
+  */
+object Extractor {
+
+  /** CSV scan with projection + explicit schema.
+    * Reference parity: non-`.csv` suffix fails fast
+    * (`main.py:74-77` raises FileNotFoundError); header row expected;
+    * schema is never inferred (SURVEY.md §1.3).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              columns: Seq[String] = Nil): DataFrame = {
+    if (!path.endsWith(".csv"))
+      throw new java.io.FileNotFoundException(
+        s"Extractor.readCsv: expected a .csv path, got '$path'")
+    val df = spark.read
+      .option("header", "true")
+      .schema(schema)
+      .csv(path)
+    project(df, columns)
+  }
+
+  /** Parquet scan with optional projection (engine-native format; the
+    * driver testdata is parquet — TESTDATA.md).
+    */
+  def readParquet(spark: SparkSession, path: String,
+                  columns: Seq[String] = Nil): DataFrame =
+    project(spark.read.parquet(path), columns)
+
+  /** JSON-lines scan with explicit schema (schema inference over 100 TB is
+    * a full extra pass — never rely on it at scale).
+    */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               columns: Seq[String] = Nil): DataFrame =
+    project(spark.read.schema(schema).json(path), columns)
+
+  private def project(df: DataFrame, columns: Seq[String]): DataFrame =
+    if (columns.isEmpty) df
+    else {
+      val missing = columns.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Extractor: columns not in schema: ${missing.mkString(", ")}")
+      df.select(columns.map(df.col): _*)
+    }
+
+  /** Emptiness guard — the analogue of the reference's materialize-time
+    * ValueError on empty frames (`main.py:87-91`). This triggers a job
+    * (isEmpty is an action), so call it only where the contract demands;
+    * prefer folding the check into the terminal action (SURVEY.md §7.3-4).
+    */
+  def requireNonEmpty(df: DataFrame, what: String = "input"): DataFrame = {
+    if (df.isEmpty)
+      throw new IllegalArgumentException(s"Extractor: $what is empty")
+    df
+  }
+}

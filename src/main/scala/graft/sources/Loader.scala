@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Sink layer. Mirrors the reference `Loader` contract (`main.py:261-281`):
+  * suffix validation, refusal to write an empty result, header row, no
+  * synthetic index column. Spark-first difference: large results are written
+  * as a partitioned directory (the scalable path); `writeCsvSingle` exists
+  * for reference parity where a single `.csv` file is the contract.
+  */
+object Loader {
+
+  /** Scalable CSV sink: one part file per partition. */
+  def writeCsvDir(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+
+  /** Scalable parquet sink (engine-native). */
+  def writeParquet(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Single-file CSV for reference parity (`main.py:277` writes exactly one
+    * file). coalesce(1) serializes the final write through one task — only
+    * correct for driver-scale results (the reference's own output is 22k
+    * rows); large outputs should use [[writeCsvDir]].
+    * Returns true on success, like the reference's `write_csv`.
+    */
+  def writeCsvSingle(df: DataFrame, path: String): Boolean = {
+    if (!path.endsWith(".csv"))
+      throw new java.io.FileNotFoundException(
+        s"Loader.writeCsvSingle: expected a .csv path, got '$path'")
+    if (df.isEmpty)
+      throw new IllegalArgumentException(
+        "Loader.writeCsvSingle: refusing to write an empty result")
+    val tmp = path + ".spark-tmp"
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).filter { p =>
+      val n = p.getFileName.toString
+      n.startsWith("part-") && n.endsWith(".csv")
+    }.findFirst.orElseThrow(() =>
+      new IllegalStateException("no part file produced"))
+    Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the temp dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    true
+  }
+}

