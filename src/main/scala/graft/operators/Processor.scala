@@ -36,10 +36,13 @@ object Processor {
 
   /** Lenient column cast (reference `pd.to_datetime(..., errors='coerce')`
     * at `main.py:138` — malformed cells become null, not errors).
+    * try_to_timestamp, not to_timestamp: under Spark 4's default ANSI mode
+    * the latter THROWS on malformed input, which would invert the
+    * reference's strict-literal/lenient-column asymmetry (SURVEY.md §7.3-5).
     */
   def toTimestampCol(df: DataFrame, column: String,
                      format: String = TimestampFormat): DataFrame =
-    df.withColumn(column, to_timestamp(col(column), format))
+    df.withColumn(column, try_to_timestamp(col(column), lit(format)))
 
   /** Guarded equi-join — reference `dataframe_merger` (`main.py:122-140`).
     * The reference's guard passes if the key is in EITHER side (a quirk,

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import graft.sources.{Extractor, Loader}
+
+/** Source/sink contracts (reference `main.py:54-94,261-281`): suffix
+  * validation, explicit schema, projection, header round-trip, single-file
+  * CSV output, empty-result refusal.
+  */
+class ExtractorLoaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir = Files.createTempDirectory("graft-test").toString
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("city", StringType),
+    StructField("n", LongType)))
+
+  test("readCsv: header + explicit schema + projection; suffix guard") {
+    val dir = tmpDir
+    val p = s"$dir/test.csv"
+    Files.writeString(Paths.get(p),
+      "name,city,n\nJack,CO,1\nRiley,TX,2\nPam,TX,3\n")
+    val df = Extractor.readCsv(spark, p, schema)
+    assert(df.columns.toSeq == Seq("name", "city", "n"))
+    assert(df.count() == 3)
+    val projected = Extractor.readCsv(spark, p, schema, Seq("city", "n"))
+    assert(projected.columns.toSeq == Seq("city", "n"))
+    intercept[java.io.FileNotFoundException] {
+      Extractor.readCsv(spark, s"$dir/test.txt", schema)
+    }
+    intercept[IllegalArgumentException] {
+      Extractor.readCsv(spark, p, schema, Seq("nope"))
+    }
+  }
+
+  test("requireNonEmpty raises on empty input (materialize guard parity)") {
+    val dir = tmpDir
+    val p = s"$dir/empty.csv"
+    Files.writeString(Paths.get(p), "name,city,n\n")
+    val df = Extractor.readCsv(spark, p, schema)
+    intercept[IllegalArgumentException] { Extractor.requireNonEmpty(df) }
+  }
+
+  test("writeCsvSingle: exactly one .csv file, header, no index column, value round-trip") {
+    val dir = tmpDir
+    val out = s"$dir/animals.csv"
+    val df = Seq(("falcon", 380.0), ("parrot", 24.0)).toDF("animal", "speed")
+    assert(Loader.writeCsvSingle(df.orderBy("animal"), out))
+    val lines = Files.readAllLines(Paths.get(out))
+    assert(lines.get(0) == "animal,speed")
+    assert(lines.get(1) == "falcon,380.0")
+    assert(lines.size() == 3)
+    intercept[java.io.FileNotFoundException] {
+      Loader.writeCsvSingle(df, s"$dir/animals.parquet")
+    }
+    intercept[IllegalArgumentException] {
+      Loader.writeCsvSingle(df.filter($"speed" > 999), s"$dir/none.csv")
+    }
+  }
+
+  test("parquet + json extractors read with projection") {
+    val li = Extractor.readParquet(spark, s"$sf/lineitem.parquet",
+      Seq("l_orderkey", "l_quantity"))
+    assert(li.columns.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(li.count() == 6000)
+    val dir = tmpDir
+    val jp = s"$dir/rows.json"
+    Files.writeString(Paths.get(jp),
+      """{"name":"a","city":"x","n":1}""" + "\n" +
+      """{"name":"b","city":"y","n":2}""" + "\n")
+    val js = Extractor.readJson(spark, jp, schema, Seq("name", "n"))
+    assert(js.count() == 2)
+    assert(js.columns.toSeq == Seq("name", "n"))
+  }
+}
