@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -24,25 +24,32 @@ object Expressions {
     * partitionings because it is a per-row scalar, no aggregation involved.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = a.getFloat(i).toDouble
-        val y = b.getFloat(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0
-      else dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineSimArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    // Codegen emits a static call so the surrounding projection stays inside
+    // whole-stage codegen (CodegenFallback would split the fused pipeline).
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Expressions.cosineSimArrays($a, $b);")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Static kernel for [[CosineSim]] — called from generated code. */
+  def cosineSimArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** 64-bit FNV-1a over a UTF8 string with a seed mixed in; the base hash
@@ -67,7 +74,13 @@ object Expressions {
     * O(tokens * k) longs, no per-element lambda interpretation.
     */
   case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     // Deterministic per-function odd multipliers/addends from splitmix64.
@@ -111,9 +124,15 @@ object Expressions {
     * Near-duplicate texts land within small Hamming distance.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -147,10 +166,16 @@ object Expressions {
     * (measured ~110 ms/row on 80-word docs — ~1000× this expression).
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
     override def nullSafeEval(v: Any): Any = {
       val words = splitLowerWords(v.asInstanceOf[UTF8String])
       if (words.length < n) new GenericArrayData(Array.empty[Any])
@@ -197,7 +222,13 @@ object Expressions {
     */
   case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int,
                              seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bandkeys", this, classOf[MinHashBandKeys].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullIntolerant: Boolean = true
     private val inner = MinHashSig(child, bands * rowsPerBand, seed)
@@ -227,9 +258,15 @@ object Expressions {
     * fingerprinting primitive; mod 2^64 arithmetic).
     */
   case class RollingHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("rollhash", this, classOf[RollingHash].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
     override def nullSafeEval(v: Any): Any = {
       val bytes = v.asInstanceOf[UTF8String].getBytes
       var h = 0L
