@@ -20,27 +20,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
     val qs = SparkEntry.queries
-    // JIT/codegen warm-up: run every headline query once at the smallest
-    // scale factor so the timed pass below measures steady-state execution,
-    // not first-call janino compilation (measured 4-18x inflation cold)
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      headline.filter(qs.contains).foreach { name =>
-        try qs(name)(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    // best-of-2: the container shares CPU with the harness, so a single
-    // timed pass can be polluted by transient external load
-    def once(name: String): Double = {
+    def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // drop persist() leftovers so cached blocks never accumulate across
+      // queries (memory creep would distort later measurements)
+      spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    // JIT/codegen warm-up AT THE TARGET SCALE FACTOR: AQE picks different
+    // physical shapes (broadcast vs shuffle joins, coalesced readers) per
+    // data size, so warming at a smaller sf compiles the WRONG codegen and
+    // the first timed run still pays janino (measured 4-18x inflation cold)
+    headline.filter(qs.contains).foreach(once(_, sfDir))
+    // best-of-3: the container shares CPU with the harness, so a timed
+    // pass can be polluted by minutes-long transient external load
     val results = headline.filter(qs.contains).map { name =>
-      name -> math.min(once(name), once(name))
+      name -> (1 to 3).map(_ => once(name, sfDir)).min
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

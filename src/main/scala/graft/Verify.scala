@@ -20,7 +20,7 @@ object Verify {
           System.err.println(s"[verify] $name FAILED: $e")
           e.getStackTrace.take(5).foreach(f =>
             System.err.println(s"[verify]   at $f"))
-        }
+        } finally spark.catalog.clearCache() // drop per-query persist()s
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
