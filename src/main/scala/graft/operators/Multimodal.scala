@@ -74,14 +74,16 @@ object Multimodal {
 
   /** Frame sampling stub: slices the binary into `k` evenly-spaced "frames"
     * (fixed-width byte windows) — the plumbing for video frame extraction.
+    * All index math is integer (DIV) — float division then int-cast would be
+    * engine-dependent (Spark truncates, DuckDB rounds half-even).
     */
-  def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 16): DataFrame =
+  def sampleFrames(media: DataFrame, k: Int, frameBytes: Int = 16): DataFrame = {
+    val step = greatest(expr(s"octet_length(content) DIV $k").cast("int"),
+                        lit(1))
     media.select(col("id"),
       posexplode(
         transform(sequence(lit(0), lit(k - 1)), i =>
-          col("content").substr(
-            (i * greatest(octet_length(col("content")) / k, lit(1)) + 1)
-              .cast("int"),
-            lit(frameBytes))))
+          col("content").substr(i * step + 1, lit(frameBytes))))
         .as(Seq("frame_no", "frame_bytes")))
+  }
 }

@@ -63,6 +63,44 @@ object Similarity {
     df.withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
   }
 
+  /** LSH-bucketed approximate top-k — the scale path of [[bruteForceTopK]].
+    *
+    * Both sides are bucketed with the same seeded hyperplanes per table;
+    * candidates are bucket collisions in ANY of `numTables` tables
+    * (multi-probe recall), scored with exact cosine, then per-query top-k.
+    * At scale the corpus is never self-joined: the shuffle key is the
+    * bucket id, and only colliding (query, corpus) pairs materialize —
+    * with B buckets the candidate volume is ~|corpus|·|Q|/B per table
+    * instead of |corpus|·|Q|.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, dim: Int, k: Int,
+              numBits: Int = 12, numTables: Int = 6,
+              excludeSelf: Boolean = true): DataFrame = {
+    val cands = (0 until numTables).map { t =>
+      val cb = lshBuckets(corpus, idCol, vecCol, dim, numBits, seed = 7L + t)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+                col("bucket"))
+      val qb = lshBuckets(queries, idCol, vecCol, dim, numBits, seed = 7L + t)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+                col("bucket"))
+      cb.join(broadcast(qb), Seq("bucket"))
+        .select(col("query_id"), col("q_vec"), col("neighbor_id"),
+                col("c_vec"))
+    }
+    val all = cands.reduce(_ unionByName _)
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", Expressions.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    all.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   /** Near-dup candidate pairs from LSH buckets, verified with exact cosine.
     * Multi-probe: `numTables` independent signatures (different seeds) are
     * OR-ed for recall; output = exact-cosine-verified pairs (no false
