@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-2 additions: analytic-window families (ntile/percent_rank/
+  * first/last), RANGE frames, regex cleaning, latest-per-key dedup,
+  * cross join, FILTER-style conditional aggregation, ordered string_agg,
+  * null-handling and math scalar families, deterministic hash sampling —
+  * plus pipeline operators: sliding-window aggregation (e04), connected-
+  * components dedup clustering (d07), and PII redaction (t06).
+  * Same oracle-parity rules as [[Queries]].
+  */
+object Queries3 {
+  import Queries.Q
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  val sparkQueries: Map[String, Q] = Map(
+
+    // analytic window family: ntile / percent_rank / cume_dist /
+    // first_value / last_value (explicit full frame for last_value —
+    // the default frame would read only up to the current row)
+    "q41_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+      Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first_value(col("o_totalprice")).over(full).as("min_price"),
+          last_value(col("o_totalprice")).over(full).as("max_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // RANGE frame over a numeric day offset: trailing-30-day spend per
+    // customer. Range frames include ALL tied rows, so the sum is
+    // deterministic under same-day ties without a tie-break column.
+    "q42_window_range" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("day_no",
+          datediff(col("o_orderdate").cast("date"),
+                   lit(java.sql.Date.valueOf("1992-01-01"))).cast("long"))
+        .withColumn("trail30",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("day_no"))
+              .rangeBetween(-30, Window.currentRow)).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+                col("trail30"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // regex cleaning family: global replace + match counting + rlike flag
+    "q43_regexp_clean" -> ((s, d) =>
+      docs(s, d).select(
+          col("doc_id"),
+          md5(regexp_replace(col("text"), "[0-9]+", "#")).as("digits_gone"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_digit_runs"),
+          // \z (absolute end), not $: Java's $ also matches before a final
+          // newline while RE2's does not — \z means end-of-text in both
+          col("text").rlike("[.!?]\\z").as("ends_sentence"))
+        .orderBy(col("doc_id"))),
+
+    // latest-per-key dedup (the "current snapshot" operator every CDC /
+    // training-data pipeline needs): one shuffle on the key, per-partition
+    // window, no self-join
+    "q44_latest_per_key" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // cross join (dimension grid — both sides tiny, broadcast NL join)
+    "q45_cross_join" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"),
+                (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // FILTER-style conditional aggregation: one scan, no joins — the
+    // map-side combine carries one partial row per (flag, 4 aggs)
+    "q46_cond_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(col("l_quantity") > 45, 1)).as("n_heavy"),
+             bround(sum(when(col("l_quantity") > 45, col("l_quantity"))
+               .otherwise(lit(0.0))), 2).as("qty_heavy"),
+             count(when(col("l_linestatus") === "F", 1)).as("n_fin"),
+             bround(avg(col("l_discount")), 6).as("avg_disc"))
+        .orderBy(col("l_returnflag"))),
+
+    // ordered string aggregation (distinct, sorted, joined) — the
+    // collect_set stays bounded because the value domain is tiny
+    "q47_string_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+               .as("statuses"),
+             countDistinct(col("o_orderstatus")).as("n_status"))
+        .orderBy(col("o_orderpriority"))),
+
+    // null-handling family over a null-producing outer join: coalesce,
+    // nullif, null-classifying CASE, null-safe equality
+    "q48_null_funcs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+        .groupBy(col("l_orderkey").as("okey"))
+        .agg(bround(sum(col("l_quantity")), 2).as("qty50"))
+      Tables.orders(s, d).withColumnRenamed("o_orderkey", "okey")
+        .join(li, Seq("okey"), "left")
+        .select(col("okey"),
+                coalesce(col("qty50"), lit(-1.0)).as("qty_c"),
+                col("qty50").isNull.as("no_heavy"),
+                nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+                (col("qty50") <=> lit(null)).as("nullsafe_eq_null"))
+        .orderBy(col("okey"))
+    }),
+
+    // math scalar family (abs/ceil/floor/sqrt/ln/power/sign/greatest/least)
+    "q49_math_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).cast("long").as("abs_off"),
+          ceil(col("p_retailprice") / 100.0).cast("long").as("price_ceil"),
+          floor(col("p_retailprice") / 100.0).cast("long").as("price_floor"),
+          round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+          round(log(col("p_retailprice")), 6).as("price_ln"),
+          round(pow(col("p_size").cast("double"), 2.0), 1).as("size_sq"),
+          signum(col("p_size") - 25).cast("int").as("sgn"),
+          greatest(col("p_size"), lit(25)).cast("long").as("hi"),
+          least(col("p_size"), lit(25)).cast("long").as("lo"))
+        .orderBy(col("p_partkey"))),
+
+    // deterministic content-hash sampling (~10% Bernoulli): reproducible
+    // across engines and runs, unlike rand()-based sampling; the filter is
+    // a pure per-row predicate — no shuffle, prunes at the scan
+    "q50_hash_sample" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("h", md5(concat(col("doc_id").cast("string"),
+                                    lit(":"), col("text"))))
+        .filter(col("h") < "1a")
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------ pipeline extensions
+
+    // sliding-window aggregation (1 h window / 15 min slide): each event
+    // lands in exactly 4 windows; the explode happens BEFORE the shuffle so
+    // the shuffle carries (window, type, partial-agg) rows only
+    "e04_sliding_agg" -> ((s, d) =>
+      graft.streaming.Streams.slidingAgg(Tables.events(s, d))
+        .withColumn("window_start",
+          col("window_start").cast("timestamp_ntz"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // connected components over the MinHash-LSH near-dup graph — the
+    // cluster-assignment step of dedup (keep min-id representative per
+    // component). Same pair parameters as d03, so the oracle recomputes
+    // the exact-Jaccard pairs and closes them transitively.
+    "d07_dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
+                                        n = 5, threshold = 0.7,
+                                        bands = 32, rowsPerBand = 4)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction (emails / long digit runs → tags) + match counts;
+    // output carries the md5 of the redacted text, not the text itself
+    "t06_pii_redact" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val longnum = "[0-9]{7,}"
+      docs(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(longnum), lit(0)))
+            .cast("long").as("n_longnums"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "[EMAIL]"),
+                             longnum, "[NUM]")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val jaccardPairsSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all($norm, '\\S+') AS words
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+       |                   i -> array_to_string(words[i:i+4], ' ')) AS grams
+       |  FROM w),
+       |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM g),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+       |      AS jac
+       |  FROM inter JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b FROM j WHERE jac >= 0.7""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q41_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist,
+        |  first_value(o_totalprice) OVER wf AS min_price,
+        |  last_value(o_totalprice) OVER wf AS max_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q42_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+        |    AS day_no,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trail30
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q43_regexp_clean" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS digits_gone,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+        |    AS n_digit_runs,
+        |  regexp_matches(text, '[.!?]\z') AS ends_sentence
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_latest_per_key" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |                               ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q45_cross_join" ->
+      """SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q46_cond_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (l_quantity > 45) AS n_heavy,
+        |  round(COALESCE(SUM(l_quantity) FILTER (l_quantity > 45), 0), 2)
+        |    AS qty_heavy,
+        |  COUNT(*) FILTER (l_linestatus = 'F') AS n_fin,
+        |  round(AVG(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+        |    AS statuses,
+        |  COUNT(DISTINCT o_orderstatus) AS n_status
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q48_null_funcs" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS okey, round(SUM(l_quantity), 2) AS qty50
+        |  FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey)
+        |SELECT o.o_orderkey AS okey,
+        |  COALESCE(li.qty50, -1.0) AS qty_c,
+        |  li.qty50 IS NULL AS no_heavy,
+        |  NULLIF(o.o_orderstatus, 'O') AS status_nz,
+        |  li.qty50 IS NOT DISTINCT FROM NULL AS nullsafe_eq_null
+        |FROM orders o LEFT JOIN li ON o.o_orderkey = li.okey
+        |ORDER BY okey""".stripMargin,
+
+    "q49_math_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS abs_off,
+        |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS price_ceil,
+        |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_floor,
+        |  round(sqrt(p_retailprice), 6) AS price_sqrt,
+        |  round(ln(p_retailprice), 6) AS price_ln,
+        |  round(pow(CAST(p_size AS DOUBLE), 2.0), 1) AS size_sq,
+        |  CAST(sign(p_size - 25) AS INT) AS sgn,
+        |  CAST(greatest(p_size, 25) AS BIGINT) AS hi,
+        |  CAST(least(p_size, 25) AS BIGINT) AS lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q50_hash_sample" ->
+      """SELECT doc_id, h FROM (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+        |  FROM documents) x
+        |WHERE h < '1a' ORDER BY doc_id""".stripMargin,
+
+    // sliding windows: each event belongs to the 4 15-min-grid starts in
+    // (ts-1h, ts]; generated arithmetically on epoch microseconds
+    "e04_sliding_agg" ->
+      """SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+        |                      - i * 900000000) AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events CROSS JOIN generate_series(0, 3) AS t(i)
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "d07_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+
+    "t06_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+        |    AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -173,6 +173,55 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over a near-duplicate pair graph — the cluster
+    * assignment step of a dedup pipeline (every document gets the minimum
+    * id of its transitive near-dup cluster; keep one representative per
+    * component, drop the rest).
+    *
+    * Algorithm: distributed min-label propagation. Each iteration is one
+    * join + aggregate (all shuffles on the node id); labels converge in
+    * O(component diameter) rounds. Near-dup clusters are shallow (diameter
+    * rarely exceeds a handful of hops), so this terminates in a few rounds
+    * where a generic graph would want the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce", SOCC'14).
+    * Lineage is truncated every round with localCheckpoint so the plan
+    * doesn't grow with iteration count.
+    *
+    * @param pairs (idA, idB) near-dup pairs, undirected
+    * @return (id, comp) — one row per node appearing in any pair
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // the minimum label among a node's neighbors (and itself)
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+                least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+                  .as("comp"),
+                col("comp").as("prev"))
+        .localCheckpoint(true) // truncate lineage; also materializes
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding cosine near-duplicate pairs (brute force — the exact
     * baseline; see Similarity.lshNearDupPairs for the scale path).
     */
