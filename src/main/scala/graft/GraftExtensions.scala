@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.Expressions._
+
+/** SparkSessionExtensions installer: exposes the engine's custom Catalyst
+  * expressions to the SQL-text entry point (same registry the DataFrame
+  * wrappers in [[graft.functions.Expressions]] use), so
+  * `spark.sql("SELECT graft_cosine_sim(a, b) ...")` plans the identical
+  * codegen'd expression as the DSL path.
+  *
+  * Deployment path: `spark.sql.extensions=graft.GraftExtensions` (set by
+  * [[Graft.session]]; any spark-submit can set the same conf).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case lit: Literal if lit.foldable => lit.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal")
+  }
+
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
+    case lit: Literal if lit.foldable => lit.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be a literal")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, usage: String,
+                 builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Expressions", name, usage),
+        builder))
+
+    register("graft_cosine_sim",
+      "graft_cosine_sim(a, b) - cosine similarity of two float arrays",
+      args => CosineSim(args(0), args(1)))
+
+    register("graft_word_shingles",
+      "graft_word_shingles(text, n) - distinct lowercased word n-grams",
+      args => WordShingles(args(0), intArg(args(1), "graft_word_shingles", 2)))
+
+    register("graft_simhash64",
+      "graft_simhash64(tokens) - 64-bit SimHash of a token array",
+      args => SimHash64(args(0)))
+
+    register("graft_minhash_sig",
+      "graft_minhash_sig(tokens, k[, seed]) - k-element MinHash signature",
+      args => MinHashSig(args(0), intArg(args(1), "graft_minhash_sig", 2),
+        if (args.length > 2) longArg(args(2), "graft_minhash_sig", 3) else 42L))
+
+    register("graft_minhash_band_keys",
+      "graft_minhash_band_keys(shingles, bands, rows[, seed]) - LSH band bucket keys",
+      args => MinHashBandKeys(args(0),
+        intArg(args(1), "graft_minhash_band_keys", 2),
+        intArg(args(2), "graft_minhash_band_keys", 3),
+        if (args.length > 3) longArg(args(3), "graft_minhash_band_keys", 4)
+        else 42L))
+
+    register("graft_rolling_hash",
+      "graft_rolling_hash(s) - Karp-Rabin polynomial fingerprint of a string",
+      args => RollingHash(args(0)))
+  }
+}

@@ -49,6 +49,9 @@ object Graft {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      // production deployment path for the custom SQL functions — any
+      // spark-submit reaches them with the same one-line conf
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

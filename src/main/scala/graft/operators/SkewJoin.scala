@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys — the manual fallback when AQE's
+  * skew-join split can't help (e.g. the skewed side feeds an aggregation,
+  * or the runtime stats miss the skew because one key dominates a single
+  * shuffle block).
+  *
+  * Mechanics: the skewed (large) side gets a random salt in [0, salt);
+  * the small side is replicated `salt` times with every salt value; the
+  * join key becomes (key, salt), so one hot key's rows spread over `salt`
+  * reducers instead of one. Equivalent to the plain join because each
+  * large-side row matches exactly the one replica carrying its salt.
+  *
+  * At 100 TB: salt only what's skewed — pre-filter hot keys (e.g. from a
+  * countMinSketch or a cheap groupBy-count sample) and union the salted
+  * hot-key join with the normal join of the long tail. This operator
+  * implements the uniform-salt building block; [[saltedJoinHotKeys]]
+  * composes the two-path version.
+  */
+object SkewJoin {
+
+  /** Uniform salting: every large-side row salted, small side replicated
+    * `salt` times. Use when the small side is cheap to replicate.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salt: Int, how: String = "inner"): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val salted = large.withColumn("__salt",
+      (rand(seed = 7L) * salt).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "__salt"), how).drop("__salt")
+  }
+
+  /** Two-path skew join: keys with observed frequency above
+    * `hotThreshold` (computed from a count over the large side — one cheap
+    * aggregate of (key, count), small output) take the salted path; the
+    * long tail joins normally. The union of both paths equals the plain
+    * join row-for-row.
+    */
+  def saltedJoinHotKeys(large: DataFrame, small: DataFrame, key: String,
+                        hotThreshold: Long, salt: Int,
+                        how: String = "inner"): DataFrame = {
+    val hot = large.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > hotThreshold)
+      .select(col(key))
+    val hotB = broadcast(hot)
+    val largeHot  = large.join(hotB, Seq(key), "left_semi")
+    val largeTail = large.join(hotB, Seq(key), "left_anti")
+    val smallHot  = small.join(hotB, Seq(key), "left_semi")
+    val smallTail = small.join(hotB, Seq(key), "left_anti")
+    saltedJoin(largeHot, smallHot, key, salt, how)
+      .unionByName(largeTail.join(smallTail, Seq(key), how))
+  }
+}

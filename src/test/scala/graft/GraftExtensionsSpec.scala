@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+
+/** The SQL-text registry must plan the same expressions as the DSL path. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_cosine_sim is callable from SQL and matches the DSL result") {
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("ge_vecs")
+    val sqlVal = spark.sql(
+      "SELECT graft_cosine_sim(a, b) AS c FROM ge_vecs")
+      .as[Double].head()
+    val dslVal = spark.table("ge_vecs")
+      .select(Expressions.cosine_sim($"a", $"b")).as[Double].head()
+    assert(math.abs(sqlVal - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(sqlVal == dslVal)
+  }
+
+  test("graft_word_shingles / simhash64 / minhash_sig / rolling_hash from SQL") {
+    Seq(("the quick brown fox jumps", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("ge_docs")
+    val row = spark.sql(
+      """SELECT graft_word_shingles(text, 2) AS sh,
+        |  graft_simhash64(split(lower(text), ' ')) AS sim,
+        |  graft_minhash_sig(split(lower(text), ' '), 4) AS mh,
+        |  graft_rolling_hash(text) AS rh
+        |FROM ge_docs""".stripMargin).head()
+    assert(row.getSeq[String](0) ==
+      Seq("the quick", "quick brown", "brown fox", "fox jumps"))
+    val dsl = spark.table("ge_docs").select(
+      Expressions.simhash64(split(lower($"text"), " ")),
+      Expressions.minhash_sig(split(lower($"text"), " "), 4),
+      Expressions.rolling_hash($"text")).head()
+    assert(row.getLong(1) == dsl.getLong(0))
+    assert(row.getSeq[Long](2) == dsl.getSeq[Long](1))
+    assert(row.getLong(3) == dsl.getLong(2))
+  }
+
+  test("non-literal shingle size is rejected with a clear message") {
+    Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("ge_badargs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(text, n) FROM ge_badargs").collect()
+    }
+    assert(e.getMessage.contains("literal"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+
+/** At-scale infrastructure contracts: salted skew joins equal plain joins,
+  * bucketed tables co-locate joins (no shuffle in the plan), partitioned
+  * writes prune at the scan.
+  */
+class ScaleInfraSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def liSmall = Tables.lineitem(spark, sf)
+    .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+  private def ordSmall = Tables.orders(spark, sf)
+    .select($"o_orderkey".as("l_orderkey"), $"o_totalprice")
+
+  test("saltedJoin equals the plain join row-for-row") {
+    val plain = liSmall.join(ordSmall, Seq("l_orderkey"))
+      .orderBy($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(_.toSeq).toSeq
+    val salted = SkewJoin.saltedJoin(liSmall, ordSmall, "l_orderkey", salt = 8)
+      .orderBy($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("saltedJoinHotKeys (two-path) equals the plain join row-for-row") {
+    val plain = liSmall.join(ordSmall, Seq("l_orderkey"))
+      .orderBy($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(_.toSeq).toSeq
+    val twoPath = SkewJoin.saltedJoinHotKeys(
+        liSmall, ordSmall, "l_orderkey", hotThreshold = 3L, salt = 4)
+      .orderBy($"l_orderkey", $"l_quantity", $"l_extendedprice")
+      .collect().map(_.toSeq).toSeq
+    assert(twoPath == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle in the plan") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables.orders(spark, sf).select($"o_orderkey", $"o_totalprice")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+    Tables.lineitem(spark, sf)
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_lineitem")
+    // force the sort-merge path: at test scale the planner would rather
+    // broadcast, which bypasses bucketing (real bucketed tables are far
+    // beyond any broadcast threshold)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"), Seq("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle, plan:\n$plan")
+      // and it still computes the right thing
+      val expect = Tables.orders(spark, sf).select($"o_orderkey")
+        .join(Tables.lineitem(spark, sf)
+          .select($"l_orderkey".as("o_orderkey")), Seq("o_orderkey"))
+        .count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("partitioned parquet write prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.events(spark, sf)
+      .withColumn("day", to_date($"ts"))
+      .write.partitionBy("day").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter($"day" === "2021-09-06")
+    val scan = q.queryExecution.executedPlan.toString
+    // partition filter must reach the file index, not a post-scan Filter
+    assert(scan.contains("PartitionFilters") &&
+           scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+             .contains("day"),
+      s"expected day partition filter pushed to the scan:\n$scan")
+    val expected = Tables.events(spark, sf)
+      .filter(to_date($"ts") === "2021-09-06").count()
+    assert(q.count() == expected)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+
+/** Round-2 streaming contracts: sliding-window batch/stream parity and
+  * watermark-driven late-data discard.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming slidingAgg equals its batch twin (memory sink)") {
+    val batchEvents = Tables.events(spark, sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val expected = Streams.slidingAgg(batchEvents)
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    val dir = Files.createTempDirectory("graft-slide").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(dir)
+    val q = Streams.slidingAgg(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append-mode tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+      .withColumn("value", lit(1.0))
+    val agg = Streams.tumblingAgg(events, windowLen = "1 hour",
+                                  watermark = "2 hours")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // two on-time events in the 10:00 window
+      input.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+                    (2L, ts("2024-01-01 10:30:00"), "click"))
+      q.processAllAvailable()
+      // advance watermark past the 10:00 window end: 13:30 - 2h = 11:30
+      input.addData((3L, ts("2024-01-01 13:30:00"), "click"))
+      q.processAllAvailable()
+      // this 10:15 event is behind the watermark -> must be discarded
+      input.addData((4L, ts("2024-01-01 10:15:00"), "click"))
+      q.processAllAvailable()
+      // close out the 13:00 window too
+      input.addData((5L, ts("2024-01-01 16:30:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("late_out")
+        .select($"window_start".cast("string"), $"n")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // the 10:00 window emitted exactly once, with the late row NOT counted
+      assert(got.get("2024-01-01 10:00:00") == Some(2L),
+        s"expected 10:00 window n=2 (late row dropped), got $got")
+      assert(got.get("2024-01-01 13:00:00") == Some(1L))
+    } finally q.stop()
+  }
+}
