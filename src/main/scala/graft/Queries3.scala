@@ -150,7 +150,35 @@ object Queries3 {
         .select(col("doc_id"), col("h"))
         .orderBy(col("doc_id"))),
 
+    // higher-order array functions (transform/filter/exists/slice over the
+    // embedding column — all evaluated inside whole-stage codegen)
+    "q51_hof_arrays" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+          col("vec_id"),
+          size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+          round(aggregate(transform(col("embedding"),
+                  x => x.cast("double") * 2), lit(0.0), (a, x) => a + x), 4)
+            .as("doubled_sum"),
+          exists(col("embedding"), x => x > lit(0.2f)).as("has_big"),
+          round(aggregate(transform(slice(col("embedding"), 1, 3),
+                  x => x.cast("double")), lit(0.0), (a, x) => a + x), 4)
+            .as("first3_sum"))
+        .orderBy(col("vec_id"))),
+
     // ------------------------------------------------ pipeline extensions
+
+    // IVF-probed approximate ANN — the cell-probing scale path; recall
+    // contract pinned against the exact top-k in Queries3Spec (not
+    // SQL-expressible: argmax cell assignment; rows-only check)
+    "s03_ann_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.operators.Similarity.ivfTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          nlist = 16, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // sliding-window aggregation (1 h window / 15 min slide): each event
     // lands in exactly 4 windows; the explode happens BEFORE the shuffle so
@@ -309,6 +337,18 @@ object Queries3 {
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
         |  FROM documents) x
         |WHERE h < '1a' ORDER BY doc_id""".stripMargin,
+
+    "q51_hof_arrays" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * 2)), 4) AS doubled_sum,
+        |  len(list_filter(embedding, x -> x > 0.2)) > 0 AS has_big,
+        |  round(list_sum(CAST(embedding[1:3] AS DOUBLE[])), 4) AS first3_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // s03_ann_ivf: no SQL oracle (argmax cell assignment over literal
+    // centroids) — rows-only check; recall pinned in Queries3Spec.
 
     // sliding windows: each event belongs to the 4 15-min-grid starts in
     // (ts-1h, ts]; generated arithmetically on epoch microseconds

@@ -101,6 +101,72 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the cell-probing alternative
+    * to [[lshTopK]], mirroring the classic coarse-quantizer ANN layout
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011 — the IVF part, without PQ compression).
+    *
+    * Train: `nlist` coarse centroids (here: the first `nlist` corpus
+    * vectors by id — deterministic; swap in k-means centroids without
+    * changing the plan). Index: each corpus vector is assigned to its
+    * highest-cosine centroid (`cell`) in one codegen'd pass over a literal
+    * centroid array — no shuffle. Search: each query probes its `nprobe`
+    * nearest cells; candidates = corpus rows in probed cells (the
+    * cell-equi-join broadcasts the tiny query×probe side), scored with
+    * exact cosine, per-query top-k.
+    *
+    * At scale the win is the same as faiss-IVF: each query scores
+    * ~nprobe/nlist of the corpus instead of all of it, and the cell
+    * assignment is a per-row map — the corpus is never self-joined or
+    * re-shuffled (candidate generation shuffles only bucket-matched rows).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    // "training": deterministic driver-side centroid fetch (like faiss
+    // train() — a bounded, one-time cost; nlist rows, not the corpus)
+    val centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "ivfTopK: corpus smaller than 1 row")
+    def centLit(c: Array[Float]): Column =
+      array(c.toIndexedSeq.map(lit): _*).cast("array<float>")
+    // cosine against every centroid, computed inline (nlist literals
+    // folded into the plan); cell = argmax (first index on ties)
+    def cellScores(v: Column): Column =
+      array(centroids.toIndexedSeq.map(c =>
+        Expressions.cosine_sim(v, centLit(c))): _*)
+    def cellOf(v: Column): Column = {
+      val d = cellScores(v)
+      array_position(d, array_max(d)).cast("int")
+    }
+    val indexed = corpus.select(col(idCol).as("neighbor_id"),
+                                col(vecCol).as("c_vec"),
+                                cellOf(col(vecCol)).as("cell"))
+    // per-query probe list: top-nprobe cells by centroid cosine
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+              posexplode(cellScores(col(vecCol))).as(Seq("cell0", "score")))
+      .withColumn("cell", col("cell0") + 1)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+    val cands = indexed.join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .withColumn("cos", Expressions.cosine_sim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   /** Near-dup candidate pairs from LSH buckets, verified with exact cosine.
     * Multi-probe: `numTables` independent signatures (different seeds) are
     * OR-ed for recall; output = exact-cosine-verified pairs (no false

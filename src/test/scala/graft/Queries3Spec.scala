@@ -44,6 +44,40 @@ class Queries3Spec extends SparkSpec {
       ("2021-09-06 09:45:00.0", 1L), ("2021-09-06 10:00:00.0", 1L)))
   }
 
+  test("ivfTopK retrieves planted near-dups hidden in real embeddings") {
+    import org.apache.spark.sql.Row
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    // a perturbed copy of each query vector lands in the same argmax cell,
+    // so IVF must find it even with nprobe << nlist
+    val planted = q.collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      v(0) += 0.01f
+      Row(r.getLong(0) + 100000L, v.toSeq, r.getInt(2))
+    }
+    val corpus = e.unionByName(
+      spark.createDataFrame(java.util.Arrays.asList(planted: _*), e.schema))
+    val top1 = graft.operators.Similarity.ivfTopK(corpus, q,
+        "vec_id", "embedding", k = 1, nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    (0L until 5L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 100000L),
+        s"query $qid: expected planted ${qid + 100000L}, got ${top1.get(qid)}")
+    }
+  }
+
+  test("ivfTopK with nprobe = nlist equals the exact brute-force top-k") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        e, q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(
+        e, q, "vec_id", "embedding", k = 3, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == exact)
+  }
+
   test("latest-per-key picks max ts with event_id tie-break") {
     val ts = java.sql.Timestamp.valueOf("2021-09-06 10:00:00")
     val ev = Seq(
