@@ -202,6 +202,17 @@ object Queries3 {
         .orderBy(col("doc_id"))
     }),
 
+    // stream-stream interval join, batch twin: purchases attribute the
+    // same-user clicks in the trailing hour (bounded-state streaming join)
+    "e05_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.Streams.clickAttribution(
+          purchases = ev.filter(col("event_type") === "purchase"),
+          clicks = ev.filter(col("event_type") === "click"),
+          attributionWindow = "1 hour")
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // PII redaction (emails / long digit runs → tags) + match counts;
     // output carries the md5 of the redacted text, not the text itself
     "t06_pii_redact" -> ((s, d) => {
@@ -370,6 +381,15 @@ object Queries3 {
          |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "e05_interval_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "t06_pii_redact" ->
       """SELECT doc_id,

@@ -19,6 +19,22 @@ object Loader {
   def writeParquet(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** Size-bounded parquet sink — the small-files / giant-files guard a
+    * 100 TB pipeline needs: `numPartitions` bounds the file COUNT (one
+    * writer task each), `maxRecordsPerFile` bounds each file's size (a
+    * task rolls to a new file at the limit). Downstream scans then see
+    * uniformly-sized row groups instead of a mix of KB-stragglers and
+    * multi-GB monoliths.
+    */
+  def writeParquetSized(df: DataFrame, dir: String, numPartitions: Int,
+                        maxRecordsPerFile: Long): Unit = {
+    require(numPartitions >= 1 && maxRecordsPerFile >= 1)
+    df.repartition(numPartitions)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(dir)
+  }
+
   /** Single-file CSV for reference parity (`main.py:277` writes exactly one
     * file). coalesce(1) serializes the final write through one task — only
     * correct for driver-scale results (the reference's own output is 22k

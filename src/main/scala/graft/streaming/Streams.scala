@@ -53,6 +53,32 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Stream-stream interval join (click attribution): every purchase picks
+    * up the same-user clicks in the trailing `attributionWindow`. In
+    * streaming mode both sides carry watermarks and the time-range
+    * predicate bounds the join state (Spark evicts rows older than
+    * watermark + window); the identical plan runs on batch frames, which is
+    * how the tests and the e05 oracle pin the semantics.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame,
+                       attributionWindow: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val p0 = if (purchases.isStreaming)
+      purchases.withWatermark("ts", watermark) else purchases
+    val c0 = if (clicks.isStreaming)
+      clicks.withWatermark("ts", watermark) else clicks
+    val p = p0.select(col("event_id").as("purchase_id"), col("user_id"),
+                      col("ts").as("p_ts"))
+    val c = c0.select(col("event_id").as("click_id"),
+                      col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+              col("c_ts"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -33,6 +33,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val ev = Tables.events(spark, sf).withColumn("ts", $"ts".cast("timestamp"))
+    val expected = Streams.clickAttribution(
+        ev.filter($"event_type" === "purchase"),
+        ev.filter($"event_type" === "click"))
+      .orderBy("purchase_id", "click_id")
+      .collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    ev.write.mode("overwrite").parquet(dir)
+    def stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = Streams.clickAttribution(
+        stream.filter($"event_type" === "purchase"),
+        stream.filter($"event_type" === "click"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .orderBy("purchase_id", "click_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("writeParquetSized bounds both file count and records per file") {
+    val dir = Files.createTempDirectory("graft-sized").toString + "/out"
+    val ev = Tables.events(spark, sf)
+    graft.sources.Loader.writeParquetSized(ev, dir,
+      numPartitions = 2, maxRecordsPerFile = 150)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+    val total = ev.count()
+    assert(files.length >= total / 150,
+      s"expected rolled files, got ${files.length}")
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 150, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+    assert(spark.read.parquet(dir).count() == total)
+  }
+
   test("watermark drops late data in append-mode tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
