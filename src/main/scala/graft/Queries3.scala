@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+import graft.functions.Expressions
 
 /** Round-2 additions: analytic-window families (ntile/percent_rank/
   * first/last), RANGE frames, regex cleaning, latest-per-key dedup,
@@ -202,6 +203,34 @@ object Queries3 {
         .orderBy(col("doc_id"))
     }),
 
+    // near-dup dedup APPLY: keep the min-id representative per transitive
+    // cluster (connected components over the LSH pair graph) + all
+    // unpaired documents
+    "d08_dedup_apply" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
+                                        n = 5, threshold = 0.7,
+                                        bands = 32, rowsPerBand = 4)
+      Dedup.applyClusterDedup(docs(s, d), pairs, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal composition: binary content → batched stub encoder →
+    // embedding column → cosine against a reference doc (the decode-then-
+    // retrieve shape of an image-similarity pipeline; encoder stubbed,
+    // plumbing and plan real)
+    "m03_embed_extract" -> ((s, d) => {
+      val emb = Multimodal.extractEmbedding(
+        Multimodal.attachBinary(docs(s, d), "doc_id", "text"))
+      val ref = emb.filter(col("id") === 0)
+        .select(col("embedding").as("ref_emb"))
+      emb.crossJoin(broadcast(ref))
+        .select(col("id").as("doc_id"),
+                round(Expressions.cosine_sim(col("embedding"), col("ref_emb")),
+                      4).as("cos_ref"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stream-stream interval join, batch twin: purchases attribute the
     // same-user clicks in the trailing hour (bounded-state streaming join)
     "e05_interval_join" -> ((s, d) => {
@@ -381,6 +410,34 @@ object Queries3 {
          |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "d08_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cc WHERE comp <> id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "m03_embed_extract" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 16), i ->
+        |      CAST((octet_length(CAST(text AS BLOB)) * i) % 97 + 1 AS DOUBLE))
+        |      AS emb
+        |  FROM documents),
+        |r AS (SELECT emb AS ref_emb FROM e WHERE doc_id = 0)
+        |SELECT e.doc_id,
+        |  round(list_dot_product(e.emb, r.ref_emb) /
+        |    (sqrt(list_dot_product(e.emb, e.emb)) *
+        |     sqrt(list_dot_product(r.ref_emb, r.ref_emb))), 4) AS cos_ref
+        |FROM e, r ORDER BY doc_id""".stripMargin,
 
     "e05_interval_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,

@@ -222,6 +222,20 @@ object Dedup {
     labels
   }
 
+  /** Near-dup dedup APPLY step: given the corpus and its near-dup pairs,
+    * keep one representative (the minimum id) per transitive cluster and
+    * all unpaired documents. Composes [[connectedComponents]] with an
+    * anti-join — the anti side is (cluster members minus representatives),
+    * which is tiny relative to the corpus, so the join broadcast-prunes.
+    */
+  def applyClusterDedup(corpus: DataFrame, pairs: DataFrame,
+                        idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    corpus.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Embedding cosine near-duplicate pairs (brute force — the exact
     * baseline; see Similarity.lshNearDupPairs for the scale path).
     */

@@ -72,6 +72,37 @@ object Multimodal {
       }(enc)
   }
 
+  /** Feature-extraction stub: derives a `dim`-float embedding per media row
+    * via mapPartitions — the plumbing for an image/audio encoder (CLIP-style)
+    * whose real model is STUBBED (deterministic arithmetic on the byte
+    * length so an external oracle can reproduce it; a real encoder swaps
+    * into the same partition-batched loop with no plan change).
+    * Output: (id, embedding array<float>).
+    */
+  def extractEmbedding(media: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)))))
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (content == null) Row(id, null)
+          else {
+            val n = content.length.toLong
+            // integer-valued floats (1..97): exact in float32 AND float64,
+            // so an external double-math oracle reproduces cosines bit-for-
+            // bit (k/97 would already differ at the f32 rounding step);
+            // +1 keeps every vector's norm positive
+            val emb = Array.tabulate(dim)(i =>
+              ((n * (i + 1)) % 97L).toFloat + 1f)
+            Row(id, emb.toSeq)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub: slices the binary into `k` evenly-spaced "frames"
     * (fixed-width byte windows) — the plumbing for video frame extraction.
     * All index math is integer (DIV) — float division then int-cast would be
