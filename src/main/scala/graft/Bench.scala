@@ -20,11 +20,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Graft.session(appName = "graft-bench")
     val qs = SparkEntry.queries
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name // a failed query must not masquerade as a fast one
       }
       // drop persist() leftovers so cached blocks never accumulate across
       // queries (memory creep would distort later measurements)
@@ -44,7 +46,8 @@ object Bench {
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

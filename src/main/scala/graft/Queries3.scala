@@ -166,6 +166,18 @@ object Queries3 {
             .as("first3_sum"))
         .orderBy(col("vec_id"))),
 
+    // MERGE-style snapshot upsert: orders with totalprice > 200k arrive as
+    // "updates" (status overwritten), everything else survives — one
+    // full-outer shuffle, no row-mutation storage needed
+    "q52_upsert" -> ((s, d) => {
+      val target = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = target.filter(col("o_totalprice") > 200000)
+        .withColumn("o_orderstatus", lit("X"))
+      graft.operators.Upsert.upsert(target, updates, "o_orderkey")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ------------------------------------------------ pipeline extensions
 
     // IVF-probed approximate ANN — the cell-probing scale path; recall
@@ -410,6 +422,13 @@ object Queries3 {
          |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "q52_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'X' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "d08_dedup_apply" ->
       s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),

@@ -78,6 +78,42 @@ class Queries3Spec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("applyClusterDedup keeps min-id representatives and unpaired rows") {
+    val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("id", "body")
+    val pairs = Seq((2L, 5L), (5L, 7L), (3L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.applyClusterDedup(corpus, pairs, "id")
+      .select("id").as[Long].collect().sorted.toSeq
+    // clusters {2,5,7}->keep 2 and {3,9}->keep 3; 5,7,9 dropped
+    assert(kept == Seq(1L, 2L, 3L, 4L, 6L, 8L, 10L))
+  }
+
+  test("extractEmbedding: deterministic stub, dim and value contract") {
+    val media = graft.operators.Multimodal.attachBinary(
+      Seq((1L, "abcd")).toDF("id", "text"), "id", "text") // 4 bytes
+    val emb = graft.operators.Multimodal.extractEmbedding(media, dim = 4)
+      .select($"embedding").as[Seq[Float]].head()
+    // n=4: ((4*(i+1)) % 97) + 1 for i=0..3
+    assert(emb == Seq(5f, 9f, 13f, 17f))
+  }
+
+  test("upsert: updates win, target survives, new keys append") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val updates = Seq((2L, "B", 99.0), (4L, "d", 40.0)).toDF("k", "s", "v")
+    val got = graft.operators.Upsert.upsert(target, updates, "k")
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 10.0), (2L, "B", 99.0),
+                      (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("upsert: an all-null update payload still replaces the target row") {
+    val target = Seq((1L, Some("a"))).toDF("k", "s")
+    val updates = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val got = graft.operators.Upsert.upsert(target, updates, "k").collect()
+    assert(got.length == 1 && got(0).isNullAt(1))
+  }
+
   test("latest-per-key picks max ts with event_id tie-break") {
     val ts = java.sql.Timestamp.valueOf("2021-09-06 10:00:00")
     val ev = Seq(
