@@ -254,6 +254,12 @@ object Queries3 {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // native session_window sessionization (the built-in gap sessionizer;
+    // e02 is the window+lag formulation of the same computation)
+    "e06_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindowAgg(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // PII redaction (emails / long digit runs → tags) + match counts;
     // output carries the md5 of the redacted text, not the text itself
     "t06_pii_redact" -> ((s, d) => {
@@ -466,6 +472,29 @@ object Queries3 {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // boundary rule: an event at exactly last+gap starts a NEW session
+    // (session span is [first, last+gap)) — hence >= in the chain test
+    "e06_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |                   OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |                             ORDER BY us, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                             AND CURRENT ROW) AS sn
+        |  FROM y)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  (MAX(us) - MIN(us)) // 1000000 AS duration_s
+        |FROM z GROUP BY user_id, sn
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "t06_pii_redact" ->
       """SELECT doc_id,

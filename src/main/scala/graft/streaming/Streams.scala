@@ -53,6 +53,29 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** Native session-window aggregation (`session_window`): Spark's own
+    * gap-based sessionizer — one shuffle on the key, sessions merged by the
+    * engine, streaming-capable with watermark state eviction. Boundary
+    * semantics: a session spans [first event, last event + gap); an event
+    * at exactly `last + gap` starts a NEW session. The window+lag
+    * formulation of the same computation is [[graft.ExtensionQueries]]
+    * e02; this is the built-in operator for the same job.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_micros(col("ts").cast("timestamp"))).as("min_us"),
+           max(unix_micros(col("ts").cast("timestamp"))).as("max_us"))
+      .withColumn("duration_s", expr("(max_us - min_us) DIV 1000000"))
+      .select(col("user_id"),
+              col("session_window.start").cast("timestamp_ntz")
+                .as("session_start"),
+              col("n_events"), col("duration_s"))
+  }
+
   /** Stream-stream interval join (click attribution): every purchase picks
     * up the same-user clicks in the trailing `attributionWindow`. In
     * streaming mode both sides carry watermarks and the time-range
