@@ -166,6 +166,23 @@ object Queries3 {
             .as("first3_sum"))
         .orderBy(col("vec_id"))),
 
+    // unpivot / melt (wide → long)
+    "q53_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+                col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("p_size"), col("p_retailprice")),
+                 "metric", "value")
+        .orderBy(col("p_partkey"), col("metric"))),
+
+    // limit + offset pagination (deterministic under total order)
+    "q54_limit_offset" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(50).limit(100)),
+
     // MERGE-style snapshot upsert: orders with totalprice > 200k arrive as
     // "updates" (status overwritten), everything else survives — one
     // full-outer shuffle, no row-mutation storage needed
@@ -428,6 +445,17 @@ object Queries3 {
          |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id)
          |SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "q53_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  UNPIVOT (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size,
+        |           p_retailprice FROM part)
+        |  ON p_size, p_retailprice INTO NAME metric VALUE value)
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q54_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin,
 
     "q52_upsert" ->
       """SELECT o_orderkey,

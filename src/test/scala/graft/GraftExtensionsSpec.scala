@@ -39,6 +39,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) == dsl.getLong(2))
   }
 
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = Tables.embeddings(spark, sf)
+      .select(Expressions.cosine_sim($"embedding", $"embedding").as("c"),
+              Expressions.rolling_hash($"vec_id".cast("string")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen'd operators; the projection
+    // holding our expressions must carry one
+    assert(plan.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("Project")),
+      s"expected codegen'd Project, got:\n$plan")
+  }
+
   test("non-literal shingle size is rejected with a clear message") {
     Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("ge_badargs")
     val e = intercept[Exception] {
