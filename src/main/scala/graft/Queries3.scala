@@ -271,6 +271,44 @@ object Queries3 {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // JSON property parsing on the events stream (from_json with explicit
+    // schema — schema inference over a 100 TB stream is an extra pass)
+    "e07_props_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+             sum(col("k").cast("long")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // time-interval RANGE window frame (trailing 1h spend per user) via
+    // the SQL text entry point
+    "q55_time_range_frame" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("tr_events")
+      s.sql("""SELECT event_id, user_id,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+              |    PARTITION BY user_id ORDER BY ts
+              |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |    AS DOUBLE) AS trail_1h
+              |FROM tr_events ORDER BY event_id""".stripMargin)
+    }),
+
+    // correlated LATERAL subquery (decorrelated by Catalyst into a join)
+    "q56_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("lat_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lat_lineitem")
+      s.sql("""SELECT o.o_orderkey, o.o_totalprice, l.max_qty
+              |FROM lat_orders o,
+              |LATERAL (SELECT MAX(l_quantity) AS max_qty
+              |         FROM lat_lineitem li
+              |         WHERE li.l_orderkey = o.o_orderkey) l
+              |WHERE o.o_orderkey <= 2000
+              |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
     // native session_window sessionization (the built-in gap sessionizer;
     // e02 is the window+lag formulation of the same computation)
     "e06_session_window" -> ((s, d) =>
@@ -500,6 +538,33 @@ object Queries3 {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "e07_props_parse" ->
+      """SELECT event_type, COUNT(CAST(props->>'k' AS INT)) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS INT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q55_time_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trail_1h
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // LEFT JOIN LATERAL, not comma-join: DuckDB's inner lateral drops
+    // rows whose correlated aggregate input is empty (Spark keeps the
+    // NULL-aggregate row, per ANSI scalar-aggregate semantics)
+    "q56_lateral" ->
+      """SELECT o.o_orderkey, o.o_totalprice, l.max_qty
+        |FROM orders o LEFT JOIN LATERAL
+        |  (SELECT MAX(l_quantity) AS max_qty
+        |   FROM lineitem li
+        |   WHERE li.l_orderkey = o.o_orderkey) l ON true
+        |WHERE o.o_orderkey <= 2000
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // boundary rule: an event at exactly last+gap starts a NEW session
     // (session span is [first, last+gap)) — hence >= in the chain test

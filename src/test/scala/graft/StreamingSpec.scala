@@ -59,6 +59,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch maintains a latest-per-user snapshot via upsert") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (user_id, event_id, value)
+    val base = Files.createTempDirectory("graft-fb").toString
+    @volatile var snapDir: Option[String] = None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"event_id".desc)
+    val q = input.toDF().toDF("user_id", "event_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // latest event per user within this micro-batch
+        val latest = batch.withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1).drop("rn")
+        val merged = snapDir match {
+          case Some(dir) => graft.operators.Upsert.upsert(
+            spark.read.parquet(dir), latest, "user_id")
+          case None => latest
+        }
+        // versioned dirs: never overwrite the snapshot a lazy plan reads
+        val next = s"$base/v$id"
+        merged.write.mode("overwrite").parquet(next)
+        snapDir = Some(next)
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 20L, 5.0))
+      q.processAllAvailable()
+      input.addData((1L, 12L, 3.0), (3L, 30L, 7.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(snapDir.get)
+        .orderBy("user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(snap == Seq((1L, 12L, 3.0), (2L, 20L, 5.0), (3L, 30L, 7.0)))
+    } finally q.stop()
+  }
+
   test("writeParquetSized bounds both file count and records per file") {
     val dir = Files.createTempDirectory("graft-sized").toString + "/out"
     val ev = Tables.events(spark, sf)
