@@ -38,10 +38,11 @@ object Bench {
     // data size, so warming at a smaller sf compiles the WRONG codegen and
     // the first timed run still pays janino (measured 4-18x inflation cold)
     headline.filter(qs.contains).foreach(once(_, sfDir))
-    // best-of-3: the container shares CPU with the harness, so a timed
-    // pass can be polluted by minutes-long transient external load
+    // best-of-5: the container shares CPU with the harness, so timed
+    // passes can be polluted by minutes-long transient external load
+    // (round-1 recorded 3-18x inflation on individual queries from this)
     val results = headline.filter(qs.contains).map { name =>
-      name -> (1 to 3).map(_ => once(name, sfDir)).min
+      name -> (1 to 5).map(_ => once(name, sfDir)).min
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
