@@ -69,6 +69,14 @@ object Queries4 {
         .agg(sum(col("l_extendedprice").cast(D) * col("l_discount").cast(D))
                .cast("double").as("revenue"))),
 
+    // corpus profiling: one fused aggregation pass over every column
+    "q61_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    "o_orderdate"))
+        .orderBy(col("column"))),
+
     // TPC-H Q18: large-volume customers (HAVING over a join-aggregate)
     "q60_tpch18" -> ((s, d) => {
       val big = Tables.lineitem(s, d)
@@ -127,6 +135,34 @@ object Queries4 {
         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q61_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+        |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR),
+        |    CAST(MAX(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |    COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS VARCHAR),
+        |    CAST(MAX(o_totalprice) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |    COUNT(DISTINCT o_orderdate),
+        |    strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |    strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY "column"""".stripMargin,
 
     "q60_tpch18" ->
       """SELECT c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty

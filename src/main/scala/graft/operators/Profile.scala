@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the corpus-health snapshot a training-data pipeline
+  * runs before/after every transform: per column, null count, distinct
+  * count, and min/max (rendered as strings so one long table covers
+  * heterogeneous column types).
+  *
+  * ONE aggregation job for all columns (every metric is an aggregate over
+  * the same scan — Catalyst fuses them into a single partial+final
+  * hash-agg with no shuffle of raw rows), then a literal-framed unpivot on
+  * the single result row. Distinct counts are exact here; swap
+  * `approx_count_distinct` in at 100 TB for one-pass HLL profiling.
+  */
+object Profile {
+
+  def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
+    val metrics: Seq[Column] = df.columns.toIndexedSeq.flatMap { c =>
+      val cd = if (approxDistinct) approx_count_distinct(col(c))
+               else countDistinct(col(c))
+      Seq(
+        count(lit(1)).as(s"__${c}__n_rows"),
+        (count(lit(1)) - count(col(c))).as(s"__${c}__n_nulls"),
+        cd.as(s"__${c}__n_distinct"),
+        min(col(c)).cast("string").as(s"__${c}__min"),
+        max(col(c)).cast("string").as(s"__${c}__max"))
+    }
+    val one = df.agg(metrics.head, metrics.tail: _*)
+    // unpivot the single aggregate row: one output row per column
+    val rows: Seq[Column] = df.columns.toIndexedSeq.map { c =>
+      struct(lit(c).as("column"),
+             col(s"__${c}__n_rows").as("n_rows"),
+             col(s"__${c}__n_nulls").as("n_nulls"),
+             col(s"__${c}__n_distinct").as("n_distinct"),
+             col(s"__${c}__min").as("min_str"),
+             col(s"__${c}__max").as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}

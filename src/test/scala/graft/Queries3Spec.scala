@@ -114,6 +114,18 @@ class Queries3Spec extends SparkSpec {
     assert(got.length == 1 && got(0).isNullAt(1))
   }
 
+  test("profile: null/distinct/min/max per column in one pass") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val got = graft.operators.Profile.profile(df)
+      .orderBy("column")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("s",  3L, 1L, 1L, "a", "a")))
+  }
+
   test("latest-per-key picks max ts with event_id tie-break") {
     val ts = java.sql.Timestamp.valueOf("2021-09-06 10:00:00")
     val ev = Seq(
