@@ -11,10 +11,12 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_scan_project", "q04_groupby_sum", "q06_join_inner",
     "q12_multiway_join", "q13_household", "q18_window_rank",
-    "q21_rollup", "q30_above_avg",
+    "q21_rollup", "q30_above_avg", "q57_tpch1",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash",
-    "t02_text_quality", "s01_ann_topk",
-    "e01_tumbling_agg", "e02_sessionize", "e03_asof_join")
+    "d07_dedup_clusters",
+    "t02_text_quality", "s01_ann_topk", "s03_ann_ivf",
+    "e01_tumbling_agg", "e02_sessionize", "e03_asof_join",
+    "e06_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
