@@ -42,6 +42,7 @@ object AsOf {
       df.withColumn(to, last(col(to), ignoreNulls = true).over(w))
     }
     filled.filter(col("__side") === 1)
-      .select((leftCols.map(col) ++ payload.map { case (_, to) => col(to) }): _*)
+      .select((leftCols.toIndexedSeq.map(col) ++
+        payload.map { case (_, to) => col(to) }): _*)
   }
 }

@@ -21,7 +21,7 @@ object Upsert {
     require(target.columns.sameElements(updates.columns),
       s"upsert: schema mismatch (${target.columns.mkString(",")} vs " +
       s"${updates.columns.mkString(",")})")
-    val dataCols = target.columns.filterNot(_ == key)
+    val dataCols = target.columns.toIndexedSeq.filterNot(_ == key)
     val t = target.select(col(key) +: dataCols.map(c => col(c).as(s"t_$c")): _*)
     val u = updates.select(col(key) +: dataCols.map(c => col(c).as(s"u_$c")): _*)
     // updates side presence marker survives even if all its data cols are
