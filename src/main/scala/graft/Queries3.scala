@@ -315,6 +315,23 @@ object Queries3 {
       graft.streaming.Streams.sessionWindowAgg(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // grouped MinHash-signature merge (custom typed Aggregator): one
+    // bounded sketch per language — rows-only check (FNV-based signature
+    // is not SQL-expressible); the union property is pinned in
+    // MinHashMergeSpec
+    "t07_minhash_merge" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+                Expressions.minhash_sig(
+                  TextAnalysis.tokens(TextAnalysis.normalize(col("text"))),
+                  numHashes = 64).as("sig"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")).as("msig"),
+             count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("n_docs"),
+                lower(hex(crc32(to_json(col("msig"))))).as("sig_crc"))
+        .orderBy(col("lang"))),
+
     // PII redaction (emails / long digit runs → tags) + match counts;
     // output carries the md5 of the redacted text, not the text itself
     "t06_pii_redact" -> ((s, d) => {
