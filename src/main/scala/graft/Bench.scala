@@ -30,10 +30,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         failed += name // a failed query must not masquerade as a fast one
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       // drop persist() leftovers so cached blocks never accumulate across
-      // queries (memory creep would distort later measurements)
+      // queries (memory creep would distort later measurements); the
+      // teardown itself is harness work, not query work — untimed
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     // JIT/codegen warm-up AT THE TARGET SCALE FACTOR: AQE picks different
     // physical shapes (broadcast vs shuffle joins, coalesced readers) per

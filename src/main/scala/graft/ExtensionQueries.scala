@@ -150,8 +150,13 @@ object ExtensionQueries {
         .orderBy(col("doc_id")))
   )
 
-  private val jaccardSql: String =
-    s"""WITH w AS (
+  /** Shared CTE chain computing exact 5-gram Jaccard per doc pair as `j`
+    * (id_a, id_b, jac). Single source of truth: the d02/d03 oracles AND
+    * the d07/d08 cluster oracles (Queries3) all derive from it, so the
+    * pair semantics (shingle size, normalization) can never drift apart.
+    */
+  private[graft] val jaccardCtes: String =
+    s"""w AS (
        |  SELECT doc_id,
        |    regexp_extract_all($NormSql, '\\S+') AS words
        |  FROM documents),
@@ -172,7 +177,10 @@ object ExtensionQueries {
        |      AS jac
        |  FROM inter
        |  JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b)
+       |  JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
+
+  private val jaccardSql: String =
+    s"""WITH $jaccardCtes
        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin
 

@@ -16,27 +16,29 @@ import graft.functions.Expressions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
-    case lit: Literal if lit.foldable => lit.eval() match {
-      case i: Int  => i
-      case l: Long => l.toInt
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument $pos must be an integer literal, got $other")
+  // accepts any FOLDABLE integer expression (64, 2*32, ...), not just bare
+  // Literals — function resolution runs before constant folding, so a
+  // Literal-only match would reject constant arithmetic users may write
+  private def constLong(e: Expression, fn: String, pos: Int): Long = {
+    val v =
+      if (e.foldable)
+        try e.eval() catch { case _: Exception => null }
+      else null
+    v match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long    => l.longValue
+      case s: java.lang.Short   => s.longValue
+      case b: java.lang.Byte    => b.longValue
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a constant integer expression, got $e")
     }
-    case _ => throw new IllegalArgumentException(
-      s"$fn: argument $pos must be a literal")
   }
 
-  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
-    case lit: Literal if lit.foldable => lit.eval() match {
-      case i: Int  => i.toLong
-      case l: Long => l
-      case other => throw new IllegalArgumentException(
-        s"$fn: argument $pos must be an integer literal, got $other")
-    }
-    case _ => throw new IllegalArgumentException(
-      s"$fn: argument $pos must be a literal")
-  }
+  private def intArg(e: Expression, fn: String, pos: Int): Int =
+    constLong(e, fn, pos).toInt
+
+  private def longArg(e: Expression, fn: String, pos: Int): Long =
+    constLong(e, fn, pos)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, usage: String,

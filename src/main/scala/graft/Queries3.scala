@@ -251,7 +251,12 @@ object Queries3 {
     "m03_embed_extract" -> ((s, d) => {
       val emb = Multimodal.extractEmbedding(
         Multimodal.attachBinary(docs(s, d), "doc_id", "text"))
-      val ref = emb.filter(col("id") === 0)
+      // filter BEFORE extraction: a post-extraction filter cannot push
+      // below the mapPartitions boundary, so the whole corpus would be
+      // encoded twice (with a real model: double inference)
+      val ref = Multimodal.extractEmbedding(
+          Multimodal.attachBinary(docs(s, d).filter(col("doc_id") === 0),
+                                  "doc_id", "text"))
         .select(col("embedding").as("ref_emb"))
       emb.crossJoin(broadcast(ref))
         .select(col("id").as("doc_id"),
@@ -349,30 +354,12 @@ object Queries3 {
     })
   )
 
-  private val jaccardPairsSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    s"""WITH w AS (
-       |  SELECT doc_id, regexp_extract_all($norm, '\\S+') AS words
-       |  FROM documents),
-       |g AS (
-       |  SELECT doc_id,
-       |    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
-       |                   i -> array_to_string(words[i:i+4], ' ')) AS grams
-       |  FROM w),
-       |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM g),
-       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
-       |j AS (
-       |  SELECT id_a, id_b,
-       |    CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
-       |      AS jac
-       |  FROM inter JOIN sz sa ON sa.doc_id = id_a
-       |  JOIN sz sb ON sb.doc_id = id_b)
+  // single source of truth for pair semantics: the same CTE chain the
+  // d02/d03 oracles use (ExtensionQueries.jaccardCtes) — the cluster
+  // oracles stay valid by construction when shingle params change
+  private val jaccardPairsSql: String =
+    s"""WITH ${ExtensionQueries.jaccardCtes}
        |SELECT id_a, id_b FROM j WHERE jac >= 0.7""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
     "q41_window_analytics" ->

@@ -13,8 +13,9 @@ object Time {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, d).write.format("noop").mode("overwrite").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        elapsed
       }
       println(f"TIME $n%-22s ${times.map(t => f"$t%.3f").mkString(" ")}  min=${times.min}%.3f")
     }

@@ -191,7 +191,7 @@ object Dedup {
     * @return (id, comp) — one row per node appearing in any pair
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -219,6 +219,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // never return silently-wrong labels: a component with diameter >
+    // maxIter would exit unconverged and mis-cluster downstream dedup
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter iterations " +
+      "(component diameter exceeds maxIter — raise maxIter or switch to " +
+      "the large-star/small-star variant for deep graphs)")
     labels
   }
 
@@ -233,7 +239,10 @@ object Dedup {
     val drop = connectedComponents(pairs)
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
-    corpus.join(broadcast(drop), Seq(idCol), "left_anti")
+    // no broadcast hint: on a heavily-duplicated corpus the drop set is a
+    // large fraction of all ids — let AQE pick broadcast vs shuffle from
+    // its actual runtime size
+    corpus.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Embedding cosine near-duplicate pairs (brute force — the exact

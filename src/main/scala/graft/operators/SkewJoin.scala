@@ -22,12 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types for which salting preserves plain-join semantics. Right
+    * and full outer are excluded: an unmatched small-side row would
+    * surface once per salt replica instead of once.
+    */
+  private val EquivalentHows =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "cross")
+
   /** Uniform salting: every large-side row salted, small side replicated
     * `salt` times. Use when the small side is cheap to replicate.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salt: Int, how: String = "inner"): DataFrame = {
     require(salt >= 1, "salt must be >= 1")
+    require(EquivalentHows.contains(how.toLowerCase),
+      s"saltedJoin: '$how' is not equivalence-preserving under salting " +
+      s"(unmatched small-side rows would appear $salt times); " +
+      s"supported: ${EquivalentHows.mkString(", ")}")
     val salted = large.withColumn("__salt",
       (rand(seed = 7L) * salt).cast("int"))
     val replicated = small.withColumn("__salt",

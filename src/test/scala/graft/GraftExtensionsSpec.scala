@@ -51,11 +51,15 @@ class GraftExtensionsSpec extends SparkSpec {
       s"expected codegen'd Project, got:\n$plan")
   }
 
-  test("non-literal shingle size is rejected with a clear message") {
+  test("non-constant shingle size is rejected; constant arithmetic accepted") {
     Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("ge_badargs")
     val e = intercept[Exception] {
       spark.sql("SELECT graft_word_shingles(text, n) FROM ge_badargs").collect()
     }
-    assert(e.getMessage.contains("literal"))
+    assert(e.getMessage.contains("constant"))
+    // foldable-but-not-Literal argument works (1+1 = bigrams)
+    val sh = spark.sql("SELECT graft_word_shingles(text, 1+1) AS s FROM ge_badargs")
+      .head().getSeq[String](0)
+    assert(sh == Seq("x y", "y z"))
   }
 }

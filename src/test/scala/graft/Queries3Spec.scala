@@ -133,7 +133,8 @@ class Queries3Spec extends SparkSpec {
       (2L, ts, 7L, "b", 2.0), // same ts, higher id wins
       (3L, java.sql.Timestamp.valueOf("2021-09-06 09:00:00"), 8L, "c", 3.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
-    ev.createOrReplaceTempView("q3s_events")
+    // (q44's declared form is pinned against the DuckDB oracle; this test
+    // documents the tie-break contract on a hand-built fixture)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
     val got = ev.withColumn("rn", row_number().over(w))
