@@ -27,9 +27,13 @@ object MinHashMerge {
       if (sig == null || sig.isEmpty) acc
       else if (acc.isEmpty) sig.toArray
       else {
+        // signatures built with different numHashes are incomparable —
+        // truncating would silently yield a wrong merged sketch
+        require(acc.length == sig.length,
+          s"minhash_merge: signature length mismatch (${acc.length} vs " +
+          s"${sig.length}) — all group members must use the same numHashes")
         var i = 0
-        val n = math.min(acc.length, sig.length)
-        while (i < n) { if (sig(i) < acc(i)) acc(i) = sig(i); i += 1 }
+        while (i < acc.length) { if (sig(i) < acc(i)) acc(i) = sig(i); i += 1 }
         acc
       }
     override def reduce(acc: Array[Long], sig: Seq[Long]): Array[Long] =

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * count, and min/max (rendered as strings so one long table covers
   * heterogeneous column types).
   *
-  * ONE aggregation job for all columns (every metric is an aggregate over
-  * the same scan — Catalyst fuses them into a single partial+final
-  * hash-agg with no shuffle of raw rows), then a literal-framed unpivot on
-  * the single result row. Distinct counts are exact here; swap
-  * `approx_count_distinct` in at 100 TB for one-pass HLL profiling.
+  * ONE aggregation job for all columns, then a literal-framed unpivot on
+  * the single result row. Cost note: with multiple EXACT countDistinct
+  * aggregates Catalyst plans an Expand (one replica of each input row per
+  * distinct column) and shuffles those expanded raw values for the global
+  * dedup — one job, but the shuffle volume is ~numColumns × the input. At
+  * 100 TB pass `approxDistinct = true`: HLL sketches keep every metric
+  * scan-local (partial agg only, no raw-value shuffle).
   */
 object Profile {
 

@@ -22,13 +22,19 @@ object Upsert {
       s"upsert: schema mismatch (${target.columns.mkString(",")} vs " +
       s"${updates.columns.mkString(",")})")
     val dataCols = target.columns.toIndexedSeq.filterNot(_ == key)
+    // the marker must not collide with any renamed payload column (a data
+    // column literally named "_graft_present" would be silently overwritten
+    // by withColumn below — fail loudly instead, like SkewJoin's guards)
+    val marker = "__graft_u_present"
+    require(!dataCols.exists(c => s"u_$c" == marker),
+      s"upsert: reserved marker column name $marker collides with a payload column")
     val t = target.select(col(key) +: dataCols.map(c => col(c).as(s"t_$c")): _*)
     val u = updates.select(col(key) +: dataCols.map(c => col(c).as(s"u_$c")): _*)
     // updates side presence marker survives even if all its data cols are
     // null — never resolve presence from a nullable payload column
-    val merged = t.join(u.withColumn("u_present", lit(1)), Seq(key), "full")
+    val merged = t.join(u.withColumn(marker, lit(1)), Seq(key), "full")
     merged.select(col(key) +: dataCols.map { c =>
-      when(col("u_present").isNotNull, col(s"u_$c"))
+      when(col(marker).isNotNull, col(s"u_$c"))
         .otherwise(col(s"t_$c")).as(c)
     }: _*)
   }
