@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Round-3 queries: the bucketed (LSH) embedding near-dup as a
+  * driver-checked query — the scale path of d05, oracle-verified.
+  */
+object Queries6 {
+  import Queries.Q
+
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+
+  /** d09 input: the sub-2000 embedding corpus plus a deterministic planted
+    * near-duplicate of every vector (×2 scale with the (vec_id mod 64)-th
+    * coordinate ×2.125, all arithmetic in float32 so the DuckDB oracle can
+    * reproduce it bit-for-bit via CAST(... AS REAL)). Scaling leaves the
+    * direction almost unchanged — planted cosine ≈ 1 − 0.002·f where f is
+    * the perturbed coordinate's share of the squared norm (~1/64), i.e.
+    * ≥ 0.9995 — so the pair set at τ=0.99 is exactly the 1-per-vector
+    * planted pairs, with a huge margin to the ~0.48 max baseline cosine.
+    *
+    * Why plant at τ=0.99 instead of declaring the LSH path at d05's τ=0.4:
+    * random-hyperplane LSH is the wrong tool at low cosine — at τ=0.4 the
+    * per-bit agreement probability is 1 − acos(0.4)/π ≈ 0.63, so near-total
+    * recall needs ≈ 9/0.63^b tables of b bits (≈14,000 at b=16), or tiny b
+    * where the bucket self-join degenerates toward all-pairs. That regime
+    * is exactly where the exact baseline (d05) is the right algorithm. At
+    * real near-dup thresholds the planted cosine ≥ 0.9995 gives per-bit
+    * agreement ≥ 0.995, so a 16-bit × 8-table index misses a planted pair
+    * with probability ≤ (1 − 0.995^16)^8 < 1e-9 — recall is effectively
+    * deterministic, which is what lets the exact SQL serve as the oracle.
+    */
+  private[graft] def d09Input(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val base = embs(s, d).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"))
+    val planted = base.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === (col("vec_id") % 64).cast("int"), x * lit(2.125f))
+          .otherwise(x * lit(2.0f)).cast("float")).as("embedding"))
+    base.unionByName(planted)
+  }
+
+  val sparkQueries: Map[String, Q] = Map(
+    // the bucketed scale path of d05: hyperplane-LSH candidate generation
+    // (shuffle key = (table, 16-bit signature); only bucket collisions
+    // materialize as pairs), exact-cosine verification — NO all-pairs join
+    // anywhere in the plan (pinned by DedupSimilaritySpec)
+    "d09_lsh_neardup" -> ((s, d) =>
+      Similarity.lshNearDupPairs(d09Input(s, d), "vec_id", "embedding",
+                                 dim = 64, threshold = 0.99,
+                                 numBits = 16, numTables = 8)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  val oracleSql: Map[String, String] = {
+    val cos =
+      "list_dot_product(a.emb, b.emb) / " +
+      "(sqrt(list_dot_product(a.emb, a.emb)) * " +
+      "sqrt(list_dot_product(b.emb, b.emb)))"
+    Map(
+      // exact all-pairs ground truth over the SAME planted corpus — the
+      // oracle is the exact algorithm, the Spark side is the bucketed one;
+      // hash-match proves the LSH path's recall AND precision on this data.
+      // CAST(... AS REAL) replicates Spark's float32 multiply exactly
+      // (double multiply of a float by 2.125 is exact, the REAL cast is the
+      // same single correctly-rounded step as the float32 multiply).
+      "d09_lsh_neardup" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |           FROM embeddings WHERE vec_id < 2000),
+           |p AS (SELECT vec_id + 1000000 AS pid,
+           |        list_transform(generate_series(1, len(emb)), i ->
+           |          CAST(CAST(emb[i] *
+           |            (CASE WHEN i - 1 = (vec_id % 64) THEN 2.125
+           |                  ELSE 2.0 END) AS REAL) AS DOUBLE)) AS emb
+           |      FROM e),
+           |u AS (SELECT vec_id, emb FROM e
+           |      UNION ALL SELECT pid AS vec_id, emb FROM p)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cos
+           |FROM u a JOIN u b ON a.vec_id < b.vec_id
+           |WHERE $cos >= 0.99
+           |ORDER BY id_a, id_b""".stripMargin
+    )
+  }
+}

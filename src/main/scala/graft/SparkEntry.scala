@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.sparkQueries ++ ExtensionQueries.sparkQueries ++
       Queries2.sparkQueries ++ Queries3.sparkQueries ++
-      Queries4.sparkQueries ++ Queries5.sparkQueries
+      Queries4.sparkQueries ++ Queries5.sparkQueries ++
+      Queries6.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Queries.oracleSqlCore ++ ExtensionQueries.oracleSql ++
       Queries2.oracleSql ++ Queries3.oracleSql ++
-      Queries4.oracleSql ++ Queries5.oracleSql
+      Queries4.oracleSql ++ Queries5.oracleSql ++
+      Queries6.oracleSql
 }

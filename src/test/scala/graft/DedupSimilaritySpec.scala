@@ -93,4 +93,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs == Seq((0L, 1L)))
   }
+
+  test("d09: bucketed plan has no all-pairs join and equals the exact pairs") {
+    val input = Queries6.d09Input(spark, sf).persist()
+    val lsh = Queries6.sparkQueries("d09_lsh_neardup")(spark, sf)
+    // the done-criterion from the round-2 verdict: the declared scale path
+    // must not contain a cartesian/nested-loop join anywhere in its plan
+    val physical = lsh.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "d09 plan contains CartesianProduct")
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "d09 plan contains BroadcastNestedLoopJoin")
+    // recall + precision vs the exact all-pairs baseline on the same input
+    val exact = Dedup.embeddingNearDupPairs(input, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    assert(exact.size == input.count() / 2) // one planted pair per base vector
+    input.unpersist()
+  }
 }
