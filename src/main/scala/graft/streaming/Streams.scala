@@ -108,38 +108,82 @@ object Streams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Int, duration_s: Long)
 
-  /** Stateful sessionization with a gap timeout via
-    * flatMapGroupsWithState — emits a session when `gap` of event-time
-    * silence passes (processing-time timeout drives emission in streams;
-    * for batch input Spark runs the same function once per key with a
-    * final timeout pass).
+  /** Stateful sessionization via flatMapGroupsWithState with EVENT-TIME
+    * timeout — genuinely streaming-capable and bounded-memory:
+    *
+    *  - State per key is ONE open session (start, last, n) — constant
+    *    size, however hot the key. Each invocation sorts only the current
+    *    micro-batch's rows for the key (bounded by batch size, never by
+    *    key history).
+    *  - A session closes either when a new event arrives more than `gap`
+    *    after it (emitted inline, same micro-batch) or when the event-time
+    *    watermark passes `last + gap` with no new events (the timeout path
+    *    — so open sessions are flushed and their state evicted without
+    *    waiting for more traffic on the key).
+    *  - Rows older than the watermark are dropped by Spark before reaching
+    *    the operator, so an emitted session is final.
+    *
+    * On a BATCH Dataset the same fold runs once per key and the open
+    * session is emitted at the end of the call (timeouts do not exist in
+    * batch execution) — output equals the window+lag batch sessionizer
+    * (e02), which is how the spec pins parity.
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes")
                 (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[Event],
-         state: GroupState[List[SessionState]]) =>
-          // batch semantics: all of a key's rows arrive in one call; fold
-          // them in event-time order into gap-delimited sessions
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val sessions = sorted.foldLeft(List.empty[SessionState]) {
-            case (acc, e) =>
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    def closed(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start), s.n,
+                 (s.last - s.start) / 1000L)
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: final flush
+            val s = state.get
+            state.remove()
+            Iterator.single(closed(userId, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[SessionOut]
+            var open = state.getOption
+            for (e <- sorted) {
               val t = e.ts.getTime
-              acc match {
-                case head :: tail if t - head.last <= gapMs =>
-                  head.copy(last = t, n = head.n + 1) :: tail
-                case _ => SessionState(t, t, 1) :: acc
+              open = open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  // min/max guards: a watermark-admitted row can still sort
+                  // before the open session's start
+                  Some(SessionState(math.min(s.start, t),
+                                    math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  out += closed(userId, s)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
               }
-          }.reverse
-          state.remove()
-          sessions.iterator.map(s => SessionOut(
-            userId, new java.sql.Timestamp(s.start), s.n,
-            (s.last - s.start) / 1000L))
+            }
+            open.foreach { s =>
+              if (streaming) {
+                state.update(s)
+                // flush when event time passes last+gap; Spark requires a
+                // timeout strictly beyond the current watermark
+                state.setTimeoutTimestamp(
+                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              } else {
+                // batch: all of the key's rows were in this call — the open
+                // session is complete, emit it now
+                out += closed(userId, s)
+                state.remove()
+              }
+            }
+            out.result().iterator
+          }
       }
   }
 }

@@ -115,6 +115,74 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == total)
   }
 
+  test("sessionize carries state across micro-batches and flushes on event-time timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), u, "click", 1.0)
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30,
+                               watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // batch 1: user 1 opens a session; user 2 opens a session
+      input.addData(ev(1, "2024-01-01 10:00:00", 1),
+                    ev(2, "2024-01-01 10:10:00", 1),
+                    ev(3, "2024-01-01 10:05:00", 2))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").isEmpty) // nothing closed yet
+      // batch 2: 10:20 EXTENDS user 1's session from batch 1 (state carried
+      // across micro-batches); 12:00 is >30min later, so it closes the
+      // first session inline and opens a second
+      input.addData(ev(4, "2024-01-01 10:20:00", 1),
+                    ev(5, "2024-01-01 12:00:00", 1))
+      q.processAllAvailable()
+      // batch 3: unrelated user advances the watermark (12:30-10m=12:20 >
+      // user 2's last+gap=10:35) -> user 2's open session times out and
+      // flushes; user 1's second session (timeout 12:30) stays open
+      input.addData(ev(6, "2024-01-01 12:30:00", 3))
+      q.processAllAvailable()
+      // one more batch so the timeout fires strictly after the watermark
+      // update from batch 3 (watermark advances at end-of-batch)
+      input.addData(ev(7, "2024-01-01 12:31:00", 3))
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+                   r.getInt(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got.contains((1L, "2024-01-01 10:00:00.0", 3, 1200L)),
+        s"cross-batch session missing or wrong: $got")
+      assert(got.contains((2L, "2024-01-01 10:05:00.0", 1, 0L)),
+        s"timed-out session missing: $got")
+      // user 1's 12:00 session must still be open (not emitted)
+      assert(!got.exists(x => x._1 == 1L && x._2.startsWith("2024-01-01 12:00")),
+        s"open session emitted prematurely: $got")
+    } finally q.stop()
+  }
+
+  test("batch sessionize equals the window+lag batch sessionizer (e02 twin)") {
+    implicit val s = spark
+    val ev = Tables.events(spark, sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .select($"event_id", $"ts", $"user_id", $"event_type",
+              $"value".cast("double").as("value"))
+      .as[Streams.Event]
+    val got = Streams.sessionize(ev, gapMinutes = 30)
+      .collect()
+      .map(x => (x.user_id, x.session_start.getTime, x.n_events.toLong,
+                 x.duration_s))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val expected = ExtensionQueries.sparkQueries("e02_sessionize")(spark, sf)
+      .withColumn("session_start", $"session_start".cast("timestamp"))
+      .collect()
+      .map(r => (r.getLong(0),
+                 r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == expected)
+  }
+
   test("watermark drops late data in append-mode tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
