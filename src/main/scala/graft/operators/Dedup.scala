@@ -181,9 +181,10 @@ object Dedup {
     * Algorithm: distributed min-label propagation. Each iteration is one
     * join + aggregate (all shuffles on the node id); labels converge in
     * O(component diameter) rounds. Near-dup clusters are shallow (diameter
-    * rarely exceeds a handful of hops), so this terminates in a few rounds
-    * where a generic graph would want the large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce", SOCC'14).
+    * rarely exceeds a handful of hops), so this terminates in a few rounds.
+    * For DEEP graphs (long chains — diameter comparable to maxIter) pass
+    * `deep = true` to dispatch to [[connectedComponentsStar]], which
+    * converges in O(log²) rounds regardless of diameter.
     * Lineage is truncated every round with localCheckpoint so the plan
     * doesn't grow with iteration count.
     *
@@ -191,7 +192,9 @@ object Dedup {
     * @return (id, comp) — one row per node appearing in any pair
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 50,
+                          deep: Boolean = false): DataFrame = {
+    if (deep) return connectedComponentsStar(pairs, idA, idB, maxIter)
     val edges = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
@@ -226,6 +229,101 @@ object Dedup {
       "(component diameter exceeds maxIter — raise maxIter or switch to " +
       "the large-star/small-star variant for deep graphs)")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SOCC'14) — the deep-graph escape hatch for [[connectedComponents]]:
+    * convergence is O(log² n) ROUNDS INDEPENDENT OF DIAMETER, so a
+    * diameter-10⁶ chain finishes in ~20 rounds where label propagation
+    * needs 10⁶.
+    *
+    * Each round is two join+agg passes over the edge set (shuffles keyed
+    * on node id, no per-node neighbor lists materialized — the star
+    * "emit (v, min)" is a groupBy.min joined back to the edges, so a
+    * celebrity node never builds an in-memory adjacency array):
+    *  - large-star: every neighbor v > u re-points to m(u) = min(N(u)∪{u})
+    *  - small-star: with edges canonicalized child>parent, every child of
+    *    u (all < u) re-points to m(u); u itself links to m(u)
+    * Terminates when a round leaves the edge set unchanged (checked with a
+    * count + order-independent hash-sum — one cheap action per round).
+    *
+    * @return (id, comp) — comp is the component's minimum id, identical to
+    *         [[connectedComponents]] output (PropertySpec pins equality
+    *         with union-find on random and diameter-100 path graphs)
+    */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    // canonical undirected edges, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).as("u"),
+              least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      // m(u) = min over N(u) ∪ {u}
+      val m = sym.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges already canonical u > v; m(u) = min child (all < u)
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val children = e.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = m.select(col("u"), col("m").as("v"))
+      children.union(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal sum: order-independent and cannot overflow under ANSI
+      val r = e.agg(count(lit(1)),
+                    sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+    }
+
+    var converged = edges.isEmpty // no edges: nothing to iterate
+    var prev = checksum(edges)
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star output can break canonical orientation; small-star
+      // re-canonicalizes implicitly because its input is re-derived below
+      val ls = largeStar(edges)
+        .select(greatest(col("u"), col("v")).as("u"),
+                least(col("u"), col("v")).as("v"))
+        .distinct()
+      edges = smallStar(ls).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxIter rounds " +
+      "(unexpected — rounds needed are logarithmic in graph size)")
+    // converged: edges form stars (child -> root). Children point at their
+    // root exactly once; roots label themselves.
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+    val roots = allNodes.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    labels.union(roots)
   }
 
   /** Near-dup dedup APPLY step: given the corpus and its near-dup pairs,

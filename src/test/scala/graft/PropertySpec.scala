@@ -88,6 +88,41 @@ class PropertySpec extends SparkSpec {
       val got = Dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(got == expected, s"seed $seed: $got != $expected")
+      // the large-star/small-star variant must agree on the same graphs
+      val star = Dedup.connectedComponentsStar(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(star == expected, s"seed $seed (star): $star != $expected")
     }
+  }
+
+  test("star CC handles a diameter-100 path without raising maxIter") {
+    // a 101-node path: label propagation needs ~100 rounds (would throw at
+    // the default maxIter=50); the star variant converges logarithmically
+    val pairs = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, deep = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 101)
+    assert(got.forall(_._2 == 0L), s"all nodes must label 0: ${got.toSeq}")
+    // and the shallow default would indeed not converge here
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 20)
+    }
+  }
+
+  test("star CC on disconnected components and shuffled ids") {
+    val rnd = new scala.util.Random(7L)
+    val perm = rnd.shuffle((0L until 60L).toVector)
+    // three paths of 20 nodes each, ids shuffled so roots are arbitrary
+    val pairs = (0 until 3).flatMap { c =>
+      (0 until 19).map(i => (perm(c * 20 + i), perm(c * 20 + i + 1)))
+    }.toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val byComp = star.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    val expectedComps = (0 until 3)
+      .map(c => (c * 20 until (c + 1) * 20).map(i => perm(i)).toSet).toSet
+    assert(byComp.values.toSet == expectedComps)
+    assert(byComp.keys.forall(r => byComp(r).min == r),
+      "component label must be the component minimum")
   }
 }
