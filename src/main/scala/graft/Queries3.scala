@@ -197,9 +197,11 @@ object Queries3 {
 
     // ------------------------------------------------ pipeline extensions
 
-    // IVF-probed approximate ANN — the cell-probing scale path; recall
-    // contract pinned against the exact top-k in Queries3Spec (not
-    // SQL-expressible: argmax cell assignment; rows-only check)
+    // IVF-probed approximate ANN — the cell-probing scale path with a
+    // deterministic 2-round spherical-k-means coarse quantizer (Lloyd
+    // rounds as codegen'd assign + decimal-mean agg; recall lift on
+    // clustered data pinned in Queries3Spec). Not SQL-expressible (argmax
+    // cell assignment over trained literals) — rows-only check.
     "s03_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.Similarity.ivfTopK(

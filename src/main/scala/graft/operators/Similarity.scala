@@ -120,28 +120,81 @@ object Similarity {
     * assignment is a per-row map — the corpus is never self-joined or
     * re-shuffled (candidate generation shuffles only bucket-matched rows).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              excludeSelf: Boolean = true): DataFrame = {
-    // "training": deterministic driver-side centroid fetch (like faiss
-    // train() — a bounded, one-time cost; nlist rows, not the corpus)
-    val centroids: Array[Array[Float]] = corpus
+  private def centLit(c: Array[Float]): Column =
+    array(c.toIndexedSeq.map(lit): _*).cast("array<float>")
+
+  /** Cosine against every centroid, computed inline (nlist literals folded
+    * into the plan — a per-row map, no join, no shuffle).
+    */
+  private def centroidScores(centroids: Array[Array[Float]], v: Column): Column =
+    array(centroids.toIndexedSeq.map(c =>
+      Expressions.cosine_sim(v, centLit(c))): _*)
+
+  /** argmax cell (1-based; first index on ties). */
+  private def centroidCell(centroids: Array[Array[Float]], v: Column): Column = {
+    val d = centroidScores(centroids, v)
+    array_position(d, array_max(d)).cast("int")
+  }
+
+  /** Deterministic spherical-k-means training for the IVF coarse quantizer.
+    *
+    * Init = the first `nlist` corpus vectors by id; then `iters` Lloyd
+    * rounds, each one Spark job: assign every (sampled) vector to its
+    * max-cosine centroid in a codegen'd per-row pass (centroids are plan
+    * literals — the corpus is never joined or re-shuffled for assignment),
+    * explode to (cell, idx, value) and take the per-(cell, idx) mean. The
+    * only driver-side data is the nlist×dim mean table per round — the
+    * bounded faiss-`train()` analogue. Means are accumulated as
+    * decimal(38,12) so the result is independent of partition order
+    * (double partial-aggregation would be order-sensitive and make the
+    * trained index nondeterministic across runs).
+    *
+    * Centroid means are NOT re-normalized: cell assignment is by cosine,
+    * which is scale-invariant, so normalization would change nothing.
+    * Empty cells keep their previous centroid. `sampleMod > 1` trains on a
+    * deterministic 1/sampleMod hash-sample of the corpus — at 100 TB the
+    * quantizer only needs a representative sample, not every row.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 2,
+                        sampleMod: Int = 1): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    require(centroids.nonEmpty, "ivfTopK: corpus smaller than 1 row")
-    def centLit(c: Array[Float]): Column =
-      array(c.toIndexedSeq.map(lit): _*).cast("array<float>")
-    // cosine against every centroid, computed inline (nlist literals
-    // folded into the plan); cell = argmax (first index on ties)
-    def cellScores(v: Column): Column =
-      array(centroids.toIndexedSeq.map(c =>
-        Expressions.cosine_sim(v, centLit(c))): _*)
-    def cellOf(v: Column): Column = {
-      val d = cellScores(v)
-      array_position(d, array_max(d)).cast("int")
+    require(centroids.nonEmpty, "trainIvfCentroids: empty corpus")
+    val sample =
+      if (sampleMod > 1)
+        corpus.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+      else corpus
+    for (_ <- 0 until iters) {
+      val means = sample
+        .select(centroidCell(centroids, col(vecCol)).as("cell"),
+                posexplode(col(vecCol)).as(Seq("idx", "x")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(avg(col("x").cast("decimal(38,12)")).as("m"))
+        .collect() // bounded: ≤ nlist × dim rows
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1)) =
+          r.getDecimal(2).doubleValue().toFloat
+      }
+      centroids = next
     }
+    centroids
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true,
+              trainIters: Int = 2): DataFrame = {
+    // train the coarse quantizer (trainIters = 0 degenerates to the
+    // first-nlist-by-id init — the round-2 behavior)
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist,
+                                      iters = trainIters)
+    def cellScores(v: Column): Column = centroidScores(centroids, v)
+    def cellOf(v: Column): Column = centroidCell(centroids, v)
     val indexed = corpus.select(col(idCol).as("neighbor_id"),
                                 col(vecCol).as("c_vec"),
                                 cellOf(col(vecCol)).as("cell"))
