@@ -25,9 +25,14 @@ object ExtensionQueries {
       Dedup.exactGroups(docs(s, d), "text", "doc_id")
         .orderBy(col("keep_id"))),
 
+    // ShingleCap.Off: the DuckDB oracle computes exact Jaccard over FULL
+    // shingle sets, so candidate generation must be uncapped here. At
+    // scale the Auto default applies (capped candidates, exact verify —
+    // see Dedup.ngramJaccardPairs scaladoc + DedupSimilaritySpec).
     "d02_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
-                              n = 5, threshold = 0.7)
+                              n = 5, threshold = 0.7,
+                              shingleCap = Dedup.ShingleCap.Off)
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash-LSH with exact verification: same contract as d02 (n=5,

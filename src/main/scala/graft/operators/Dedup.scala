@@ -49,45 +49,109 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Stop-shingle policy for [[ngramJaccardPairs]] candidate generation. */
+  sealed trait ShingleCap
+  object ShingleCap {
+    /** No cap — exact inverted index over the full shingle sets. The
+      * declared oracle query (d02) uses this so the DuckDB twin is exact.
+      */
+    case object Off extends ShingleCap
+    /** Cap derived from corpus size ([[suggestedShingleCap]]) — the
+      * at-scale default: a boilerplate shingle shared by d documents costs
+      * d² candidate pairs, so an uncapped index is quadratic in the worst
+      * doc-frequency; Auto bounds every shingle's contribution.
+      */
+    case object Auto extends ShingleCap
+    /** Explicit document-frequency cap. */
+    final case class Limit(maxDocFreq: Int) extends ShingleCap
+  }
+
+  /** Auto cap = max(64, 8·√nDocs). Rationale: a retained shingle generates
+    * ≤ cap² = 64·nDocs candidate pairs — linear in corpus size per
+    * offending shingle instead of quadratic — while a document-frequency
+    * of 8·√n is far above any content shingle's df in a power-law corpus,
+    * so only genuine boilerplate is dropped.
+    */
+  def suggestedShingleCap(nDocs: Long): Int =
+    math.max(64, (8.0 * math.sqrt(nDocs.toDouble)).toInt)
+
   /** Exact pairwise n-gram Jaccard ≥ threshold via inverted shingle index.
-    * Emits (id_a, id_b, jaccard) with id_a < id_b. `maxShingleFreq` drops
-    * shingles appearing in more than that many documents — the skew guard
-    * that keeps the self-join from exploding on boilerplate shingles.
-    * (Dropping ubiquitous shingles is a recall-preserving move for HIGH
-    * thresholds only when dropped shingles are rare per doc; expose the
-    * knob, default off, so the oracle-checked query stays exact.)
+    * Emits (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * `shingleCap` guards the index self-join against boilerplate shingles
+    * (a shingle in d docs generates d² candidate pairs). The cap applies
+    * to CANDIDATE GENERATION ONLY — every candidate is verified with the
+    * full shingle sets, so emitted pairs and their jaccard values are
+    * exact regardless of the cap; only recall depends on it, and a true
+    * pair is missed only if EVERY shingle it shares is above-cap (i.e.
+    * the overlap is pure boilerplate — exactly the pairs a near-dup
+    * pipeline should not link). DedupSimilaritySpec pins capped == exact
+    * on a corpus with a planted ubiquitous boilerplate suffix.
+    *
+    * Default is [[ShingleCap.Auto]] (one extra count() action on the
+    * persisted shingle table); the declared d02 query passes Off for
+    * oracle exactness.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        maxShingleFreq: Option[Int] = None): DataFrame = {
-    // the exploded shingle index feeds three consumers (sizes + both sides
-    // of the self-join) — persist so text is shingled once
-    val sh = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+                        shingleCap: ShingleCap = ShingleCap.Auto): DataFrame = {
+    // shingle arrays feed candidate generation AND exact verification —
+    // persist so text is shingled once
+    val withSh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
       .persist()
-    val filtered = maxShingleFreq match {
-      case Some(cap) =>
-        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
-          .filter(col("df_") <= cap).select("sh")
-        sh.join(rare, Seq("sh"), "left_semi")
-      case None => sh
+    val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
+    val capOpt: Option[Int] = shingleCap match {
+      case ShingleCap.Off => None
+      case ShingleCap.Limit(c) => Some(c)
+      case ShingleCap.Auto => Some(suggestedShingleCap(withSh.count()))
     }
-    val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = filtered.as("a")
-      .join(filtered.as("b"),
-            col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
-            Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
-            Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    capOpt match {
+      case None =>
+        // exact single-pass inverted index: intersections counted in the
+        // self-join itself, sizes from the arrays — no second fetch
+        val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+        val inter = sh.as("a")
+          .join(sh.as("b"),
+                col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+                Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+                Seq("id_b"))
+          .withColumn("jaccard",
+            col("inter").cast("double") /
+              (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"),
+                  round(col("jaccard"), 6).as("jaccard"))
+      case Some(cap) =>
+        // capped candidate generation, exact verification on full sets
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).select("s")
+        val capped = sh.join(rare, Seq("s"), "left_semi")
+        val candidates = capped.as("a")
+          .join(capped.as("b"),
+                col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        candidates
+          .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+                Seq("id_a"))
+          .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+                Seq("id_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jaccard",
+            col("inter").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+                .cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"),
+                  round(col("jaccard"), 6).as("jaccard"))
+    }
   }
 
   /** MinHash + LSH near-duplicate pairs, exact-verified.
@@ -98,6 +162,14 @@ object Dedup {
     * candidate pair is then verified with exact shingle-set Jaccard so the
     * output contains NO false positives (recall depends on the band shape:
     * P[collide] = 1-(1-j^rows)^bands).
+    *
+    * Boilerplate robustness (why this path needs no [[ShingleCap]]): a
+    * shared boilerplate shingle moves at most a few coordinates of a
+    * minhash signature, so two otherwise-different documents still differ
+    * in almost every band slice — bucket keys hash WHOLE slices, so
+    * boilerplate does not create hot buckets. A bucket only grows when
+    * documents are genuinely near-identical, in which case the resulting
+    * pairs are true positives the pipeline wants.
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int, threshold: Double,

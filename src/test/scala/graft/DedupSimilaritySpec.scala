@@ -94,6 +94,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Seq((0L, 1L)))
   }
 
+  test("shingle cap keeps recall with a planted boilerplate suffix") {
+    // every doc carries the same boilerplate tail (its shingles hit df=42,
+    // far above the cap) — plus one true near-dup pair (0,1) whose overlap
+    // is mostly RARE content shingles
+    val boiler = "this document is provided as is without warranty of any kind"
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                       "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 20).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val nearDupBase = doc(1000)
+    val docs = Seq(
+      (0L, s"$nearDupBase $boiler"),
+      (1L, s"$nearDupBase extra $boiler") // near-dup of 0
+    ) ++ (2L until 42L).map(i => (i, s"${doc(i.toInt)} $boiler"))
+    val df = docs.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+        threshold = 0.5, shingleCap = Dedup.ShingleCap.Off)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+        threshold = 0.5, shingleCap = Dedup.ShingleCap.Limit(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap 5 drops every boilerplate shingle (df=42) but the true pair
+    // still collides on its rare content shingles; verification runs on
+    // FULL sets, so even the jaccard VALUES match the exact path
+    assert(exact.exists(p => p._1 == 0L && p._2 == 1L), s"exact: $exact")
+    assert(capped == exact, s"capped $capped != exact $exact")
+    // and Auto on a small corpus caps at 64 >= any df here: also exact
+    val auto = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+        threshold = 0.5, shingleCap = Dedup.ShingleCap.Auto)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == exact)
+  }
+
   test("d09: bucketed plan has no all-pairs join and equals the exact pairs") {
     val input = Queries6.d09Input(spark, sf).persist()
     val lsh = Queries6.sparkQueries("d09_lsh_neardup")(spark, sf)
