@@ -33,6 +33,63 @@ object Multimodal {
     }
   }
 
+  /** Real pure-JVM header parsing for the two formats whose dimensions are
+    * readable without a codec: PNG (IHDR chunk) and JPEG (SOF segment).
+    * [[decodeMeta]] uses these when the magic bytes match and falls back
+    * to [[StubCodec]] otherwise — so genuine image payloads get their true
+    * width/height while the oracle-checkable text-derived fixtures (which
+    * never start with an image magic) keep the deterministic stub path.
+    */
+  object HeaderCodec {
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (length+type at 8..15,
+      * width/height big-endian at 16..23) — spec: RFC 2083 §3.1/§4.1.1.
+      */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some((be32(b, 16), be32(b, 20)))
+      else None
+
+    /** JPEG: walk the marker stream from SOI (FFD8) to the first SOF0-15
+      * frame header (excluding DHT/DAC/RST: C4, C8, CC), which carries
+      * [len][precision][height:2][width:2] — ITU T.81 §B.2.2.
+      */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // desynced marker stream
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xff) { i += 1 } // fill byte
+        else if (marker >= 0xc0 && marker <= 0xcf &&
+                 marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
+                 else None
+        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + be16(b, i + 2) // skip segment payload
+        }
+      }
+      None
+    }
+
+    /** (width, height, n_frames) when the payload is a parseable PNG/JPEG
+      * header; still images are single-frame.
+      */
+    def decode(content: Array[Byte]): Option[(Int, Int, Int)] =
+      pngDims(content).orElse(jpegDims(content)).map { case (w, h) => (w, h, 1) }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),
@@ -64,9 +121,12 @@ object Multimodal {
           val mod = r.getString(1)
           val content = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           if (content == null) Row(id, mod, null, null, null, null, null)
-          else {
-            val m = StubCodec.decode(content)
-            Row(id, mod, content, m.n_bytes, m.width, m.height, m.n_frames)
+          else HeaderCodec.decode(content) match {
+            case Some((w, h, f)) =>
+              Row(id, mod, content, content.length.toLong, w, h, f)
+            case None =>
+              val m = StubCodec.decode(content)
+              Row(id, mod, content, m.n_bytes, m.width, m.height, m.n_frames)
           }
         }
       }(enc)

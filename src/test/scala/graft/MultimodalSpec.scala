@@ -26,6 +26,45 @@ class MultimodalSpec extends SparkSpec {
     assert(key(meta) == key(again))
   }
 
+  test("decodeMeta parses real PNG IHDR and JPEG SOF headers") {
+    // a complete, valid 1x1 black PNG (67 bytes), byte literal in-repo
+    val png: Array[Byte] = Array(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, // signature
+      0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',     // IHDR len+type
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01, // width=1 height=1
+      0x08, 0x00, 0x00, 0x00, 0x00, 0x3a, 0x7e, 0x9b, // bit depth..crc
+      0x55, 0x00, 0x00, 0x00, 0x0a, 'I', 'D', 'A', 'T',
+      0x78, 0x9c, 0x63, 0x60, 0x00, 0x00, 0x00, 0x02, 0x00, 0x01,
+      0xe5, 0x27, 0xde, 0xfc, 0x00, 0x00, 0x00, 0x00,
+      'I', 'E', 'N', 'D', 0xae, 0x42, 0x60, 0x82).map(_.toByte)
+    // wider synthetic PNG header: 640x480
+    val png2 = png.clone()
+    png2(18) = 0x02; png2(19) = 0x80.toByte  // width 640
+    png2(22) = 0x01; png2(23) = 0xe0.toByte  // height 480
+    // minimal JPEG marker stream: SOI, APP0 (16 bytes), SOF0 with
+    // height=480 width=640, EOI — headers only, enough for dimensions
+    val jpeg: Array[Byte] = (Array(0xff, 0xd8) ++
+      Array(0xff, 0xe0, 0x00, 0x10) ++ Array.fill(14)(0x00) ++
+      Array(0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80) ++
+      Array.fill(10)(0x00) ++ Array(0xff, 0xd9)).map(_.toByte)
+    assert(Multimodal.HeaderCodec.pngDims(png).contains((1, 1)))
+    assert(Multimodal.HeaderCodec.pngDims(png2).contains((640, 480)))
+    assert(Multimodal.HeaderCodec.jpegDims(jpeg).contains((640, 480)))
+    assert(Multimodal.HeaderCodec.decode("not an image".getBytes).isEmpty)
+
+    val media = Seq((1L, "image", png2), (2L, "image", jpeg),
+                    (3L, "image", "plain text bytes".getBytes))
+      .toDF("id", "modality", "content")
+    val meta = Multimodal.decodeMeta(media).orderBy("id").collect()
+    assert((meta(0).getInt(4), meta(0).getInt(5), meta(0).getInt(6)) ==
+      (640, 480, 1))
+    assert((meta(1).getInt(4), meta(1).getInt(5), meta(1).getInt(6)) ==
+      (640, 480, 1))
+    // non-image payloads keep the deterministic stub path (oracle parity)
+    val stub = Multimodal.StubCodec.decode("plain text bytes".getBytes)
+    assert((meta(2).getInt(4), meta(2).getInt(5)) == (stub.width, stub.height))
+  }
+
   test("decodeMeta: null content passes through with null metadata") {
     val media = Seq((1L, "image", Some("abc".getBytes("UTF-8"))),
                     (2L, "image", None: Option[Array[Byte]]))
