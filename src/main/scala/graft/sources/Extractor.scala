@@ -45,6 +45,41 @@ object Extractor {
                columns: Seq[String] = Nil): DataFrame =
     project(spark.read.schema(schema).json(path), columns)
 
+  /** JDBC table scan — the reference README muses about a Postgres source
+    * for TB scale (reference `README:38`, never implemented there); this is
+    * the Spark-native realization. Catalyst pushes filters and the column
+    * projection into the generated SQL (shown as PushedFilters on the JDBC
+    * scan node), so the database does the pruning, not the cluster.
+    *
+    * For large tables pass `partitioning` — Spark issues one range-bounded
+    * query per partition so the read parallelizes across executors instead
+    * of funneling through a single connection (the difference between a
+    * 100 TB import that takes a day and one that takes the cluster's
+    * aggregate ingest rate).
+    */
+  final case class JdbcPartitioning(column: String, lowerBound: Long,
+                                    upperBound: Long, numPartitions: Int)
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitioning: Option[JdbcPartitioning] = None,
+               columns: Seq[String] = Nil,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+    val reader = partitioning match {
+      case Some(p) =>
+        require(p.numPartitions > 0 && p.lowerBound < p.upperBound,
+          s"Extractor.readJdbc: invalid partitioning $p")
+        base.option("partitionColumn", p.column)
+          .option("lowerBound", p.lowerBound)
+          .option("upperBound", p.upperBound)
+          .option("numPartitions", p.numPartitions)
+      case None => base
+    }
+    project(reader.load(), columns)
+  }
+
   private def project(df: DataFrame, columns: Seq[String]): DataFrame =
     if (columns.isEmpty) df
     else {
