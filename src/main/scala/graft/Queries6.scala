@@ -1,13 +1,18 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
-/** Round-3 queries: the bucketed (LSH) embedding near-dup as a
-  * driver-checked query — the scale path of d05, oracle-verified.
+/** Round-3 queries: every remaining SCALE path promoted to a
+  * driver-checked query against the exact oracle it approximates —
+  * bucketed LSH embedding near-dup (d09), capped-candidate n-gram
+  * Jaccard (d10), large-star/small-star clustering (d11).
   */
 object Queries6 {
   import Queries.Q
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
 
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
@@ -53,7 +58,31 @@ object Queries6 {
       Similarity.lshNearDupPairs(d09Input(s, d), "vec_id", "embedding",
                                  dim = 64, threshold = 0.99,
                                  numBits = 16, numTables = 8)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the CAPPED candidate path of d02 (ShingleCap.Auto — at this corpus
+    // 500 docs → cap 178), driver-checked against the same exact-Jaccard
+    // oracle: verification always runs on full shingle sets, so as long
+    // as every true pair shares ≥1 sub-cap shingle the capped output IS
+    // the exact output — which this query proves on real data, not just
+    // the spec's planted corpus
+    "d10_ngram_capped" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id",
+                              n = 5, threshold = 0.7,
+                              shingleCap = Dedup.ShingleCap.Auto)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // the deep-graph clustering variant (large-star/small-star), same
+    // pair graph and same recursive-CTE oracle as d07 — cluster labels
+    // must be identical to min-label propagation's
+    "d11_dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
+                                        n = 5, threshold = 0.7,
+                                        bands = 32, rowsPerBand = 4)
+      Dedup.connectedComponents(pairs, deep = true)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = {
@@ -82,7 +111,12 @@ object Queries6 {
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cos
            |FROM u a JOIN u b ON a.vec_id < b.vec_id
            |WHERE $cos >= 0.99
-           |ORDER BY id_a, id_b""".stripMargin
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // identical oracles to the exact-path queries they approximate:
+      // the scale path must reproduce the exact answer on this corpus
+      "d10_ngram_capped" -> ExtensionQueries.oracleSql("d02_ngram_jaccard"),
+      "d11_dedup_clusters_star" -> Queries3.oracleSql("d07_dedup_clusters")
     )
   }
 }
