@@ -35,6 +35,26 @@ object Loader {
       .parquet(dir)
   }
 
+  /** JDBC sink — the write half of `Extractor.readJdbc` (reference
+    * `README:38` muses about a database backend; this realizes it). Each
+    * partition opens one connection and writes its rows in `batchsize`d
+    * inserts, so the write parallelism is the DataFrame's partitioning —
+    * repartition before calling to match what the database can absorb
+    * (N executor connections hammering one primary is a DBA incident, not
+    * a fast load).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.ErrorIfExists,
+                batchSize: Int = 1000,
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .mode(mode)
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .options(options)
+      .save()
+
   /** Single-file CSV for reference parity (`main.py:277` writes exactly one
     * file). coalesce(1) serializes the final write through one task — only
     * correct for driver-scale results (the reference's own output is 22k

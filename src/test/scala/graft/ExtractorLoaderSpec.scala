@@ -108,6 +108,12 @@ class ExtractorLoaderSpec extends SparkSpec {
       assert(part.rdd.getNumPartitions == 4)
       assert(part.count() == 100)
 
+      // sink round-trip: write a derived table back, read it again
+      Loader.writeJdbc(full.filter($"V" >= 5), url, "items_hi")
+      val back = Extractor.readJdbc(spark, url, "items_hi")
+      assert(back.count() == 50)
+      assert(back.agg(org.apache.spark.sql.functions.min($"V")).head().getInt(0) == 5)
+
       intercept[IllegalArgumentException] {
         Extractor.readJdbc(spark, url, "items",
           partitioning = Some(Extractor.JdbcPartitioning("id", 5L, 5L, 4)))
