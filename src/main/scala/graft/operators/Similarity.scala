@@ -188,11 +188,15 @@ object Similarity {
               idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
               excludeSelf: Boolean = true,
-              trainIters: Int = 2): DataFrame = {
-    // train the coarse quantizer (trainIters = 0 degenerates to the
-    // first-nlist-by-id init — the round-2 behavior)
-    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist,
-                                      iters = trainIters)
+              trainIters: Int = 2,
+              trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    // train the coarse quantizer unless a pre-trained one is supplied —
+    // the faiss shape: train ONCE per corpus, search many times (the
+    // bench's per-call training is a worst case; production amortizes
+    // it to zero). trainIters = 0 degenerates to first-nlist-by-id init.
+    val centroids = trained.getOrElse(
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters = trainIters))
+    require(centroids.nonEmpty, "ivfTopK: empty centroid set")
     def cellScores(v: Column): Column = centroidScores(centroids, v)
     def cellOf(v: Column): Column = centroidCell(centroids, v)
     val indexed = corpus.select(col(idCol).as("neighbor_id"),

@@ -104,6 +104,21 @@ class Queries3Spec extends SparkSpec {
     assert(trained > untrained)
   }
 
+  test("pre-trained centroids reproduce per-call training exactly") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 5)
+    val idx = graft.operators.Similarity.trainIvfCentroids(
+      e, "vec_id", "embedding", nlist = 16, iters = 2)
+    val perCall = graft.operators.Similarity.ivfTopK(
+        e, q, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val reused = graft.operators.Similarity.ivfTopK(
+        e, q, "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4,
+        trained = Some(idx))
+      .collect().map(_.toSeq).toSeq
+    assert(reused == perCall) // training is deterministic AND reusable
+  }
+
   test("ivfTopK with nprobe = nlist equals the exact brute-force top-k") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 5)
