@@ -49,10 +49,15 @@ object ExtensionQueries {
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // Embedding cosine similar-pair mining, brute-force exact (subset
-    // keeps the DuckDB oracle's O(n²) affordable at sf0.01; this synthetic
-    // embedding table has no planted near-dups — max pairwise cosine ~0.48
-    // — so threshold 0.4 exercises the operator on real matches).
+    // Embedding cosine similar-pair mining, brute-force exact — the
+    // EXACT BASELINE, kept declared because at τ=0.4 brute force is the
+    // correct algorithm (hyperplane LSH needs ~9/p_bit^b tables for
+    // near-total recall at low cosine — see Queries6.d09Input scaladoc).
+    // The bucketed scale path is driver-checked as d09 at a realistic
+    // near-dup threshold. Subset keeps the DuckDB oracle's O(n²)
+    // affordable at sf0.01; this synthetic embedding table has no planted
+    // near-dups — max pairwise cosine ~0.48 — so threshold 0.4 exercises
+    // the operator on real matches.
     "d05_embedding_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(
           embs(s, d).filter(col("vec_id") < 2000), "vec_id", "embedding",
