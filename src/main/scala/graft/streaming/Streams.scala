@@ -102,6 +102,23 @@ object Streams {
               col("c_ts"))
   }
 
+  /** Streaming exact dedup with BOUNDED state — the streaming twin of
+    * `Dedup.exactDedup`: a duplicate key arriving within the watermark
+    * window is dropped, and per-key state is evicted once the watermark
+    * passes it (`dropDuplicatesWithinWatermark`), so state size tracks the
+    * watermark window, not the stream's lifetime — the difference between
+    * a dedup that survives a year of uptime and one that OOMs. On batch
+    * input this is plain dropDuplicates (within-watermark semantics need
+    * a watermark to exist).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)

@@ -183,6 +183,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedupStream drops within-watermark duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = Streams.dedupStream(events, Seq("event_id"),
+                                watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), "click"),
+                    (2L, ts("2024-01-01 10:05:00"), "view"),
+                    (1L, ts("2024-01-01 10:01:00"), "click")) // in-batch dup
+      q.processAllAvailable()
+      // cross-batch duplicate of key 1 within the watermark window
+      input.addData((1L, ts("2024-01-01 10:20:00"), "click"),
+                    (3L, ts("2024-01-01 10:30:00"), "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L),
+        s"expected one row per key, got $got")
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append-mode tumbling aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, String)]
