@@ -82,7 +82,19 @@ object Queries6 {
       Dedup.connectedComponents(pairs, deep = true)
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // multimodal resize plumbing (integer-stride byte resample — real
+    // resize is codec work, stubbed; byte-level contract pinned in
+    // MultimodalSpec). Rows-only: per-byte blob indexing is not portable
+    // DuckDB SQL over multibyte UTF-8 payloads.
+    "m04_resize" -> ((s, d) =>
+      graft.operators.Multimodal.resize(
+          graft.operators.Multimodal.attachBinary(docs(s, d), "doc_id",
+                                                  "text"), 8, 8)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+                col("n_bytes"), md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = {

@@ -163,6 +163,41 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stub: deterministic integer-stride resample of the payload to
+    * exactly `w*h` bytes (nearest-neighbor over the byte stream — a real
+    * image resize needs a codec, which this container lacks; the
+    * partition-batched shape, output schema, and null passthrough are the
+    * real contract, and a JNI/libvips resizer swaps into the same loop
+    * with no plan change). Output: (id, width, height, n_bytes, content).
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"resize: bad target ${w}x$h")
+    val outLen = w * h
+    val enc = Encoders.row(StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_bytes", LongType),
+      StructField("content", BinaryType))))
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (content == null || content.isEmpty)
+            Row(id, w, h, null, null)
+          else {
+            // nearest-neighbor stride in integer math (k * n / outLen is
+            // exact in Long for any realistic payload size)
+            val n = content.length.toLong
+            val out = Array.tabulate(outLen)(k =>
+              content(((k.toLong * n) / outLen).toInt))
+            Row(id, w, h, outLen.toLong, out)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling stub: slices the binary into `k` evenly-spaced "frames"
     * (fixed-width byte windows) — the plumbing for video frame extraction.
     * All index math is integer (DIV) — float division then int-cast would be

@@ -65,6 +65,21 @@ class MultimodalSpec extends SparkSpec {
     assert((meta(2).getInt(4), meta(2).getInt(5)) == (stub.width, stub.height))
   }
 
+  test("resize: integer-stride resample, upsample, and null passthrough") {
+    val media = Seq(
+      (1L, "image", Some("0123456789".getBytes("UTF-8"))),
+      (2L, "image", Some("ab".getBytes("UTF-8"))), // upsample 2 -> 4 bytes
+      (3L, "image", None: Option[Array[Byte]])
+    ).toDF("id", "modality", "content")
+    val out = Multimodal.resize(media, 2, 2).orderBy("id").collect()
+    // 10 bytes -> 4: nearest-neighbor picks offsets k*10/4 = 0,2,5,7
+    assert(new String(out(0).getAs[Array[Byte]](4), "UTF-8") == "0257")
+    assert((out(0).getInt(1), out(0).getInt(2), out(0).getLong(3)) == (2, 2, 4L))
+    // 2 bytes -> 4: offsets 0,0,1,1
+    assert(new String(out(1).getAs[Array[Byte]](4), "UTF-8") == "aabb")
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("decodeMeta: null content passes through with null metadata") {
     val media = Seq((1L, "image", Some("abc".getBytes("UTF-8"))),
                     (2L, "image", None: Option[Array[Byte]]))
