@@ -14,6 +14,9 @@ object Bench {
     "q21_rollup", "q30_above_avg", "q57_tpch1",
     "d01_dedup_exact", "d03_minhash_lsh", "d04_simhash",
     "d07_dedup_clusters",
+    // round-3 scale paths: bucketed embedding near-dup, capped-candidate
+    // jaccard, star clustering — timed alongside their exact baselines
+    "d09_lsh_neardup", "d10_ngram_capped", "d11_dedup_clusters_star",
     "t02_text_quality", "s01_ann_topk", "s03_ann_ivf",
     "e01_tumbling_agg", "e02_sessionize", "e03_asof_join",
     "e06_session_window")
