@@ -254,6 +254,66 @@ object Expressions {
       copy(child = c)
   }
 
+  /** All `numTables` random-hyperplane LSH signatures of an embedding in
+    * ONE pass: signature t = the `numBits` sign bits of dot products with
+    * Gaussian planes seeded `baseSeed + t`, packed into a long (Charikar
+    * 2002). Returns array<long> of length `numTables`.
+    *
+    * Exists because the composable form (numBits × aggregate(zip_with)
+    * per table) builds numTables·numBits lambda-interpreted HOF chains —
+    * a huge expression tree that dominates both Catalyst analysis time
+    * and per-row cost. The plane stream is identical to java.util.Random
+    * nextGaussian with the same seeds, and the dot product accumulates in
+    * double, strictly index order, so bucket ids match the HOF form
+    * bit-for-bit.
+    */
+  case class HyperplaneSigs(child: Expression, dim: Int, numBits: Int,
+                            numTables: Int, baseSeed: Long)
+      extends UnaryExpression {
+    require(numBits >= 1 && numBits <= 63, "numBits must fit in a long")
+    require(numTables >= 1, "need at least one table")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("hplanes", this, classOf[HyperplaneSigs].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
+    private val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(numTables) { t =>
+        val rnd = new java.util.Random(baseSeed + t)
+        Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+      }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      val x = new Array[Double](n)
+      var i = 0
+      while (i < n) { x(i) = arr.getFloat(i).toDouble; i += 1 }
+      val out = new Array[Long](numTables)
+      var t = 0
+      while (t < numTables) {
+        val pt = planes(t)
+        var sig = 0L
+        var b = 0
+        while (b < numBits) {
+          val p = pt(b)
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += x(j) * p(j); j += 1 }
+          if (dot >= 0.0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Karp–Rabin style rolling polynomial fingerprint of a string (document
     * fingerprinting primitive; mod 2^64 arithmetic).
     */
@@ -290,5 +350,9 @@ object Expressions {
   def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), numHashes, seed))
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def hyperplane_sigs(vec: Column, dim: Int, numBits: Int, numTables: Int,
+                      baseSeed: Long = 42L): Column =
+    Bridge.column(
+      HyperplaneSigs(Bridge.expression(vec), dim, numBits, numTables, baseSeed))
   def rolling_hash(s: Column): Column = Bridge.column(RollingHash(Bridge.expression(s)))
 }

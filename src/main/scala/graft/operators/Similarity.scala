@@ -45,23 +45,13 @@ object Similarity {
     * Vectors with high cosine agree on most bits.
     */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
-                 dim: Int, numBits: Int = 16, seed: Long = 42L): DataFrame = {
-    require(numBits <= 63, "numBits must fit in a long")
-    val rnd = new java.util.Random(seed)
-    val planes: Array[Array[Double]] =
-      Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
-    // signature bit b = sign(v · plane_b); built with aggregate over zip —
-    // planes are literals folded into the plan (no join, no shuffle)
-    val sigBits: Seq[Column] = planes.toIndexedSeq.zipWithIndex.map {
-      case (p, b) =>
-        val planeLit = array(p.toIndexedSeq.map(lit): _*)
-        val dot = aggregate(
-          zip_with(col(vecCol), planeLit, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    df.withColumn("bucket", sigBits.reduce(_ bitwiseOR _))
-  }
+                 dim: Int, numBits: Int = 16, seed: Long = 42L): DataFrame =
+    // signature bit b = sign(v · plane_b); planes are deterministic from
+    // the seed and baked into one codegen'd expression (no join, no
+    // shuffle, one array traversal — see Expressions.HyperplaneSigs)
+    df.withColumn("bucket", element_at(
+      Expressions.hyperplane_sigs(col(vecCol), dim, numBits,
+                                  numTables = 1, baseSeed = seed), 1))
 
   /** LSH-bucketed approximate top-k — the scale path of [[bruteForceTopK]].
     *
@@ -77,18 +67,20 @@ object Similarity {
               idCol: String, vecCol: String, dim: Int, k: Int,
               numBits: Int = 12, numTables: Int = 6,
               excludeSelf: Boolean = true): DataFrame = {
-    val cands = (0 until numTables).map { t =>
-      val cb = lshBuckets(corpus, idCol, vecCol, dim, numBits, seed = 7L + t)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-                col("bucket"))
-      val qb = lshBuckets(queries, idCol, vecCol, dim, numBits, seed = 7L + t)
-        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-                col("bucket"))
-      cb.join(broadcast(qb), Seq("bucket"))
-        .select(col("query_id"), col("q_vec"), col("neighbor_id"),
-                col("c_vec"))
-    }
-    val all = cands.reduce(_ unionByName _)
+    // All tables' signatures come from ONE codegen'd pass per side
+    // (posexplode to (table, bucket)); the per-table candidate join
+    // collapses to a single equi-join on the composite key. The corpus is
+    // scanned once instead of numTables times.
+    def withSigs(df: DataFrame, idAs: String, vecAs: String) = df.select(
+      col(idCol).as(idAs), col(vecCol).as(vecAs),
+      posexplode(Expressions.hyperplane_sigs(col(vecCol), dim, numBits,
+                                             numTables, baseSeed = 7L))
+        .as(Seq("table", "bucket")))
+    val cb = withSigs(corpus, "neighbor_id", "c_vec")
+    val qb = withSigs(queries, "query_id", "q_vec")
+    val all = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"),
+              col("c_vec"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
               else lit(true))
       .dropDuplicates("query_id", "neighbor_id")
@@ -232,15 +224,21 @@ object Similarity {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                       dim: Int, threshold: Double, numBits: Int = 16,
                       numTables: Int = 4): DataFrame = {
-    val tables = (0 until numTables).map { t =>
-      val b = lshBuckets(df, idCol, vecCol, dim, numBits, seed = 42L + t)
-        .select(col(idCol).as("id"), col(vecCol).as("v"), col("bucket"))
-      b.as("a").join(b.as("b"),
+    // One signature pass (all tables at once), exploded to a
+    // (table, bucket) composite key; the per-table self-joins collapse to
+    // ONE equi-join whose two sides are identical plans, so the shuffle is
+    // computed once and reused (ReuseExchange). Candidate volume is
+    // unchanged — same buckets, same planes as the per-table form.
+    val sigs = df.select(
+      col(idCol).as("id"), col(vecCol).as("v"),
+      posexplode(Expressions.hyperplane_sigs(col(vecCol), dim, numBits,
+                                             numTables, baseSeed = 42L))
+        .as(Seq("table", "bucket")))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-                col("a.v").as("v_a"), col("b.v").as("v_b"))
-    }
-    tables.reduce(_ unionByName _)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.v").as("v_a"), col("b.v").as("v_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", Expressions.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
