@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Round-3 corpus-preparation queries: the steps between deduplicated
+  * documents and training shards — benchmark decontamination, repetition
+  * quality signals, unigram-LM scoring, token chunking, quota sampling,
+  * shard assignment (see [[graft.operators.Corpus]] scaladoc for the
+  * 100 TB shape of each).
+  */
+object Queries7 {
+  import Queries.Q
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  // mirrors TextAnalysis.normalize + tokens ('g' flag: DuckDB replaces
+  // first match only by default, Spark replaces all)
+  private val NormSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val WordsCte =
+    s"w AS (SELECT doc_id, regexp_extract_all($NormSql, '\\S+') AS words FROM documents)"
+
+  val sparkQueries: Map[String, Q] = Map(
+    // eval-set decontamination: every 97th doc plays the benchmark, the
+    // rest the corpus; a doc is contaminated if it shares any normalized
+    // 5-gram with a benchmark doc (the corpus's planted duplicates make
+    // real collisions). Benchmark shingle set broadcasts; corpus shingles
+    // never shuffle — only matched (doc, shingle) rows reach the count.
+    "d12_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      Corpus.decontaminate(all.filter(col("doc_id") % 97 =!= 0),
+                           all.filter(col("doc_id") % 97 === 0),
+                           "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition signals: duplicate-word fraction and
+    // top-bigram fraction, both pure per-row expressions
+    "t08_repetition" -> ((s, d) =>
+      Corpus.repetitionSignals(docs(s, d), "text", "doc_id", n = 2)
+        .orderBy(col("doc_id"))),
+
+    // corpus-trained unigram LM score per doc (CCNet-filter shape):
+    // vocab agg -> broadcast logp join -> per-doc mean
+    "t09_unigram_lm" -> ((s, d) =>
+      Corpus.unigramLogProb(docs(s, d), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // token-window chunking (window 32, stride 16 => 50% overlap), the
+    // pre-packing step; pure per-row explode, no shuffle
+    "t10_chunk_tokens" -> ((s, d) =>
+      Corpus.chunkByTokens(docs(s, d), "text", "doc_id",
+                           window = 32, stride = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-language quota sampling in content-hash order (reproducible;
+    // WindowGroupLimit keeps <= quota rows per group per partition
+    // before the shuffle)
+    "q66_quota_sample" -> ((s, d) =>
+      Corpus.quotaSample(docs(s, d), "lang", "doc_id", quota = 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))),
+
+    // deterministic md5-based shard assignment + balance stats
+    "q67_shard_stats" -> ((s, d) =>
+      Corpus.assignShards(docs(s, d), "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d12_decontaminate" ->
+      s"""WITH $WordsCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+         |                   i -> array_to_string(words[i:i+4], ' ')) AS grams
+         |  FROM w),
+         |sh AS (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM g),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, COUNT(*) AS n_hits
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "t08_repetition" ->
+      s"""WITH $WordsCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+         |                          i -> array_to_string(words[i:i+1], ' '))) AS gram
+         |  FROM w),
+         |gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         |top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+         |          AS top_frac FROM gc GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  round(CASE WHEN len(words) = 0 THEN 0.0
+         |    ELSE CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+         |         / CAST(len(words) AS DOUBLE) END, 6) AS dup_word_frac,
+         |  round(coalesce(top.top_frac, 0.0), 6) AS top_gram_frac
+         |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
+         |ORDER BY w.doc_id""".stripMargin,
+
+    "t09_unigram_lm" ->
+      s"""WITH $WordsCte,
+         |t AS (SELECT doc_id, unnest(words) AS w FROM w),
+         |v AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+         |tot AS (SELECT SUM(c) AS tot FROM v),
+         |lp AS (SELECT w,
+         |         CAST(round(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+         |           AS DECIMAL(38,6)) AS neg_logp
+         |       FROM v, tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(CAST(SUM(neg_logp) * 1000000 AS BIGINT) // COUNT(*) AS BIGINT)
+         |    AS mean_neg_logp_micro
+         |FROM t JOIN lp USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t10_chunk_tokens" ->
+      s"""WITH $WordsCte,
+         |st AS (SELECT doc_id, words,
+         |         unnest(generate_series(1, greatest(len(words), 1), 16))
+         |           AS start
+         |       FROM w)
+         |SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS chunk_id,
+         |  array_to_string(words[start:start+31], ' ') AS chunk,
+         |  CAST(len(words[start:start+31]) AS BIGINT) AS n_tok
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q66_quota_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) x
+        |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "q67_shard_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+        |  MAX(doc_id) AS max_id
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  )
+}

@@ -254,6 +254,51 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Fraction of a word array's n-grams taken by the single most frequent
+    * n-gram (Gopher-style repetition signal; Rae et al. 2021 §A1.2).
+    * 0.0 when the array has fewer than n words.
+    *
+    * A custom expression because per-row mode-of-ngrams has no built-in
+    * form: the HOF alternative (transform to grams, then aggregate with a
+    * per-element array_count) is O(len²) per row with lambda
+    * interpretation on top — this is one hash-count pass.
+    */
+  case class TopGramFrac(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "gram size must be >= 1")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("topgram", this, classOf[TopGramFrac].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Double) $ref.compute($a)).doubleValue();")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val total = arr.numElements() - n + 1
+      if (total <= 0) java.lang.Double.valueOf(0.0)
+      else {
+        val counts = new java.util.HashMap[String, Int](total)
+        var max = 0
+        var i = 0
+        while (i < total) {
+          val sb = new java.lang.StringBuilder(arr.getUTF8String(i).toString)
+          var j = 1
+          while (j < n) {
+            sb.append(' ').append(arr.getUTF8String(i + j).toString); j += 1
+          }
+          val c = counts.merge(sb.toString, 1, Integer.sum)
+          if (c > max) max = c
+          i += 1
+        }
+        java.lang.Double.valueOf(max.toDouble / total.toDouble)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All `numTables` random-hyperplane LSH signatures of an embedding in
     * ONE pass: signature t = the `numBits` sign bits of dot products with
     * Gaussian planes seeded `baseSeed + t`, packed into a long (Charikar
@@ -350,6 +395,8 @@ object Expressions {
   def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), numHashes, seed))
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def top_gram_frac(wordArr: Column, n: Int): Column =
+    Bridge.column(TopGramFrac(Bridge.expression(wordArr), n))
   def hyperplane_sigs(vec: Column, dim: Int, numBits: Int, numTables: Int,
                       baseSeed: Long = 42L): Column =
     Bridge.column(

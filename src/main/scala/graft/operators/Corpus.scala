@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Expressions
+
+/** Corpus-preparation operators for a large-scale training-data pipeline —
+  * the steps between "raw deduplicated documents" and "training shards":
+  * benchmark decontamination, token-window chunking, repetition-based
+  * quality signals (Rae et al., "Scaling Language Models: ... Gopher",
+  * 2021, §A1.2), per-group quota sampling, deterministic shard assignment,
+  * and unigram-LM scoring (the KenLM-filter shape of CCNet, Wenzek et al.
+  * 2020, with a unigram model). No reference counterpart (SURVEY.md §2B
+  * extension surface).
+  *
+  * Scale notes are per-operator; the common theme is that everything
+  * per-document is a pure column expression (no shuffle), and the few
+  * genuinely global steps (vocabulary, benchmark shingle set) reduce to a
+  * small broadcastable side.
+  */
+object Corpus {
+
+  private def words(text: Column): Column =
+    regexp_extract_all(TextAnalysis.normalize(text), lit("\\S+"), lit(0))
+
+  /** Documents sharing at least one word n-gram with a benchmark set —
+    * the eval-set decontamination step of an LLM training pipeline.
+    * Returns (idCol, n_hits) for contaminated docs only, where n_hits
+    * counts DISTINCT shared shingles.
+    *
+    * Scale: the benchmark side (eval sets — thousands of docs, not TBs)
+    * collapses to a distinct-shingle set that is broadcast; the corpus
+    * side streams once, its exploded shingles are filtered map-side by
+    * the broadcast join, and only MATCHED (doc, shingle) rows reach the
+    * one aggregation shuffle. The corpus is never self-joined and its
+    * full shingle set never shuffles.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame = {
+    def shingled(df: DataFrame) = df.select(
+      col(idCol),
+      explode(Expressions.word_shingles(
+        TextAnalysis.normalize(col(textCol)), n)).as("sh"))
+    val benchShingles = shingled(benchmark).select(col("sh")).distinct()
+    shingled(corpus)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Fixed token-window chunking with stride: splits each document's
+    * whitespace token sequence into windows of `window` tokens starting
+    * every `stride` tokens (overlapping when stride < window) — the
+    * sequence-chunking step before packing training examples. Output:
+    * (idCol, chunk_id, chunk, n_tok); an empty document yields one empty
+    * chunk so no document silently disappears.
+    *
+    * Scale: pure per-row explode — no shuffle, fuses into the scan
+    * pipeline, and the expansion factor is bounded by len/stride.
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    val toks = words(col(textCol))
+    df.select(col(idCol), posexplode(
+        sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)))
+        .as(Seq("chunk_id", "start")), toks.as("toks"))
+      .select(
+        col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(window)))
+          .as("chunk"),
+        size(slice(col("toks"), col("start"), lit(window)))
+          .cast("long").as("n_tok"))
+  }
+
+  /** Repetition-based quality signals (the Gopher repetition rules):
+    * duplicate-word fraction (1 - distinct/total) and top n-gram fraction
+    * (occurrences of the most frequent n-gram / total n-grams). High
+    * values flag boilerplate and degenerate generations. Both are pure
+    * per-row expressions — see [[Expressions.TopGramFrac]] for why the
+    * top-gram count is a custom expression.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 2): DataFrame = {
+    val w = words(col(textCol))
+    val total = size(w).cast("double")
+    val dupFrac = when(size(w) === 0, lit(0.0)).otherwise(
+      (total - size(array_distinct(w)).cast("double")) / total)
+    df.select(
+      col(idCol),
+      round(dupFrac, 6).as("dup_word_frac"),
+      round(Expressions.top_gram_frac(w, n), 6).as("top_gram_frac"))
+  }
+
+  /** Deterministic per-group quota sampling: keeps the first `quota` rows
+    * of each group in content-hash order — the "at most N documents per
+    * language/domain" balancing step. Hash order makes the sample
+    * reproducible across engines and runs (same property as q50's
+    * Bernoulli sampling, but with an exact per-group count).
+    *
+    * Scale: row_number ≤ k over (group, hash) is exactly the shape
+    * Spark's WindowGroupLimit optimizer handles — every partition keeps
+    * at most `quota` rows per group BEFORE the shuffle, so the exchange
+    * carries O(partitions·groups·quota) rows, not the corpus.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    val h = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= quota)
+  }
+
+  /** Deterministic content-independent shard assignment: shard =
+    * first 8 md5 hex digits of the id, mod `nShards` — the "split the
+    * corpus into K stable training shards" step. md5 (not xxhash64) so
+    * the assignment is portable across engines and languages; adding
+    * documents never moves existing ones between shards.
+    *
+    * Scale: a pure per-row expression; the downstream
+    * `df.repartition(col("shard")).write.partitionBy("shard")` (see
+    * Loader's partitioned writes) turns it into one shuffle that is also
+    * the final output layout.
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    df.withColumn("shard",
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(nShards.toLong)))
+  }
+
+  /** Unigram language-model score per document: mean negative log
+    * probability of each token under the corpus's own unigram
+    * distribution (add-nothing MLE). The unigram instance of the
+    * CCNet-style LM quality filter — low = fluent/common, high =
+    * rare/garbled.
+    *
+    * Determinism: per-token -ln p is rounded to 6 dp and accumulated as
+    * decimal(38,6), so the per-doc sum is independent of partition
+    * order (double summation would not be reproducible across runs);
+    * the mean is reported in integer micro-nats via integer division —
+    * a float mean would hit cross-engine round-half tie-breaking at the
+    * last decimal.
+    *
+    * Scale: vocabulary aggregation is one map-side-combining shuffle on
+    * the token (output = |vocab| rows, tiny vs the corpus); the
+    * token→logp join is broadcastable; the per-doc mean is one shuffle
+    * on the doc id. The corpus streams twice, never self-joins.
+    */
+  def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("tot"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(-log(col("c").cast("double") / col("tot").cast("double")), 6)
+          .cast("decimal(38,6)").as("neg_logp"))
+    toks.join(broadcast(logp), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(col("neg_logp")).as("sum_nlp"))
+      .select(col(idCol), col("n_tok"),
+        ((col("sum_nlp") * 1000000).cast("long") / col("n_tok"))
+          .cast("long").as("mean_neg_logp_micro"))
+  }
+}

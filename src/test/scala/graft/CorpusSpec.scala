@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+/** Corpus-preparation operators: decontamination, chunking, repetition
+  * signals, quota sampling, shard assignment, unigram LM scoring.
+  * The declared queries (Queries7) pin oracle parity on real testdata;
+  * these tests pin the semantic contracts on constructed corpora where
+  * the expected answer is known by hand.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate flags only docs sharing an n-gram with the benchmark") {
+    val corpus = docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta",   // contains bench 5-gram
+      2L -> "one two three four five six",           // clean
+      3L -> "ALPHA  beta Gamma delta EPSILON tail")  // same 5-gram modulo case/ws
+    val bench = docsDf(10L -> "alpha beta gamma delta epsilon")
+    val out = Corpus.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (3L, 1L)))
+  }
+
+  test("chunkByTokens windows with stride and keeps empty docs") {
+    val df = docsDf(1L -> "a b c d e f g", 2L -> "", 3L -> "x y")
+    val out = Corpus.chunkByTokens(df, "text", "doc_id",
+                                   window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L),
+      (1L, 2L, "e f g", 3L), (1L, 3L, "g", 1L),
+      (2L, 0L, "", 0L),
+      (3L, 0L, "x y", 2L)))
+  }
+
+  test("repetitionSignals: duplicate-word and top-bigram fractions") {
+    // "a b a b a c": 6 words, 3 distinct -> dup 0.5;
+    // bigrams: ab ba ab ba ac -> top "a b" 2/5 = 0.4
+    val df = docsDf(1L -> "a b a b a c", 2L -> "solo", 3L -> "")
+    val out = Corpus.repetitionSignals(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 0.5, 0.4), (2L, 0.0, 0.0), (3L, 0.0, 0.0)))
+  }
+
+  test("quotaSample keeps exactly min(quota, |group|) rows, reproducibly") {
+    val df = (1L to 100L).map(i => (i, if (i <= 90) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.quotaSample(df, "lang", "doc_id", quota = 20)
+    val counts = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("en" -> 20L, "de" -> 10L))
+    // deterministic across runs
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Corpus.quotaSample(df, "lang", "doc_id", quota = 20)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("assignShards is stable, in-range, and roughly balanced") {
+    val df = (1L to 1000L).toDF("doc_id")
+    val sh = Corpus.assignShards(df, "doc_id", nShards = 8)
+    val byShard = sh.groupBy("shard").count().as[(Long, Long)]
+      .collect().toMap
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // md5 spreads 1000 ids across 8 shards without gross skew
+    assert(byShard.values.min > 60 && byShard.values.max < 200)
+    // growing the corpus never moves an existing doc
+    val before = sh.filter($"doc_id" <= 500).select("doc_id", "shard")
+    val after = Corpus.assignShards((1L to 2000L).toDF("doc_id"), "doc_id", 8)
+      .filter($"doc_id" <= 500).select("doc_id", "shard")
+    assert(before.exceptAll(after).isEmpty && after.exceptAll(before)
+      .filter($"doc_id" <= 500).isEmpty)
+  }
+
+  test("unigramLogProb scores rare-word docs higher than common-word docs") {
+    val df = docsDf(
+      1L -> "the the the the",       // only common words
+      2L -> "the the zyzzyva the",   // one rare word
+      3L -> "the quokka zyzzyva axolotl")
+    val out = Corpus.unigramLogProb(df, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val scores = out.map(_._3)
+    assert(scores(0) < scores(1) && scores(1) < scores(2))
+    assert(out.map(_._2) == Seq(4L, 4L, 4L))
+  }
+}
