@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.Expressions
 import graft.operators.Corpus
 
 /** Round-3 corpus-preparation queries: the steps between deduplicated
@@ -61,6 +62,21 @@ object Queries7 {
       Corpus.quotaSample(docs(s, d), "lang", "doc_id", quota = 50)
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy(col("lang"), col("rk"))),
+
+    // symmetric int8 embedding quantization (4x storage cut): one-pass
+    // custom expression; codes + reconstruction error are exact doubles
+    // (floor(x+0.5), no round-half ambiguity) so the oracle matches
+    // bit-for-bit
+    "s04_quantize_int8" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+                Expressions.quantize_int8(col("embedding")).as("z"))
+        // codes serialized to CSV: the driver's hash-compare handles
+        // scalar columns only (array cells are unhashable there)
+        .select(col("vec_id"), col("z.scale").as("scale"),
+                concat_ws(",", col("z.q")).as("q_csv"),
+                col("z.max_abs_err").as("max_abs_err"))
+        .orderBy(col("vec_id"))),
 
     // deterministic md5-based shard assignment + balance stats
     "q67_shard_stats" -> ((s, d) =>
@@ -130,6 +146,24 @@ object Queries7 {
          |  array_to_string(words[start:start+31], ' ') AS chunk,
          |  CAST(len(words[start:start+31]) AS BIGINT) AS n_tok
          |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "s04_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) / 127 AS scale
+        |      FROM e)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale > 0 THEN
+        |    array_to_string(list_transform(emb, x -> CAST(greatest(-127,
+        |      least(127, floor(x / scale + 0.5))) AS BIGINT)), ',')
+        |  ELSE array_to_string(list_transform(emb,
+        |    x -> CAST(0 AS BIGINT)), ',') END AS q_csv,
+        |  CASE WHEN scale > 0 THEN
+        |    list_max(list_transform(emb, x -> abs(x - greatest(-127,
+        |      least(127, floor(x / scale + 0.5))) * scale)))
+        |  ELSE 0.0 END AS max_abs_err
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q66_quota_sample" ->
       """SELECT doc_id, lang, rk FROM (

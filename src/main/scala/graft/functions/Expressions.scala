@@ -359,6 +359,65 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Symmetric per-vector int8 quantization of a float embedding — the
+    * 4× storage/bandwidth reduction step of a large-scale embedding
+    * pipeline. Returns struct(scale double, q array<long>,
+    * max_abs_err double) in ONE pass:
+    *   scale = max(|x_i|)/127;  q_i = clamp(floor(x_i/scale + 0.5), ±127)
+    * floor(x+0.5) instead of round() because round's half-way
+    * tie-breaking differs across engines for negatives (Java rounds
+    * -2.5 → -2, SQL round-half-away gives -3); floor is exact and
+    * identical everywhere, which is what lets a SQL oracle reproduce the
+    * quantized codes bit-for-bit. All-zero vectors quantize to all-zero
+    * codes with scale 0.
+    */
+  case class QuantizeInt8(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(LongType, containsNull = false),
+                  nullable = false),
+      StructField("max_abs_err", DoubleType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("quant", this, classOf[QuantizeInt8].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.compute($a);")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var amax = 0.0
+      var i = 0
+      while (i < n) {
+        val a = math.abs(arr.getFloat(i).toDouble)
+        if (a > amax) amax = a
+        i += 1
+      }
+      val scale = amax / 127.0
+      val q = new Array[Long](n)
+      var err = 0.0
+      if (scale > 0.0) {
+        i = 0
+        while (i < n) {
+          val x = arr.getFloat(i).toDouble
+          var c = math.floor(x / scale + 0.5)
+          if (c > 127.0) c = 127.0
+          if (c < -127.0) c = -127.0
+          q(i) = c.toLong
+          val e = math.abs(x - c * scale)
+          if (e > err) err = e
+          i += 1
+        }
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        scale, new GenericArrayData(q), err)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Karp–Rabin style rolling polynomial fingerprint of a string (document
     * fingerprinting primitive; mod 2^64 arithmetic).
     */
@@ -395,6 +454,8 @@ object Expressions {
   def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), numHashes, seed))
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def quantize_int8(vec: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(vec)))
   def top_gram_frac(wordArr: Column, n: Int): Column =
     Bridge.column(TopGramFrac(Bridge.expression(wordArr), n))
   def hyperplane_sigs(vec: Column, dim: Int, numBits: Int, numTables: Int,

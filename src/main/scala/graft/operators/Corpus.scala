@@ -150,7 +150,11 @@ object Corpus {
     */
   def unigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    // localCheckpoint: both the total and the logp table derive from the
+    // vocabulary — without it Spark recomputes the full corpus
+    // explode+shuffle once per consumer (observed in the physical plan)
     val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = vocab.agg(sum(col("c")).as("tot"))
     val logp = vocab.crossJoin(broadcast(total))
       .select(col("w"),

@@ -88,4 +88,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(keys(0).length == 16)
     assert(keys(0) == keys(1))
   }
+
+  test("QuantizeInt8: max element hits ±127, error bounded by scale/2, zero vector safe") {
+    val df = Seq(
+      Seq(1.0f, -0.5f, 0.25f, 0.0f),
+      Seq(0.0f, 0.0f),
+      Seq(-2.0f, 1.0f)).toDF("v")
+    val rows = df.select(Expressions.quantize_int8($"v").as("z"))
+      .select($"z.scale", $"z.q", $"z.max_abs_err")
+      .as[(Double, Seq[Long], Double)].collect()
+    val (s0, q0, e0) = rows(0)
+    assert(s0 == 1.0 / 127.0)
+    assert(q0 == Seq(127L, -63L, 32L, 0L))   // floor(-63.5 + 0.5) = -63
+    assert(e0 <= s0 / 2 + 1e-12)
+    assert(rows(1) == ((0.0, Seq(0L, 0L), 0.0)))
+    assert(rows(2)._2 == Seq(-127L, 64L))
+  }
+
+  test("TopGramFrac: counts repeated n-grams, 0 when too short") {
+    val df = Seq(Seq("a", "b", "a", "b", "a", "c"), Seq("solo"), Seq.empty[String])
+      .toDF("w")
+    val got = df.select(Expressions.top_gram_frac($"w", 2).as("f"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.4, 0.0, 0.0))
+  }
 }
