@@ -17,6 +17,8 @@ object Bench {
     // round-3 scale paths: bucketed embedding near-dup, capped-candidate
     // jaccard, star clustering — timed alongside their exact baselines
     "d09_lsh_neardup", "d10_ngram_capped", "d11_dedup_clusters_star",
+    // round-3 corpus-prep: broadcast decontamination, two-pass LM scoring
+    "d12_decontaminate", "t09_unigram_lm",
     "t02_text_quality", "s01_ann_topk", "s03_ann_ivf",
     "e01_tumbling_agg", "e02_sessionize", "e03_asof_join",
     "e06_session_window")
