@@ -45,6 +45,14 @@ object Extractor {
                columns: Seq[String] = Nil): DataFrame =
     project(spark.read.schema(schema).json(path), columns)
 
+  /** ORC scan with optional projection — the other columnar format a lake
+    * mixes in; same pushdown/pruning behavior as parquet (ORC carries
+    * min/max + bloom indexes Spark uses for predicate pushdown).
+    */
+  def readOrc(spark: SparkSession, path: String,
+              columns: Seq[String] = Nil): DataFrame =
+    project(spark.read.orc(path), columns)
+
   /** JDBC table scan — the reference README muses about a Postgres source
     * for TB scale (reference `README:38`, never implemented there); this is
     * the Spark-native realization. Catalyst pushes filters and the column

@@ -35,6 +35,12 @@ object Loader {
       .parquet(dir)
   }
 
+  /** Scalable ORC sink (columnar alternative when the downstream reader
+    * is ORC-native; zlib default like Spark's).
+    */
+  def writeOrc(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(dir)
+
   /** JDBC sink — the write half of `Extractor.readJdbc` (reference
     * `README:38` muses about a database backend; this realizes it). Each
     * partition opens one connection and writes its rows in `batchsize`d

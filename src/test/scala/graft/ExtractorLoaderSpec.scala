@@ -127,4 +127,21 @@ class ExtractorLoaderSpec extends SparkSpec {
       }
     }
   }
+
+  test("orc round-trip with pushed filters and pruned schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = (1 to 100).map(i => (i.toLong, s"name$i", i % 7)).toDF("id", "name", "grp")
+    Loader.writeOrc(src, dir)
+    val back = Extractor.readOrc(spark, dir, columns = Seq("id", "grp"))
+      .filter($"grp" === 3)
+    assert(back.columns.toSeq == Seq("id", "grp"))
+    assert(back.count() == 14)
+    // the filter and projection must reach the ORC scan node
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,grp:int>"),
+      s"schema not pruned:\n$plan")
+  }
 }
