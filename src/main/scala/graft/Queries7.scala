@@ -78,6 +78,23 @@ object Queries7 {
                 col("z.max_abs_err").as("max_abs_err"))
         .orderBy(col("vec_id"))),
 
+    // streaming rate limiter (flatMapGroupsWithState, bounded per-key
+    // state) run in batch mode — admits the first 5 events per
+    // (user, hour); oracle is the row_number formulation
+    "e09_stream_quota" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp = s
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.quotaPerWindow(ev, quota = 5,
+                                             windowMinutes = 60)
+        .toDF()
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+        .orderBy(col("user_id"), col("window_start"), col("rn"))
+    }),
+
     // deterministic md5-based shard assignment + balance stats
     "q67_shard_stats" -> ((s, d) =>
       Corpus.assignShards(docs(s, d), "doc_id", nShards = 8)
@@ -172,6 +189,16 @@ object Queries7 {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) x
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "e09_stream_quota" ->
+      """SELECT event_id, user_id, window_start, rn FROM (
+        |  SELECT event_id, user_id,
+        |    date_trunc('hour', ts) AS window_start,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) x
+        |WHERE rn <= 5 ORDER BY user_id, window_start, rn""".stripMargin,
 
     "q67_shard_stats" ->
       """WITH s AS (

@@ -121,6 +121,62 @@ object Streams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  case class QuotaKey(user_id: Long, window_ms: Long)
+  case class QuotaOut(event_id: Long, user_id: Long,
+                      window_start: java.sql.Timestamp, rn: Long)
+
+  /** Per-(key, tumbling window) quota: admits the first `quota` events of
+    * each user in each window and drops the rest — the streaming rate
+    * limiter / per-key downsampler (the streaming twin of the batch
+    * row_number-≤-k quota in [[graft.operators.Corpus.quotaSample]]).
+    *
+    * Bounded state: ONE admitted-count int per (user, window), evicted by
+    * event-time timeout once the watermark passes the window end — a hot
+    * key costs 4 bytes per open window, never its event history. Admission
+    * is by arrival order across micro-batches (the rate-limit semantics);
+    * within a micro-batch rows are admitted in (ts, event_id) order so a
+    * single-batch run — and therefore batch execution — is deterministic
+    * and matches the row_number oracle.
+    */
+  def quotaPerWindow(events: Dataset[Event], quota: Int,
+                     windowMinutes: Int = 60,
+                     watermarkDelay: String = "10 minutes")
+                    (implicit spark: SparkSession): Dataset[QuotaOut] = {
+    import spark.implicits._
+    require(quota >= 1 && windowMinutes >= 1)
+    val winMs = windowMinutes * 60000L
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    src.groupByKey(e => QuotaKey(e.user_id,
+                                 Math.floorDiv(e.ts.getTime, winMs) * winMs))
+      .flatMapGroupsWithState[Int, QuotaOut](OutputMode.Append, timeoutConf) {
+        (key: QuotaKey, rows: Iterator[Event], state: GroupState[Int]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var n = state.getOption.getOrElse(0)
+            val out = Seq.newBuilder[QuotaOut]
+            for (e <- sorted if n < quota) {
+              n += 1
+              out += QuotaOut(e.event_id, key.user_id,
+                              new java.sql.Timestamp(key.window_ms), n.toLong)
+            }
+            if (streaming) {
+              state.update(n)
+              // evict once the watermark passes the window end (Spark
+              // requires a timeout strictly beyond the current watermark)
+              state.setTimeoutTimestamp(
+                math.max(key.window_ms + winMs,
+                         state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+  }
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Int, duration_s: Long)

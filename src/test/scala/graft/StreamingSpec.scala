@@ -162,6 +162,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quotaPerWindow enforces the quota across micro-batches per (user, window)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), u, "click", 1.0)
+    val q = Streams.quotaPerWindow(input.toDS(), quota = 2,
+                                   windowMinutes = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      // batch 1: user 1 fills the 10:00 window's quota; event 3 dropped
+      input.addData(ev(1, "2024-01-01 10:00:00", 1),
+                    ev(2, "2024-01-01 10:10:00", 1),
+                    ev(3, "2024-01-01 10:20:00", 1))
+      q.processAllAvailable()
+      // batch 2: same window rejected via state carried across batches;
+      // the 11:xx window admits fresh
+      input.addData(ev(4, "2024-01-01 10:30:00", 1),
+                    ev(5, "2024-01-01 11:05:00", 1))
+      q.processAllAvailable()
+      val got = spark.table("quota_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2).toString, r.getLong(3)))
+        .sortBy(x => (x._2, x._3)).toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 10:00:00.0", 1L),
+        (2L, "2024-01-01 10:00:00.0", 2L),
+        (5L, "2024-01-01 11:00:00.0", 1L)), s"unexpected admissions: $got")
+    } finally q.stop()
+  }
+
+  test("batch quotaPerWindow equals the row_number formulation") {
+    implicit val s = spark
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+              $"event_type", $"value")
+      .as[Streams.Event]
+    val got = Streams.quotaPerWindow(ev, quota = 3, windowMinutes = 60)
+      .toDF().orderBy("user_id", "window_start", "rn")
+      .collect().map(_.toSeq).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", date_trunc("hour", $"ts"))
+      .orderBy($"ts", $"event_id")
+    val expected = Tables.events(spark, sf)
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"event_id", $"user_id",
+              date_trunc("hour", $"ts").as("window_start"), $"rn")
+      .orderBy("user_id", "window_start", "rn")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
   test("batch sessionize equals the window+lag batch sessionizer (e02 twin)") {
     implicit val s = spark
     val ev = Tables.events(spark, sf)
