@@ -55,6 +55,24 @@ object Queries7 {
                            window = 32, stride = 16)
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // sequence packing: non-overlapping 32-token chunks packed into
+    // 128-token budgets by cumulative offset (one window + one agg,
+    // both keyed by doc — a single shuffle)
+    "t11_pack_sequences" -> ((s, d) =>
+      Corpus.packChunks(
+          Corpus.chunkByTokens(docs(s, d), "text", "doc_id",
+                               window = 32, stride = 32),
+          "doc_id", budget = 128)
+        .orderBy(col("doc_id"), col("pack_id"))),
+
+    // per-language quality-percentile curation: drop the worst quartile
+    // of each language by the t02 quality score (exact percent_rank
+    // form; the approx_percentile threshold path is the scale mode,
+    // agreement pinned in CorpusSpec)
+    "t12_quality_filter" -> ((s, d) =>
+      Corpus.qualityFilter(docs(s, d), "lang", "doc_id", pct = 0.25)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // per-language quota sampling in content-hash order (reproducible;
     // WindowGroupLimit keeps <= quota rows per group per partition
     // before the shuffle)
@@ -189,6 +207,47 @@ object Queries7 {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
         |  FROM documents) x
         |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    "t11_pack_sequences" ->
+      s"""WITH $WordsCte,
+         |st AS (SELECT doc_id, words,
+         |         unnest(generate_series(1, greatest(len(words), 1), 32))
+         |           AS start
+         |       FROM w),
+         |c AS (SELECT doc_id, CAST((start - 1) // 32 AS BIGINT) AS chunk_id,
+         |        CAST(len(words[start:start+31]) AS BIGINT) AS n_tok
+         |      FROM st),
+         |p AS (SELECT doc_id, n_tok,
+         |        SUM(n_tok) OVER (PARTITION BY doc_id ORDER BY chunk_id
+         |          ROWS UNBOUNDED PRECEDING) - n_tok AS cum
+         |      FROM c)
+         |SELECT doc_id, CAST(cum // 128 AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_chunks, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM p GROUP BY 1, 2 ORDER BY doc_id, pack_id""".stripMargin,
+
+    "t12_quality_filter" ->
+      """WITH x AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|an|of|and|to|in|is|it|for|on|with|as|at|by)\b'))
+        |      AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+        |    CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |  round(
+        |    0.4 * least(1.0, n_tok / 200.0)
+        |  + 0.3 * least(1.0, n_stop / greatest(n_tok, 1.0) * 4.0)
+        |  + 0.2 * (1.0 - least(1.0, n_punct / greatest(n_tok, 1.0) * 4.0))
+        |  + 0.1 * least(1.0, n_chars / 1000.0), 6) AS quality_score
+        |  FROM x),
+        |r AS (SELECT doc_id, lang, quality_score,
+        |        percent_rank() OVER (PARTITION BY lang
+        |          ORDER BY quality_score) AS pr
+        |      FROM q)
+        |SELECT doc_id, lang, quality_score, round(pr, 6) AS pr
+        |FROM r WHERE pr >= 0.25 ORDER BY lang, doc_id""".stripMargin,
 
     "e09_stream_quota" ->
       """SELECT event_id, user_id, window_start, rn FROM (

@@ -74,6 +74,63 @@ object Corpus {
           .cast("long").as("n_tok"))
   }
 
+  /** Packs a document's chunks into fixed token budgets by cumulative
+    * offset: chunk c goes to pack floor(tokens_before_c / budget) — the
+    * sequence-packing step that turns variable-length chunks into
+    * near-budget training examples. Offset packing (rather than greedy
+    * first-fit) keeps the assignment a pure window expression: a pack can
+    * overshoot by at most one chunk's tokens, and in exchange the packing
+    * is deterministic, order-preserving, and needs no per-key sequential
+    * state. Returns one row per (idCol, pack_id) with chunk/token counts.
+    *
+    * Scale: one window + one aggregation, both keyed by the document id —
+    * a single shuffle, and packs never span documents so the operation is
+    * embarrassingly parallel across docs.
+    */
+  def packChunks(chunks: DataFrame, idCol: String, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", (col("cum") / budget).cast("long"))
+      .groupBy(col(idCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(col("n_tok")).as("n_tokens"))
+  }
+
+  /** Keeps documents whose quality score is at or above the `pct`
+    * percentile WITHIN their group (language/source) — "drop the worst
+    * quartile per language" curation. Two modes:
+    *  - exact (default): percent_rank over (group, score) — a full
+    *    per-group sort; right up to the scale where sorting each group is
+    *    acceptable, and exactly reproducible (the declared oracle form).
+    *  - approx: one approx_percentile aggregation per group (t-digest
+    *    sketch, scan-local partials) broadcast-joined back as a threshold
+    *    filter — two scans, NO per-group sort; the 100 TB path. Spec pins
+    *    its agreement with the exact mode on real data.
+    */
+  def qualityFilter(df: DataFrame, groupCol: String, idCol: String,
+                    pct: Double, exact: Boolean = true): DataFrame = {
+    require(pct >= 0.0 && pct <= 1.0, "pct must be in [0,1]")
+    val scored = TextAnalysis.qualitySignals(df)
+      .select(col(idCol), col(groupCol), col("quality_score"))
+    if (exact) {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col("quality_score"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= pct)
+        .select(col(idCol), col(groupCol), col("quality_score"),
+                round(col("pr"), 6).as("pr"))
+    } else {
+      val thresholds = scored.groupBy(col(groupCol))
+        .agg(expr(s"approx_percentile(quality_score, $pct, 10000)")
+          .as("threshold"))
+      scored.join(broadcast(thresholds), Seq(groupCol))
+        .filter(col("quality_score") >= col("threshold"))
+        .select(col(idCol), col(groupCol), col("quality_score"))
+    }
+  }
+
   /** Repetition-based quality signals (the Gopher repetition rules):
     * duplicate-word fraction (1 - distinct/total) and top n-gram fraction
     * (occurrences of the most frequent n-gram / total n-grams). High

@@ -78,6 +78,29 @@ class CorpusSpec extends SparkSpec {
       .filter($"doc_id" <= 500).isEmpty)
   }
 
+  test("packChunks assigns packs by cumulative offset within the doc") {
+    // chunk sizes 3,3,1 -> cum-before 0,3,6 -> packs 0,0,1 (budget 4)
+    val df = docsDf(1L -> "a b c d e f g")
+    val packs = Corpus.packChunks(
+        Corpus.chunkByTokens(df, "text", "doc_id", window = 3, stride = 3),
+        "doc_id", budget = 4)
+      .orderBy("pack_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packs == Seq((1L, 0L, 2L, 6L), (1L, 1L, 1L, 1L)))
+  }
+
+  test("qualityFilter approx mode agrees with exact mode on real data") {
+    val df = Tables.documents(spark, sf)
+    val exact = Corpus.qualityFilter(df, "lang", "doc_id", pct = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val approx = Corpus.qualityFilter(df, "lang", "doc_id", pct = 0.25,
+                                      exact = false)
+      .select("doc_id").as[Long].collect().toSet
+    // both drop roughly the bottom quartile; the t-digest threshold may
+    // admit/reject a handful of boundary docs
+    val jaccard = (exact & approx).size.toDouble / (exact | approx).size
+    assert(jaccard > 0.95, s"exact=${exact.size} approx=${approx.size} j=$jaccard")
+  }
+
   test("unigramLogProb scores rare-word docs higher than common-word docs") {
     val df = docsDf(
       1L -> "the the the the",       // only common words
