@@ -36,6 +36,14 @@ object MakeBenchData {
     val spark = Graft.session(appName = "make-bench-data")
     for ((table, keys) <- shiftedKeys) {
       val df = spark.read.parquet(s"$src/$table.parquet")
+      // cross-copy keys collide if a source key reaches the stride (e.g.
+      // running the tool on an already-scaled dir) — fail loudly
+      for (c <- keys) {
+        val mx = df.agg(max(col(c).cast("long"))).head().getLong(0)
+        require(mx < stride,
+          s"MakeBenchData: $table.$c max $mx >= stride $stride — " +
+          "source keys would collide across copies")
+      }
       val scaled =
         if (keys.isEmpty) df
         else (0 until k).map { i =>

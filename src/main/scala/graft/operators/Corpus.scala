@@ -22,7 +22,7 @@ import graft.functions.Expressions
 object Corpus {
 
   private def words(text: Column): Column =
-    regexp_extract_all(TextAnalysis.normalize(text), lit("\\S+"), lit(0))
+    TextAnalysis.tokens(TextAnalysis.normalize(text))
 
   /** Documents sharing at least one word n-gram with a benchmark set —
     * the eval-set decontamination step of an LLM training pipeline.
@@ -221,8 +221,10 @@ object Corpus {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
            sum(col("neg_logp")).as("sum_nlp"))
+      .withColumn("micro", (col("sum_nlp") * 1000000).cast("long"))
+      // SQL DIV: true integer division (Column./ would go through double,
+      // whose rounding can cross an integer once the numerator nears 2^53)
       .select(col(idCol), col("n_tok"),
-        ((col("sum_nlp") * 1000000).cast("long") / col("n_tok"))
-          .cast("long").as("mean_neg_logp_micro"))
+        expr("micro DIV n_tok").as("mean_neg_logp_micro"))
   }
 }

@@ -327,15 +327,17 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b",
                               maxIter: Int = 50): DataFrame = {
-    // canonical undirected edges, self-loops dropped
+    // membership comes from the RAW pair table (a node whose only pair is
+    // a self-loop must still appear in the labeling, matching the
+    // min-label variant); the edge walk then drops self-loops
+    val allNodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .distinct()
+      .localCheckpoint(true)
     var edges = pairs
       .select(greatest(col(idA), col(idB)).as("u"),
               least(col(idA), col(idB)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    val allNodes = edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id")))
       .distinct()
       .localCheckpoint(true)
 

@@ -74,8 +74,9 @@ object Multimodal {
                  marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           return if (i + 8 < b.length) Some((be16(b, i + 7), be16(b, i + 5)))
                  else None
-        } else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-          i += 2 // standalone marker, no length field
+        } else if (marker == 0xd8 || marker == 0xd9 || marker == 0x01 ||
+                   (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // standalone marker (SOI/EOI/TEM/RSTn), no length field
         } else {
           i += 2 + be16(b, i + 2) // skip segment payload
         }
@@ -171,7 +172,8 @@ object Multimodal {
     * with no plan change). Output: (id, width, height, n_bytes, content).
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    require(w > 0 && h > 0, s"resize: bad target ${w}x$h")
+    require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
+            s"resize: bad target ${w}x$h")
     val outLen = w * h
     val enc = Encoders.row(StructType(Seq(
       StructField("id", LongType),

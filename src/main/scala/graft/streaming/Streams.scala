@@ -108,8 +108,11 @@ object Streams {
     * passes it (`dropDuplicatesWithinWatermark`), so state size tracks the
     * watermark window, not the stream's lifetime — the difference between
     * a dedup that survives a year of uptime and one that OOMs. On batch
-    * input this is plain dropDuplicates (within-watermark semantics need
-    * a watermark to exist).
+    * input the survivor per key is the FIRST row in (tsCol, remaining
+    * columns) order — plain dropDuplicates keeps a partition-order-
+    * dependent arbitrary row, which would break the repo-wide
+    * reproducibility contract (streaming keeps arrival order's first,
+    * which is inherently arrival-dependent — that IS the semantics).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts",
@@ -117,7 +120,14 @@ object Streams {
     if (events.isStreaming)
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
-    else events.dropDuplicates(keyCols)
+    else {
+      val orderCols = (tsCol +: events.columns.toSeq
+        .filterNot(c => keyCols.contains(c) || c == tsCol)).map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      events.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    }
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
@@ -182,24 +192,31 @@ object Streams {
                         n_events: Int, duration_s: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState with EVENT-TIME
-    * timeout — genuinely streaming-capable and bounded-memory:
+    * timeout — session-MERGE semantics (the same algorithm as Spark's
+    * native session_window state store), streaming-capable and
+    * bounded-memory:
     *
-    *  - State per key is ONE open session (start, last, n) — constant
-    *    size, however hot the key. Each invocation sorts only the current
-    *    micro-batch's rows for the key (bounded by batch size, never by
-    *    key history).
-    *  - A session closes either when a new event arrives more than `gap`
-    *    after it (emitted inline, same micro-batch) or when the event-time
-    *    watermark passes `last + gap` with no new events (the timeout path
-    *    — so open sessions are flushed and their state evicted without
-    *    waiting for more traffic on the key).
-    *  - Rows older than the watermark are dropped by Spark before reaching
-    *    the operator, so an emitted session is final.
+    *  - State per key is the list of UNFLUSHED sessions. A session is
+    *    only emitted once the watermark strictly passes its `last + gap`
+    *    — before that, a watermark-admissible event could still merge
+    *    into it (or BRIDGE two pending sessions into one), so emitting
+    *    earlier would split true sessions on late data. Within the
+    *    watermark horizon adjacent sessions are ≥ gap apart, so the list
+    *    holds at most (watermarkDelay / gap) + 1 entries per key — still
+    *    bounded, however hot the key.
+    *  - Events merge by interval: an event within `gap` of a session
+    *    extends it; an event farther than `gap` BEFORE every pending
+    *    session starts its own (out-of-order events do not glue onto a
+    *    later session's tail).
+    *  - Ripe sessions flush either inline (new events advance no
+    *    watermark mid-batch, but earlier batches may have left ripe
+    *    sessions) or via the event-time timeout when the key goes quiet.
     *
-    * On a BATCH Dataset the same fold runs once per key and the open
-    * session is emitted at the end of the call (timeouts do not exist in
-    * batch execution) — output equals the window+lag batch sessionizer
-    * (e02), which is how the spec pins parity.
+    * On a BATCH Dataset the same merge runs once per key over all rows
+    * and everything is emitted at the end of the call (timeouts do not
+    * exist in batch execution) — output equals the window+lag batch
+    * sessionizer (e02, merge-at-exact-gap inclusive), which is how the
+    * spec pins parity.
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermarkDelay: String = "10 minutes")
@@ -212,50 +229,53 @@ object Streams {
     def closed(userId: Long, s: SessionState): SessionOut =
       SessionOut(userId, new java.sql.Timestamp(s.start), s.n,
                  (s.last - s.start) / 1000L)
+    // sort by start, then coalesce any neighbors within gap (an event can
+    // bridge two previously-separate sessions)
+    def mergeAll(ss: Seq[SessionState]): Seq[SessionState] = {
+      val sorted = ss.sortBy(s => (s.start, s.last))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+      for (s <- sorted) {
+        if (out.nonEmpty && s.start - out.last.last <= gapMs) {
+          val p = out.remove(out.length - 1)
+          out += SessionState(p.start, math.max(p.last, s.last), p.n + s.n)
+        } else out += s
+      }
+      out.toSeq
+    }
+    // a session is final only when no admissible event (t >= wm) can still
+    // merge into it: wm must be STRICTLY past last + gap
+    def flush(userId: Long, sessions: Seq[SessionState],
+              state: GroupState[Seq[SessionState]]): Iterator[SessionOut] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, pending) = sessions.partition(_.last + gapMs < wm)
+      if (pending.isEmpty) state.remove()
+      else {
+        state.update(pending)
+        state.setTimeoutTimestamp(
+          math.max(pending.map(_.last + gapMs).min, wm + 1))
+      }
+      ripe.sortBy(_.start).iterator.map(closed(userId, _))
+    }
     val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
                       else GroupStateTimeout.NoTimeout
     src.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[Seq[SessionState], SessionOut](
         OutputMode.Append, timeoutConf) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap with no new events: final flush
-            val s = state.get
-            state.remove()
-            Iterator.single(closed(userId, s))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = Seq.newBuilder[SessionOut]
-            var open = state.getOption
-            for (e <- sorted) {
-              val t = e.ts.getTime
-              open = open match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // min/max guards: a watermark-admitted row can still sort
-                  // before the open session's start
-                  Some(SessionState(math.min(s.start, t),
-                                    math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  out += closed(userId, s)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[Seq[SessionState]]) =>
+          if (state.hasTimedOut) flush(userId, state.get, state)
+          else {
+            val incoming = rows
+              .map(e => SessionState(e.ts.getTime, e.ts.getTime, 1)).toSeq
+            val merged =
+              mergeAll(state.getOption.getOrElse(Seq.empty) ++ incoming)
+            if (streaming) flush(userId, merged, state)
+            else {
+              // batch: all of the key's rows were in this call — every
+              // session is complete, emit them all now
+              state.remove()
+              merged.sortBy(_.start).iterator.map(closed(userId, _))
             }
-            open.foreach { s =>
-              if (streaming) {
-                state.update(s)
-                // flush when event time passes last+gap; Spark requires a
-                // timeout strictly beyond the current watermark
-                state.setTimeoutTimestamp(
-                  math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
-              } else {
-                // batch: all of the key's rows were in this call — the open
-                // session is complete, emit it now
-                out += closed(userId, s)
-                state.remove()
-              }
-            }
-            out.result().iterator
           }
       }
   }

@@ -162,6 +162,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize merges late events into pending sessions instead of splitting") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), u, "click", 1.0)
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 30,
+                               watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:00:00", 1)); q.processAllAvailable()
+      // 10:31 is > gap after 10:00 — but must NOT be emitted as two
+      // sessions yet: the watermark (10:21 after this batch) still admits
+      // events that could bridge them
+      input.addData(ev(2, "2024-01-01 10:31:00", 1)); q.processAllAvailable()
+      // the bridge arrives late (10:25 >= watermark 10:21): one session
+      input.addData(ev(3, "2024-01-01 10:25:00", 1)); q.processAllAvailable()
+      // advance the watermark past 10:31+30m and nudge the timeout
+      input.addData(ev(4, "2024-01-01 11:30:00", 9)); q.processAllAvailable()
+      input.addData(ev(5, "2024-01-01 11:31:00", 9)); q.processAllAvailable()
+      val got = spark.table("sess_late").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+                   r.getInt(2), r.getLong(3))).toSeq
+        .filter(_._1 == 1L)
+      assert(got == Seq((1L, "2024-01-01 10:00:00.0", 3, 1860L)),
+        s"late bridge event split the session: $got")
+    } finally q.stop()
+  }
+
+  test("sessionize does not merge an out-of-order event across a silence > gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String, u: Long) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), u, "click", 1.0)
+    val q = Streams.sessionize(input.toDS(), gapMinutes = 5,
+                               watermarkDelay = "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    try {
+      input.addData(ev(1, "2024-01-01 12:00:00", 1)); q.processAllAvailable()
+      // 11:40 is admitted (watermark 11:30) but 20min of silence precede
+      // 12:00 — two distinct sessions, not one stretched to 11:40
+      input.addData(ev(2, "2024-01-01 11:40:00", 1)); q.processAllAvailable()
+      input.addData(ev(3, "2024-01-01 12:40:00", 9)); q.processAllAvailable()
+      input.addData(ev(4, "2024-01-01 12:41:00", 9)); q.processAllAvailable()
+      val got = spark.table("sess_ooo").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+                   r.getInt(2), r.getLong(3))).toSeq
+        .filter(_._1 == 1L).sortBy(_._2)
+      assert(got == Seq((1L, "2024-01-01 11:40:00.0", 1, 0L),
+                        (1L, "2024-01-01 12:00:00.0", 1, 0L)),
+        s"out-of-order event glued across a >gap silence: $got")
+    } finally q.stop()
+  }
+
   test("quotaPerWindow enforces the quota across micro-batches per (user, window)") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
