@@ -75,5 +75,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_rolling_hash",
       "graft_rolling_hash(s) - Karp-Rabin polynomial fingerprint of a string",
       args => RollingHash(args(0)))
+
+    register("graft_top_gram_frac",
+      "graft_top_gram_frac(words, n) - fraction of n-grams taken by the most frequent one",
+      args => TopGramFrac(args(0), intArg(args(1), "graft_top_gram_frac", 2)))
+
+    register("graft_hyperplane_sigs",
+      "graft_hyperplane_sigs(vec, dim, bits, tables[, seed]) - packed LSH signatures, one per table",
+      args => HyperplaneSigs(args(0),
+        intArg(args(1), "graft_hyperplane_sigs", 2),
+        intArg(args(2), "graft_hyperplane_sigs", 3),
+        intArg(args(3), "graft_hyperplane_sigs", 4),
+        if (args.length > 4) longArg(args(4), "graft_hyperplane_sigs", 5)
+        else 42L))
+
+    register("graft_quantize_int8",
+      "graft_quantize_int8(vec) - struct(scale, q, max_abs_err) symmetric int8 quantization",
+      args => QuantizeInt8(args(0)))
   }
 }

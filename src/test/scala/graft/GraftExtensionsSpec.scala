@@ -51,6 +51,25 @@ class GraftExtensionsSpec extends SparkSpec {
       s"expected codegen'd Project, got:\n$plan")
   }
 
+  test("graft_top_gram_frac / hyperplane_sigs / quantize_int8 from SQL match the DSL") {
+    Seq((Seq("a", "b", "a", "b", "a", "c"),
+         Seq(1.0f, -0.5f, 0.25f, 0.0f)))
+      .toDF("w", "v").createOrReplaceTempView("ge_new")
+    val r = spark.sql(
+      """SELECT graft_top_gram_frac(w, 2) AS f,
+        |  graft_hyperplane_sigs(v, 4, 8, 2) AS sigs,
+        |  graft_quantize_int8(v).q AS q
+        |FROM ge_new""".stripMargin).head()
+    assert(r.getDouble(0) == 0.4)
+    assert(r.getSeq[Long](1).length == 2)
+    assert(r.getSeq[Long](2) == Seq(127L, -63L, 32L, 0L))
+    // SQL path plans the same expression as the DSL path
+    val dsl = spark.table("ge_new")
+      .select(graft.functions.Expressions.hyperplane_sigs($"v", 4, 8, 2).as("sigs"))
+      .head().getSeq[Long](0)
+    assert(dsl == r.getSeq[Long](1))
+  }
+
   test("non-constant shingle size is rejected; constant arithmetic accepted") {
     Seq(("x y z", 2)).toDF("text", "n").createOrReplaceTempView("ge_badargs")
     val e = intercept[Exception] {
