@@ -125,4 +125,38 @@ class PropertySpec extends SparkSpec {
     assert(byComp.keys.forall(r => byComp(r).min == r),
       "component label must be the component minimum")
   }
+
+  test("batch sessionize equals a reference fold on random event streams") {
+    import spark.implicits._
+    implicit val s = spark
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 97L)
+      val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+      val events = (1 to 120).map { i =>
+        graft.streaming.Streams.Event(
+          i.toLong,
+          new java.sql.Timestamp(base + rnd.nextInt(6 * 3600) * 1000L),
+          rnd.nextInt(6).toLong, "click", 1.0)
+      }
+      val gapMin = 1 + rnd.nextInt(40)
+      val got = graft.streaming.Streams
+        .sessionize(events.toDS(), gapMinutes = gapMin)
+        .collect().map(o => (o.user_id, o.session_start.getTime,
+                             o.n_events, o.duration_s)).toSet
+      // reference: per-user sort + linear gap fold
+      val gapMs = gapMin * 60000L
+      val expected = events.groupBy(_.user_id).flatMap { case (u, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        var cur = scala.collection.mutable.ArrayBuffer(ts.head)
+        for (t <- ts.tail) {
+          if (t - cur.last <= gapMs) cur += t
+          else { sessions += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer(t) }
+        }
+        sessions += cur.toSeq
+        sessions.map(ss => (u, ss.head, ss.length, (ss.last - ss.head) / 1000L))
+      }.toSet
+      assert(got == expected, s"seed $seed gap $gapMin: ${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
 }
