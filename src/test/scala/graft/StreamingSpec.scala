@@ -162,6 +162,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dimension enrichment joins without state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long, Double)] // (user_id, event_id, value)
+    val q = input.toDF().toDF("user_id", "event_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+            "left")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData((1L, 10L, 5.0), (2L, 11L, 1.0), (9L, 12L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(1), Option(r.getString(3))))
+        .sortBy(_._1).toSeq
+      assert(got == Seq((10L, Some("gold")), (11L, Some("basic")),
+                        (12L, None)))
+    } finally q.stop()
+  }
+
   test("sessionize merges late events into pending sessions instead of splitting") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
