@@ -36,12 +36,15 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))),
 
     // MinHash-LSH with exact verification: same contract as d02 (n=5,
-    // τ=0.7); with 32 bands × 4 rows recall at τ≥0.7 is 1-3e-5, so the
+    // τ=0.7); with 64 bands × 4 rows a τ=0.7 pair is missed with
+    // probability (1-0.7^4)^64 ≈ 2e-8 — robust to regenerated testdata,
+    // not just the current seed (ADVICE round-2 flagged 32 bands' 1.6e-4
+    // as a latent oracle-flip risk) — so the
     // output should equal d02's — the oracle IS the exact-Jaccard SQL.
     "d03_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
                             n = 5, threshold = 0.7,
-                            bands = 32, rowsPerBand = 4)
+                            bands = 64, rowsPerBand = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // SimHash near-dup pairs — not SQL-expressible; rows-only check.

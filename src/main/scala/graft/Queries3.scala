@@ -228,7 +228,7 @@ object Queries3 {
     "d07_dedup_clusters" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
                                         n = 5, threshold = 0.7,
-                                        bands = 32, rowsPerBand = 4)
+                                        bands = 64, rowsPerBand = 4)
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
@@ -240,7 +240,7 @@ object Queries3 {
     "d08_dedup_apply" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
                                         n = 5, threshold = 0.7,
-                                        bands = 32, rowsPerBand = 4)
+                                        bands = 64, rowsPerBand = 4)
       Dedup.applyClusterDedup(docs(s, d), pairs, "doc_id")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -481,11 +481,11 @@ object Queries3 {
     // Recall assumption (same as d03, documented there too): the oracle
     // closes the EXACT all-pairs Jaccard>=0.7 graph, while the Spark side
     // clusters MinHash-LSH pairs — a true pair at j barely over 0.7 can be
-    // missed with probability (1-j^4)^32 ~ 1.6e-4, which would flip the
-    // component parity. The check is deterministic on this fixed-seed
-    // testdata (passes), but a regenerated corpus could surface a miss;
-    // that is the documented trade for driver-checking the SCALE path
-    // rather than deriving the oracle's pairs from the Spark LSH output.
+    // missed with probability (1-j^4)^64 ≈ 2e-8 at 64 bands (raised from
+    // 32 after ADVICE flagged the 1.6e-4 miss rate as a latent oracle-flip
+    // risk on regenerated corpora); that is the documented trade for
+    // driver-checking the SCALE path rather than deriving the oracle's
+    // pairs from the Spark LSH output.
     "d07_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
          |e AS (SELECT id_a AS a, id_b AS b FROM pairs

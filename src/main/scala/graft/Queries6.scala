@@ -78,7 +78,7 @@ object Queries6 {
     "d11_dedup_clusters_star" -> ((s, d) => {
       val pairs = Dedup.minhashLshPairs(docs(s, d), "text", "doc_id",
                                         n = 5, threshold = 0.7,
-                                        bands = 32, rowsPerBand = 4)
+                                        bands = 64, rowsPerBand = 4)
       Dedup.connectedComponents(pairs, deep = true)
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy(col("doc_id"))
