@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def longArg(e: Expression, fn: String, pos: Int): Long =
     constLong(e, fn, pos)
 
+  // a usable arity error beats the planner's IndexOutOfBoundsException
+  private def arity(fn: String, args: Seq[Expression], min: Int,
+                    max: Int): Unit =
+    if (args.length < min || args.length > max)
+      throw new IllegalArgumentException(
+        s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+        s"arguments, got ${args.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, usage: String,
                  builder: Seq[Expression] => Expression): Unit =
@@ -49,48 +57,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     register("graft_cosine_sim",
       "graft_cosine_sim(a, b) - cosine similarity of two float arrays",
-      args => CosineSim(args(0), args(1)))
+      args => { arity("graft_cosine_sim", args, 2, 2)
+        CosineSim(args(0), args(1)) })
 
     register("graft_word_shingles",
       "graft_word_shingles(text, n) - distinct lowercased word n-grams",
-      args => WordShingles(args(0), intArg(args(1), "graft_word_shingles", 2)))
+      args => { arity("graft_word_shingles", args, 2, 2)
+        WordShingles(args(0), intArg(args(1), "graft_word_shingles", 2)) })
 
     register("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
-      args => SimHash64(args(0)))
+      args => { arity("graft_simhash64", args, 1, 1); SimHash64(args(0)) })
 
     register("graft_minhash_sig",
       "graft_minhash_sig(tokens, k[, seed]) - k-element MinHash signature",
-      args => MinHashSig(args(0), intArg(args(1), "graft_minhash_sig", 2),
-        if (args.length > 2) longArg(args(2), "graft_minhash_sig", 3) else 42L))
+      args => { arity("graft_minhash_sig", args, 2, 3)
+        MinHashSig(args(0), intArg(args(1), "graft_minhash_sig", 2),
+          if (args.length > 2) longArg(args(2), "graft_minhash_sig", 3)
+          else 42L) })
 
     register("graft_minhash_band_keys",
       "graft_minhash_band_keys(shingles, bands, rows[, seed]) - LSH band bucket keys",
-      args => MinHashBandKeys(args(0),
-        intArg(args(1), "graft_minhash_band_keys", 2),
-        intArg(args(2), "graft_minhash_band_keys", 3),
-        if (args.length > 3) longArg(args(3), "graft_minhash_band_keys", 4)
-        else 42L))
+      args => { arity("graft_minhash_band_keys", args, 3, 4)
+        MinHashBandKeys(args(0),
+          intArg(args(1), "graft_minhash_band_keys", 2),
+          intArg(args(2), "graft_minhash_band_keys", 3),
+          if (args.length > 3) longArg(args(3), "graft_minhash_band_keys", 4)
+          else 42L) })
 
     register("graft_rolling_hash",
       "graft_rolling_hash(s) - Karp-Rabin polynomial fingerprint of a string",
-      args => RollingHash(args(0)))
+      args => { arity("graft_rolling_hash", args, 1, 1); RollingHash(args(0)) })
 
     register("graft_top_gram_frac",
       "graft_top_gram_frac(words, n) - fraction of n-grams taken by the most frequent one",
-      args => TopGramFrac(args(0), intArg(args(1), "graft_top_gram_frac", 2)))
+      args => { arity("graft_top_gram_frac", args, 2, 2)
+        TopGramFrac(args(0), intArg(args(1), "graft_top_gram_frac", 2)) })
 
     register("graft_hyperplane_sigs",
       "graft_hyperplane_sigs(vec, dim, bits, tables[, seed]) - packed LSH signatures, one per table",
-      args => HyperplaneSigs(args(0),
-        intArg(args(1), "graft_hyperplane_sigs", 2),
-        intArg(args(2), "graft_hyperplane_sigs", 3),
-        intArg(args(3), "graft_hyperplane_sigs", 4),
-        if (args.length > 4) longArg(args(4), "graft_hyperplane_sigs", 5)
-        else 42L))
+      args => { arity("graft_hyperplane_sigs", args, 4, 5)
+        HyperplaneSigs(args(0),
+          intArg(args(1), "graft_hyperplane_sigs", 2),
+          intArg(args(2), "graft_hyperplane_sigs", 3),
+          intArg(args(3), "graft_hyperplane_sigs", 4),
+          if (args.length > 4) longArg(args(4), "graft_hyperplane_sigs", 5)
+          else 42L) })
 
     register("graft_quantize_int8",
       "graft_quantize_int8(vec) - struct(scale, q, max_abs_err) symmetric int8 quantization",
-      args => QuantizeInt8(args(0)))
+      args => { arity("graft_quantize_int8", args, 1, 1); QuantizeInt8(args(0)) })
   }
 }

@@ -37,12 +37,16 @@ object MakeBenchData {
     for ((table, keys) <- shiftedKeys) {
       val df = spark.read.parquet(s"$src/$table.parquet")
       // cross-copy keys collide if a source key reaches the stride (e.g.
-      // running the tool on an already-scaled dir) — fail loudly
-      for (c <- keys) {
-        val mx = df.agg(max(col(c).cast("long"))).head().getLong(0)
-        require(mx < stride,
-          s"MakeBenchData: $table.$c max $mx >= stride $stride — " +
-          "source keys would collide across copies")
+      // running the tool on an already-scaled dir) — fail loudly; one
+      // aggregate pass for all key columns, null max (empty table) passes
+      if (keys.nonEmpty) {
+        val aggs = keys.map(c => max(col(c).cast("long")).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        for ((c, i) <- keys.zipWithIndex if !r.isNullAt(i)) {
+          require(r.getLong(i) < stride,
+            s"MakeBenchData: $table.$c max ${r.getLong(i)} >= stride " +
+            s"$stride — source keys would collide across copies")
+        }
       }
       val scaled =
         if (keys.isEmpty) df

@@ -121,10 +121,16 @@ object Streams {
       events.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
     else {
-      val orderCols = (tsCol +: events.columns.toSeq
-        .filterNot(c => keyCols.contains(c) || c == tsCol)).map(col)
+      // tiebreak on the ORDERABLE non-key columns only — a map-typed
+      // payload column must not break an operator dropDuplicates accepted
+      val orderable = events.schema.fields
+        .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+        .map(_.name)
+        .filterNot(c => keyCols.contains(c) || c == tsCol)
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+        .partitionBy(keyCols.map(col): _*)
+        .orderBy((tsCol +: orderable.toSeq).map(col): _*)
       events.withColumn("__graft_rn", row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
     }
@@ -200,10 +206,10 @@ object Streams {
     *    only emitted once the watermark strictly passes its `last + gap`
     *    — before that, a watermark-admissible event could still merge
     *    into it (or BRIDGE two pending sessions into one), so emitting
-    *    earlier would split true sessions on late data. Within the
-    *    watermark horizon adjacent sessions are ≥ gap apart, so the list
-    *    holds at most (watermarkDelay / gap) + 1 entries per key — still
-    *    bounded, however hot the key.
+    *    earlier would split true sessions on late data. Pending sessions
+    *    live in a (watermarkDelay + gap) horizon and adjacent ones are
+    *    ≥ gap apart, so the list holds at most (watermarkDelay / gap) + 2
+    *    entries per key — still bounded, however hot the key.
     *  - Events merge by interval: an event within `gap` of a session
     *    extends it; an event farther than `gap` BEFORE every pending
     *    session starts its own (out-of-order events do not glue onto a

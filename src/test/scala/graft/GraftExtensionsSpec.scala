@@ -80,5 +80,11 @@ class GraftExtensionsSpec extends SparkSpec {
     val sh = spark.sql("SELECT graft_word_shingles(text, 1+1) AS s FROM ge_badargs")
       .head().getSeq[String](0)
     assert(sh == Seq("x y", "y z"))
+    // wrong arity gets a usable message, not IndexOutOfBoundsException
+    val a = intercept[Exception] {
+      spark.sql("SELECT graft_hyperplane_sigs(array(1.0f), 4, 8) FROM ge_badargs")
+        .collect()
+    }
+    assert(a.getMessage.contains("4 to 5 arguments"), a.getMessage)
   }
 }
