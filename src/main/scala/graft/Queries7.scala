@@ -42,6 +42,12 @@ object Queries7 {
       Corpus.repetitionSignals(docs(s, d), "text", "doc_id", n = 2)
         .orderBy(col("doc_id"))),
 
+    // top-5 TF-IDF terms per doc: tf shuffle -> vocab-sized idf side
+    // broadcast back -> WindowGroupLimit top-k
+    "t13_tfidf" -> ((s, d) =>
+      Corpus.tfidfTopTerms(docs(s, d), "text", "doc_id", k = 5)
+        .orderBy(col("doc_id"), col("rk"))),
+
     // corpus-trained unigram LM score per doc (CCNet-filter shape):
     // vocab agg -> broadcast logp join -> per-doc mean
     "t09_unigram_lm" -> ((s, d) =>
@@ -155,6 +161,23 @@ object Queries7 {
          |  round(coalesce(top.top_frac, 0.0), 6) AS top_gram_frac
          |FROM w LEFT JOIN top ON w.doc_id = top.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    "t13_tfidf" ->
+      s"""WITH $WordsCte,
+         |t AS (SELECT doc_id, unnest(words) AS term FROM w),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |          FROM tf GROUP BY term),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+         |idf AS (SELECT term,
+         |          ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+         |        FROM dfreq, nd),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS tfidf,
+         |        row_number() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rk
+         |      FROM tf JOIN idf ON tf.term = idf.term)
+         |SELECT doc_id, rk, term, tf, round(tfidf, 6) AS tfidf
+         |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "t09_unigram_lm" ->
       s"""WITH $WordsCte,

@@ -187,6 +187,40 @@ object Corpus {
         .cast("long"), lit(nShards.toLong)))
   }
 
+  /** Top-k TF-IDF terms per document (ln-idf, raw term counts) — the
+    * classic keyword-extraction / document-representation step.
+    *
+    * Scale: term frequencies are one map-side-combining shuffle on
+    * (doc, term); document frequencies aggregate FROM the tf table
+    * (never re-scanning the corpus) into a |vocab|-row idf side that
+    * broadcast-joins back; the final top-k per doc is the
+    * WindowGroupLimit shape (≤ k rows per doc per partition cross the
+    * shuffle). The corpus streams once.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // df-counts and the join both derive from tf
+    val docFreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = docFreq.crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        log(col("n_docs").cast("double") / col("df").cast("double"))
+          .as("idf"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy((col("tf") * col("idf")).desc, col("term").asc)
+    tf.join(broadcast(idf), Seq("term"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"),
+              round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
   /** Unigram language-model score per document: mean negative log
     * probability of each token under the corpus's own unigram
     * distribution (add-nothing MLE). The unigram instance of the

@@ -101,6 +101,21 @@ class CorpusSpec extends SparkSpec {
     assert(jaccard > 0.95, s"exact=${exact.size} approx=${approx.size} j=$jaccard")
   }
 
+  test("tfidfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val df = docsDf(
+      1L -> "common common quokka",
+      2L -> "common axolotl axolotl",
+      3L -> "common common common")
+    val top = Corpus.tfidfTopTerms(df, "text", "doc_id", k = 1)
+      .orderBy("doc_id").as[(Long, Long, String, Long, Double)]
+      .collect().toSeq
+    // 'common' appears in every doc (idf = ln(1) = 0); the distinctive
+    // term wins wherever one exists
+    assert(top.map(t => (t._1, t._3)) ==
+      Seq((1L, "quokka"), (2L, "axolotl"), (3L, "common")))
+    assert(top(2)._5 == 0.0) // all-ubiquitous doc: top tfidf is zero
+  }
+
   test("unigramLogProb scores rare-word docs higher than common-word docs") {
     val df = docsDf(
       1L -> "the the the the",       // only common words
