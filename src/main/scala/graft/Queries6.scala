@@ -97,29 +97,39 @@ object Queries6 {
         .orderBy(col("doc_id")))
   )
 
+  /** Shared SQL pieces for the d09 planted corpus: the CTE chain building
+    * `u` (originals + float32-exact planted near-dups) and the cosine over
+    * a `u a JOIN u b` pair. Reused by d13's end-to-end dedup oracle so
+    * the pair semantics can never drift.
+    * CAST(... AS REAL) replicates Spark's float32 multiply exactly
+    * (double multiply of a float by 2.125 is exact, the REAL cast is the
+    * same single correctly-rounded step as the float32 multiply).
+    */
+  private[graft] val d09Ctes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |           FROM embeddings WHERE vec_id < 2000),
+      |p AS (SELECT vec_id + 1000000 AS pid,
+      |        list_transform(generate_series(1, len(emb)), i ->
+      |          CAST(CAST(emb[i] *
+      |            (CASE WHEN i - 1 = (vec_id % 64) THEN 2.125
+      |                  ELSE 2.0 END) AS REAL) AS DOUBLE)) AS emb
+      |      FROM e),
+      |u AS (SELECT vec_id, emb FROM e
+      |      UNION ALL SELECT pid AS vec_id, emb FROM p)""".stripMargin
+
+  private[graft] val d09Cos: String =
+    "list_dot_product(a.emb, b.emb) / " +
+    "(sqrt(list_dot_product(a.emb, a.emb)) * " +
+    "sqrt(list_dot_product(b.emb, b.emb)))"
+
   val oracleSql: Map[String, String] = {
-    val cos =
-      "list_dot_product(a.emb, b.emb) / " +
-      "(sqrt(list_dot_product(a.emb, a.emb)) * " +
-      "sqrt(list_dot_product(b.emb, b.emb)))"
+    val cos = d09Cos
     Map(
       // exact all-pairs ground truth over the SAME planted corpus — the
       // oracle is the exact algorithm, the Spark side is the bucketed one;
       // hash-match proves the LSH path's recall AND precision on this data.
-      // CAST(... AS REAL) replicates Spark's float32 multiply exactly
-      // (double multiply of a float by 2.125 is exact, the REAL cast is the
-      // same single correctly-rounded step as the float32 multiply).
       "d09_lsh_neardup" ->
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           |           FROM embeddings WHERE vec_id < 2000),
-           |p AS (SELECT vec_id + 1000000 AS pid,
-           |        list_transform(generate_series(1, len(emb)), i ->
-           |          CAST(CAST(emb[i] *
-           |            (CASE WHEN i - 1 = (vec_id % 64) THEN 2.125
-           |                  ELSE 2.0 END) AS REAL) AS DOUBLE)) AS emb
-           |      FROM e),
-           |u AS (SELECT vec_id, emb FROM e
-           |      UNION ALL SELECT pid AS vec_id, emb FROM p)
+        s"""WITH $d09Ctes
            |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 4) AS cos
            |FROM u a JOIN u b ON a.vec_id < b.vec_id
            |WHERE $cos >= 0.99

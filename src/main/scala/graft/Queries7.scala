@@ -36,6 +36,21 @@ object Queries7 {
         .orderBy(col("doc_id"))
     }),
 
+    // END-TO-END embedding dedup: bucketed LSH pair mining (d09) ->
+    // connected components -> keep the min-id representative per cluster
+    // + all unpaired vectors; the oracle recomputes the exact pair graph
+    // and closes it with a recursive CTE (d08's apply pattern on d09's
+    // planted corpus)
+    "d13_embedding_dedup" -> ((s, d) => {
+      val corpus = Queries6.d09Input(s, d)
+      val pairs = graft.operators.Similarity.lshNearDupPairs(
+        corpus, "vec_id", "embedding", dim = 64, threshold = 0.99,
+        numBits = 16, numTables = 8)
+      graft.operators.Dedup.applyClusterDedup(corpus, pairs, "vec_id")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Gopher-style repetition signals: duplicate-word fraction and
     // top-bigram fraction, both pure per-row expressions
     "t08_repetition" -> ((s, d) =>
@@ -143,6 +158,23 @@ object Queries7 {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id % 97 <> 0
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "d13_embedding_dedup" ->
+      s"""WITH RECURSIVE ${Queries6.d09Ctes},
+         |prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |        FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |        WHERE ${Queries6.d09Cos} >= 0.99),
+         |e2 AS (SELECT id_a AS a, id_b AS b FROM prs
+         |       UNION SELECT id_b, id_a FROM prs),
+         |nodes AS (SELECT DISTINCT a AS id FROM e2),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+         |cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         |SELECT vec_id FROM u
+         |WHERE vec_id NOT IN (SELECT id FROM cc WHERE comp <> id)
+         |ORDER BY vec_id""".stripMargin,
 
     "t08_repetition" ->
       s"""WITH $WordsCte,
