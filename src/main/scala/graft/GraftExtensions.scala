@@ -46,7 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     if (args.length < min || args.length > max)
       throw new IllegalArgumentException(
         s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
-        s"arguments, got ${args.length}")
+        s"argument${if (max == 1) "" else "s"}, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, usage: String,

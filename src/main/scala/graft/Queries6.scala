@@ -49,16 +49,23 @@ object Queries6 {
     base.unionByName(planted)
   }
 
+  /** The d09 pair mining with its tuned parameters — ONE definition so
+    * d13's end-to-end dedup can never drift from the pair set the
+    * [[d09Input]] recall analysis (miss < 1e-9) was derived for.
+    */
+  private[graft] def d09Pairs(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame =
+    Similarity.lshNearDupPairs(d09Input(s, d), "vec_id", "embedding",
+                               dim = 64, threshold = 0.99,
+                               numBits = 16, numTables = 8)
+
   val sparkQueries: Map[String, Q] = Map(
     // the bucketed scale path of d05: hyperplane-LSH candidate generation
     // (shuffle key = (table, 16-bit signature); only bucket collisions
     // materialize as pairs), exact-cosine verification — NO all-pairs join
     // anywhere in the plan (pinned by DedupSimilaritySpec)
     "d09_lsh_neardup" -> ((s, d) =>
-      Similarity.lshNearDupPairs(d09Input(s, d), "vec_id", "embedding",
-                                 dim = 64, threshold = 0.99,
-                                 numBits = 16, numTables = 8)
-        .orderBy(col("id_a"), col("id_b"))),
+      d09Pairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
     // the CAPPED candidate path of d02 (ShingleCap.Auto — at this corpus
     // 500 docs → cap 178), driver-checked against the same exact-Jaccard

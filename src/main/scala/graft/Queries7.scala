@@ -41,15 +41,11 @@ object Queries7 {
     // + all unpaired vectors; the oracle recomputes the exact pair graph
     // and closes it with a recursive CTE (d08's apply pattern on d09's
     // planted corpus)
-    "d13_embedding_dedup" -> ((s, d) => {
-      val corpus = Queries6.d09Input(s, d)
-      val pairs = graft.operators.Similarity.lshNearDupPairs(
-        corpus, "vec_id", "embedding", dim = 64, threshold = 0.99,
-        numBits = 16, numTables = 8)
-      graft.operators.Dedup.applyClusterDedup(corpus, pairs, "vec_id")
+    "d13_embedding_dedup" -> ((s, d) =>
+      graft.operators.Dedup.applyClusterDedup(
+          Queries6.d09Input(s, d), Queries6.d09Pairs(s, d), "vec_id")
         .select(col("vec_id"))
-        .orderBy(col("vec_id"))
-    }),
+        .orderBy(col("vec_id"))),
 
     // Gopher-style repetition signals: duplicate-word fraction and
     // top-bigram fraction, both pure per-row expressions
@@ -198,17 +194,17 @@ object Queries7 {
       s"""WITH $WordsCte,
          |t AS (SELECT doc_id, unnest(words) AS term FROM w),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
-         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
-         |          FROM tf GROUP BY term),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
          |idf AS (SELECT term,
-         |          ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS idf
+         |          CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)),
+         |            6) AS DECIMAL(18,6)) AS idf
          |        FROM dfreq, nd),
          |r AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * idf.idf AS tfidf,
          |        row_number() OVER (PARTITION BY tf.doc_id
          |          ORDER BY tf.tf * idf.idf DESC, tf.term ASC) AS rk
          |      FROM tf JOIN idf ON tf.term = idf.term)
-         |SELECT doc_id, rk, term, tf, round(tfidf, 6) AS tfidf
+         |SELECT doc_id, rk, term, tf, CAST(tfidf AS DOUBLE) AS tfidf
          |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
 
     "t09_unigram_lm" ->

@@ -204,21 +204,29 @@ object Corpus {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint() // df-counts and the join both derive from tf
+    // (doc, term) rows are unique post-groupBy — plain count IS the
+    // distinct doc count, without a two-phase distinct aggregate
     val docFreq = tf.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = tf.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
+    // ln() is the one cross-engine-fragile atom: round it to 6 dp ONCE,
+    // convert to exact decimal, and do all downstream arithmetic —
+    // including the rank ordering — in exact decimal so no second
+    // float-rounding boundary exists (same determinism pattern as
+    // unigramLogProb's micro-nats)
     val idf = docFreq.crossJoin(broadcast(nDocs))
       .select(col("term"),
-        log(col("n_docs").cast("double") / col("df").cast("double"))
-          .as("idf"))
+        round(log(col("n_docs").cast("double") / col("df").cast("double")),
+              6).cast("decimal(18,6)").as("idf"))
+    val tfidf = col("tf").cast("decimal(18,0)") * col("idf")
     val w = Window.partitionBy(col(idCol))
-      .orderBy((col("tf") * col("idf")).desc, col("term").asc)
+      .orderBy(tfidf.desc, col("term").asc)
     tf.join(broadcast(idf), Seq("term"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("tf"),
-              round(col("tf") * col("idf"), 6).as("tfidf"))
+              tfidf.cast("double").as("tfidf"))
   }
 
   /** Unigram language-model score per document: mean negative log

@@ -109,10 +109,14 @@ object Streams {
     * watermark window, not the stream's lifetime — the difference between
     * a dedup that survives a year of uptime and one that OOMs. On batch
     * input the survivor per key is the FIRST row in (tsCol, remaining
-    * columns) order — plain dropDuplicates keeps a partition-order-
-    * dependent arbitrary row, which would break the repo-wide
-    * reproducibility contract (streaming keeps arrival order's first,
-    * which is inherently arrival-dependent — that IS the semantics).
+    * ORDERABLE columns) order — plain dropDuplicates keeps a
+    * partition-order-dependent arbitrary row, which would break the
+    * repo-wide reproducibility contract (streaming keeps arrival order's
+    * first, which is inherently arrival-dependent — that IS the
+    * semantics). Caveat: rows that tie on the key, tsCol, and every
+    * orderable column while differing only in an unorderable payload
+    * (map columns) are still broken arbitrarily — a total order over
+    * maps does not exist.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String],
                   tsCol: String = "ts",
