@@ -46,6 +46,19 @@ object MakeBenchData {
           require(r.getLong(i) < stride,
             s"MakeBenchData: $table.$c max ${r.getLong(i)} >= stride " +
             s"$stride — source keys would collide across copies")
+          // the LAST copy's shifted keys must still fit the source dtype —
+          // an int32 key silently wraps under non-ANSI casts once
+          // max + (k-1)*stride exceeds Int.MaxValue
+          val dtypeMax: Long = df.schema(c).dataType match {
+            case org.apache.spark.sql.types.IntegerType => Int.MaxValue.toLong
+            case org.apache.spark.sql.types.ShortType => Short.MaxValue.toLong
+            case _ => Long.MaxValue
+          }
+          val shiftedMax = r.getLong(i) + (k - 1).toLong * stride
+          require(shiftedMax <= dtypeMax && shiftedMax >= r.getLong(i),
+            s"MakeBenchData: $table.$c shifted max $shiftedMax overflows " +
+            s"the source dtype (${df.schema(c).dataType.simpleString}) — " +
+            "reduce K or widen the key column")
         }
       }
       val scaled =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -24,7 +24,12 @@ object Expressions {
     * partitionings because it is a per-row scalar, no aggregation involved.
     */
   case class CosineSim(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    // Pinned to array<float>: the kernel reads via getFloat, so an
+    // array<double> argument (easy to produce from SQL literals) must fail
+    // at analysis time, not yield garbage bit-reinterpretation.
+    override def inputTypes =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any =
@@ -74,7 +79,8 @@ object Expressions {
     * O(tokens * k) longs, no per-element lambda interpretation.
     */
   case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
     def compute(v: Any): Any = nullSafeEval(v)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
@@ -124,7 +130,8 @@ object Expressions {
     * Near-duplicate texts land within small Hamming distance.
     */
   case class SimHash64(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     def compute(v: Any): Any = nullSafeEval(v)
@@ -166,7 +173,8 @@ object Expressions {
     * (measured ~110 ms/row on 80-word docs — ~1000× this expression).
     */
   case class WordShingles(child: Expression, n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     require(n >= 1, "shingle size must be >= 1")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
@@ -222,7 +230,8 @@ object Expressions {
     */
   case class MinHashBandKeys(child: Expression, bands: Int, rowsPerBand: Int,
                              seed: Long)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
     def compute(v: Any): Any = nullSafeEval(v)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val ref = ctx.addReferenceObj("bandkeys", this, classOf[MinHashBandKeys].getName)
@@ -264,7 +273,8 @@ object Expressions {
     * interpretation on top — this is one hash-count pass.
     */
   case class TopGramFrac(child: Expression, n: Int)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
     require(n >= 1, "gram size must be >= 1")
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
@@ -314,7 +324,8 @@ object Expressions {
     */
   case class HyperplaneSigs(child: Expression, dim: Int, numBits: Int,
                             numTables: Int, baseSeed: Long)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
     require(numBits >= 1 && numBits <= 63, "numBits must fit in a long")
     require(numTables >= 1, "need at least one table")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -372,7 +383,8 @@ object Expressions {
     * codes with scale 0.
     */
   case class QuantizeInt8(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(FloatType))
     override def dataType: DataType = StructType(Seq(
       StructField("scale", DoubleType, nullable = false),
       StructField("q", ArrayType(LongType, containsNull = false),
@@ -422,7 +434,8 @@ object Expressions {
     * fingerprinting primitive; mod 2^64 arithmetic).
     */
   case class RollingHash(child: Expression)
-      extends UnaryExpression {
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     def compute(v: Any): Any = nullSafeEval(v)

@@ -93,7 +93,10 @@ object Corpus {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
       .withColumn("cum", sum(col("n_tok")).over(w) - col("n_tok"))
-      .withColumn("pack_id", (col("cum") / budget).cast("long"))
+      // true integer division (Column./ on integrals is double division,
+      // whose truncated quotient can differ from integer floor once the
+      // cumulative offset is large and the budget is not a power of two)
+      .withColumn("pack_id", expr(s"cum DIV $budget"))
       .groupBy(col(idCol), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"),
            sum(col("n_tok")).as("n_tokens"))

@@ -22,12 +22,14 @@ object Upsert {
       s"upsert: schema mismatch (${target.columns.mkString(",")} vs " +
       s"${updates.columns.mkString(",")})")
     val dataCols = target.columns.toIndexedSeq.filterNot(_ == key)
-    // the marker must not collide with any renamed payload column (a data
-    // column literally named "_graft_present" would be silently overwritten
-    // by withColumn below — fail loudly instead, like SkewJoin's guards)
+    // the marker must not collide with an INPUT column name: the key keeps
+    // its name through the join, and a key (or payload column) literally
+    // named "__graft_u_present" would be silently overwritten by the
+    // withColumn below — fail loudly instead, like SkewJoin's guards.
+    // (Renamed payload columns can't collide: they all start with t_/u_.)
     val marker = "__graft_u_present"
-    require(!dataCols.exists(c => s"u_$c" == marker),
-      s"upsert: reserved marker column name $marker collides with a payload column")
+    require(!(dataCols :+ key).contains(marker),
+      s"upsert: reserved marker column name $marker collides with an input column")
     val t = target.select(col(key) +: dataCols.map(c => col(c).as(s"t_$c")): _*)
     val u = updates.select(col(key) +: dataCols.map(c => col(c).as(s"u_$c")): _*)
     // updates side presence marker survives even if all its data cols are

@@ -87,4 +87,23 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(a.getMessage.contains("4 to 5 arguments"), a.getMessage)
   }
+
+  test("wrong element types fail at analysis time, not as garbage values") {
+    // the kernels read via getFloat/getUTF8String; before ExpectsInputTypes
+    // an array<double> argument silently bit-misread every element
+    Seq((Seq(1.0, 2.0), Seq(1L, 2L))).toDF("d", "l")
+      .createOrReplaceTempView("ge_types")
+    for (q <- Seq(
+        "SELECT graft_hyperplane_sigs(d, 2, 8, 1) FROM ge_types",
+        "SELECT graft_quantize_int8(d) FROM ge_types",
+        "SELECT graft_cosine_sim(d, d) FROM ge_types",
+        "SELECT graft_top_gram_frac(l, 2) FROM ge_types",
+        "SELECT graft_minhash_sig(l, 4) FROM ge_types",
+        "SELECT graft_simhash64(d) FROM ge_types")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(q).collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("type"), s"$q -> ${e.getMessage}")
+    }
+  }
 }
