@@ -49,6 +49,95 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the 100 TB shape
+    * when the benchmark shingle SET itself is too wide to broadcast as an
+    * exact hash set: the bench shingles aggregate into one Bloom filter
+    * (~9.6 bits/item at 1% FPP vs ~50+ bytes/shingle for the set), every
+    * corpus shingle is tested against it MAP-SIDE, and only survivors —
+    * true matches plus the FPP tail — reach the exact confirming join.
+    * The result is exactly [[decontaminate]]'s (false positives are
+    * eliminated by the confirm join, so the Bloom stage only sheds rows);
+    * the declared query reuses d12's oracle to pin that.
+    *
+    * The single-row driver fetch of the serialized filter is the same
+    * bounded-side pattern as IVF's centroid fetch (Spark's own injected
+    * runtime bloom filters materialize the build side on the driver the
+    * same way, as a scalar subquery).
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int,
+                         expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    def shingled(df: DataFrame) = df.select(
+      col(idCol),
+      explode(Expressions.word_shingles(
+        TextAnalysis.normalize(col(textCol)), n)).as("sh"))
+    val benchShingles = shingled(benchmark).select(col("sh")).distinct()
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("sh"))),
+        Bridge.expression(lit(expectedItems))).toAggregateExpression())
+    val bloomBytes = benchShingles.select(bloomAgg.as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(lit(bloomBytes)),
+        Bridge.expression(xxhash64(col("sh")))))
+    shingled(corpus)
+      .filter(mightContain)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus-wide segment-level exact dedup (the C4 / RefinedWeb
+    * "duplicate line removal" step, at token-window granularity since
+    * this corpus has no line structure): chunks every document into
+    * non-overlapping `window`-token segments, keeps only the FIRST
+    * occurrence of each distinct segment corpus-wide (first = lowest
+    * (idCol, chunk_id)), and reassembles each document from its surviving
+    * segments. Output: (idCol, n_chunks, n_kept, n_dropped, clean_text) —
+    * one row per input document, clean_text empty when every segment was
+    * a duplicate.
+    *
+    * Scale: the dedup decision is a row_number() == 1 over the segment's
+    * md5 — one shuffle keyed by a 128-bit fingerprint (not the raw text;
+    * text rides along only because reassembly needs it — re-deriving it
+    * by re-chunking and joining on (id, chunk_id) would trade that for a
+    * second full shuffle, a wash). Reassembly is one more shuffle keyed
+    * by the document id, with per-doc state bounded by the document
+    * itself. No self-join, no all-pairs anything — the same two-shuffle
+    * shape as exact document dedup, applied one level down.
+    */
+  def dedupSegments(df: DataFrame, textCol: String, idCol: String,
+                    window: Int): DataFrame = {
+    val chunks = chunkByTokens(df, textCol, idCol, window, stride = window)
+      .filter(col("n_tok") > 0) // an empty doc's single empty chunk is not a segment
+    val w = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("chunk_id"))
+    // keep the loser rows (flagged, not filtered) so the single reassembly
+    // aggregation also yields the per-doc totals — no second corpus scan
+    val flagged = chunks.withColumn("rn", row_number().over(w))
+    val reassembled = flagged.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws(" ",
+        transform(
+          // collect_list skips nulls: only the surviving segments land
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("chunk_id"), col("chunk"))))),
+          x => x.getField("chunk"))).as("clean_text"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_chunks"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Fixed token-window chunking with stride: splits each document's
     * whitespace token sequence into windows of `window` tokens starting
     * every `stride` tokens (overlapping when stride < window) — the

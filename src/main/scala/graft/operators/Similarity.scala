@@ -244,4 +244,43 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Contrastive training-pair mining: for each anchor vector, the most
+    * similar SAME-label candidate (the positive) and the most similar
+    * DIFFERENT-label candidate (the hard negative) by exact cosine —
+    * the batch-mining step of contrastive/metric-learning data prep
+    * (hard negatives are what make the loss informative). Ties break on
+    * the candidate id; anchors whose label has no other member yield a
+    * NULL positive.
+    *
+    * Scale: anchors broadcast (the mined set is small — a training batch
+    * or curriculum slice), the corpus streams ONCE and is never
+    * self-joined; the per-(anchor, polarity) top-1 is the WindowGroupLimit
+    * shape, so each scan partition forwards at most 2 rows per anchor
+    * into the shuffle; the final pivot to one row per anchor aggregates
+    * 2·|anchors| rows. For anchor sets too big to broadcast, mine in
+    * slices — each slice is this same plan.
+    */
+  def minePairs(corpus: DataFrame, anchors: DataFrame,
+                idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+                           col(vecCol).as("a_vec"),
+                           col(labelCol).as("a_label"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+                          col(vecCol).as("c_vec"),
+                          col(labelCol).as("c_label"))
+    val scored = c.join(broadcast(a), col("cand_id") =!= col("anchor_id"))
+      .withColumn("cos", Expressions.cosine_sim(col("a_vec"), col("c_vec")))
+      .withColumn("same", col("c_label") === col("a_label"))
+    val w = Window.partitionBy(col("anchor_id"), col("same"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(
+        max(when(col("same"), col("cand_id"))).as("pos_id"),
+        round(max(when(col("same"), col("cos"))), 4).as("pos_cos"),
+        max(when(!col("same"), col("cand_id"))).as("neg_id"),
+        round(max(when(!col("same"), col("cos"))), 4).as("neg_cos"))
+  }
 }

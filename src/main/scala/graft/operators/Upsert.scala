@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot upsert (MERGE semantics over immutable storage): the new
@@ -39,5 +40,62 @@ object Upsert {
       when(col(marker).isNotNull, col(s"u_$c"))
         .otherwise(col(s"t_$c")).as(c)
     }: _*)
+  }
+
+  /** Incremental aggregate maintenance: merges a delta's pre-aggregated
+    * state into a base aggregate snapshot, for aggregates that form a
+    * commutative monoid under + (counts, sums; avg = merged sum/count).
+    * Both inputs carry (key, aggCols...); absent keys on either side
+    * contribute the identity (0).
+    *
+    * Why it matters at 100 TB: re-aggregating a year of history to absorb
+    * a day of new data re-reads the full corpus; merging the day's agg
+    * state into the snapshot touches only |keys| rows — the same partial/
+    * final split Spark applies inside one job, lifted across jobs. The
+    * merge is ONE shuffle of two already-aggregated (small) tables.
+    * Correctness requires the aggregates be decomposable — the declared
+    * query's oracle recomputes from scratch, pinning the algebra.
+    */
+  def mergeAggStates(base: DataFrame, delta: DataFrame, key: String,
+                     aggCols: Seq[String]): DataFrame = {
+    require(base.columns.sameElements(delta.columns),
+      s"mergeAggStates: schema mismatch (${base.columns.mkString(",")} vs " +
+      s"${delta.columns.mkString(",")})")
+    require(aggCols.nonEmpty && !aggCols.contains(key),
+      "mergeAggStates: aggCols must be non-empty and exclude the key")
+    val b = base.select(col(key) +: aggCols.map(c => col(c).as(s"b_$c")): _*)
+    val d = delta.select(col(key) +: aggCols.map(c => col(c).as(s"d_$c")): _*)
+    b.join(d, Seq(key), "full")
+      .select(col(key) +: aggCols.map { c =>
+        (coalesce(col(s"b_$c"), lit(0)) + coalesce(col(s"d_$c"), lit(0))).as(c)
+      }: _*)
+  }
+
+  /** Type-2 slowly-changing-dimension history from a change log: collapses
+    * consecutive rows with an unchanged attribute value per key, then
+    * assigns each surviving change a validity interval
+    * [valid_from, valid_to) where valid_to is the next change's timestamp
+    * (NULL = current). `tieCol` breaks equal-timestamp changes
+    * deterministically.
+    *
+    * Scale: two window passes over the SAME (key, ts, tie) partitioning —
+    * one Exchange, two in-partition sorts; no self-join. The change log
+    * streams once. This is the plain-parquet path to dimension history;
+    * pair with [[upsert]] for the "current snapshot" view.
+    */
+  def scd2(changes: DataFrame, key: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
+    val changePoints = changes
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .drop("__prev")
+    changePoints
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        col("valid_to").isNull.cast("int"))
+      .select(col(key), col("valid_from"), col("valid_to"), col(attrCol),
+              col("is_current"))
   }
 }

@@ -88,4 +88,48 @@ class ScaleInfraSpec extends SparkSpec {
       .filter(to_date($"ts") === "2021-09-06").count()
     assert(q.count() == expected)
   }
+
+  test("z-clustered layout skips row groups on the NON-leading dimension") {
+    import graft.functions.ZOrder
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    val base = Files.createTempDirectory("graft-z").toString
+    // bucket the time dimension as an int day number: int stats are
+    // written and pushed down by every parquet implementation (timestamps
+    // default to INT96 on write, which carries no usable min/max)
+    val withDay = orders.withColumn("o_day",
+      datediff($"o_orderdate", lit(java.sql.Date.valueOf("1970-01-01"))))
+
+    // layout A: z-clustered on (custkey, day) — every file is a 2-D tile
+    ZOrder.clusterZ(withDay, $"o_custkey", $"o_day", numFiles = 16)
+      .write.parquet(s"$base/zorder")
+    // layout B: clustered on custkey alone — day stats per file are wide
+    withDay.repartitionByRange(16, $"o_custkey")
+      .sortWithinPartitions($"o_custkey")
+      .write.parquet(s"$base/bykey")
+
+    // a day-only predicate: the 1-D layout cannot skip anything for it
+    val lo = java.time.LocalDate.parse("1998-01-01").toEpochDay.toInt
+    val hi = java.time.LocalDate.parse("1998-03-01").toEpochDay.toInt
+    def scannedRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .filter($"o_day" >= lo && $"o_day" < hi)
+      // metrics live on the plan that actually ran — materialize THIS df
+      val n = df.collect().length.toLong
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+      (n, scanned)
+    }
+    val (nZ, scanZ) = scannedRows(s"$base/zorder")
+    val (nK, scanK) = scannedRows(s"$base/bykey")
+    assert(nZ == nK, "both layouts must return identical results")
+    assert(nZ > 0 && nZ < total, "predicate must be selective for the test")
+    // the z layout's parquet min/max stats prune row groups the
+    // custkey-sorted layout has to read in full
+    assert(scanZ < scanK,
+      s"z-order should scan fewer rows: z=$scanZ vs bykey=$scanK")
+    assert(scanK == total,
+      s"the 1-D layout should read everything for a date-only predicate " +
+      s"(got $scanK of $total)")
+  }
 }
