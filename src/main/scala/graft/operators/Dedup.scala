@@ -267,30 +267,62 @@ object Dedup {
                           idB: String = "id_b", maxIter: Int = 50,
                           deep: Boolean = false): DataFrame = {
     if (deep) return connectedComponentsStar(pairs, idA, idB, maxIter)
-    val edges = pairs
+    // self-loops fold the node's own label into the neighbor-min
+    // aggregation, so each round is ONE join + ONE aggregate (the
+    // two-join formulation — neighbor-min then join-back-to-labels for
+    // least(own, neighbors) — pays a second shuffle per round for the
+    // same result)
+    // symmetrized edges materialize ONCE (the pairs subplan may be an
+    // expensive mining job — never evaluate it more than twice); the
+    // self-loops then derive from the materialized set
+    val sym = pairs
       .select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      .localCheckpoint(true)
+    val edges = sym
+      .union(sym.select(col("src"), col("src").as("dst")).distinct())
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    // Convergence witness: every node's label is non-increasing (it is a
+    // min over a set containing the node's own label), so for integral
+    // ids "total label sum unchanged" is EXACT — any change strictly
+    // lowers the sum. Exact decimal: order-independent, cannot overflow.
+    // Non-integral ids fall back to an exact frame compare.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      labels.schema("comp").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    def labelSum(df: DataFrame): String = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) "0" else r.getDecimal(0).toString
+    }
+    var prevSum = if (integralIds) labelSum(labels) else ""
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // the minimum label among a node's neighbors (and itself)
-      val nbrMin = edges
+      // min label over N(u) ∪ {u}: the self-loop carries u's own label
+      val next = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-                least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-                  .as("comp"),
-                col("comp").as("prev"))
+        .agg(min(col("comp")).as("comp"))
         .localCheckpoint(true) // truncate lineage; also materializes
-      converged = next.filter(col("comp") =!= col("prev")).isEmpty
-      labels = next.select(col("id"), col("comp"))
+      if (integralIds) {
+        val curSum = labelSum(next)
+        converged = curSum == prevSum
+        prevSum = curSum
+      } else {
+        converged = next.as("n")
+          .join(labels.as("l"), col("n.id") === col("l.id"))
+          .filter(col("n.comp") =!= col("l.comp"))
+          .isEmpty
+      }
+      labels = next
       iter += 1
     }
     edges.unpersist()
@@ -377,13 +409,11 @@ object Dedup {
     var prev = checksum(edges)
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star output can break canonical orientation; small-star
-      // re-canonicalizes implicitly because its input is re-derived below
-      val ls = largeStar(edges)
-        .select(greatest(col("u"), col("v")).as("u"),
-                least(col("u"), col("v")).as("v"))
-        .distinct()
-      edges = smallStar(ls).localCheckpoint(true)
+      // large-star output is already canonically oriented: it emits
+      // (v, m(u)) only for v > u, and m(u) ≤ u < v, so new-u > new-v
+      // always — no re-canonicalization pass (a full extra shuffle per
+      // round) is needed before small-star
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur
