@@ -21,7 +21,13 @@ object Bench {
     "d12_decontaminate", "t09_unigram_lm",
     "t02_text_quality", "s01_ann_topk", "s03_ann_ivf",
     "e01_tumbling_agg", "e02_sessionize", "e03_asof_join",
-    "e06_session_window")
+    "e06_session_window",
+    // round-4: segment dedup (fingerprint-keyed shuffle), Bloom-prefilter
+    // decontamination, warehouse maintenance, funnel, deep TPC-H join,
+    // pair mining
+    "d14_segment_dedup", "d15_decontam_bloom", "q68_incremental_agg",
+    "q69_scd2", "q70_funnel", "q72_tpch5", "s05_pair_mining",
+    "t14_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -106,6 +106,34 @@ object Queries8 {
         .orderBy(col("doc_id"))
     }),
 
+    // TPC-H Q5 (local supplier volume): the deepest classic join shape —
+    // a 6-table chain where the dimension spine (region -> nation ->
+    // supplier/customer) broadcasts and only the two fact tables shuffle;
+    // the s_nationkey = c_nationkey residual keeps "local" suppliers only
+    "q72_tpch5" -> ((s, d) => {
+      val D = "decimal(12,2)"
+      val lo = lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      val hi = lit(java.time.LocalDateTime.parse("1998-01-01T00:00:00"))
+      Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.orders(s, d)
+                .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+              col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d),
+              col("l_suppkey") === col("s_suppkey") &&
+                col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+                 (lit(1).cast(D) - col("l_discount").cast(D)))
+               .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
     // contrastive pair mining: per anchor, the nearest same-label
     // (positive) and nearest different-label (hard negative) by cosine
     "s05_pair_mining" -> ((s, d) => {
@@ -222,6 +250,25 @@ object Queries8 {
 
     // identical semantics to d12 — the Bloom stage only sheds rows
     "d15_decontam_bloom" -> Queries7.oracleSql("d12_decontaminate"),
+
+    "q72_tpch5" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) -
+        |            CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |               AND s.s_nationkey = c.c_nationkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n.n_name
+        |ORDER BY n.n_name""".stripMargin,
 
     "s05_pair_mining" ->
       """WITH e AS (SELECT vec_id, label,
