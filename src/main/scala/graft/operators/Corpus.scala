@@ -361,4 +361,31 @@ object Corpus {
       .select(col(idCol), col("n_tok"),
         expr("micro DIV n_tok").as("mean_neg_logp_micro"))
   }
+
+  /** CCNet-style LM-quality tiers (Wenzek et al. 2020 §4.3): rank each
+    * document by [[unigramLogProb]] WITHIN its group (language) and cut
+    * into `buckets` equal tiers — bucket 1 = "head" (most fluent),
+    * bucket `buckets` = "tail". The rank rides the exact integer
+    * micro-nat score (doc-id tiebreak), so tier boundaries are
+    * reproducible across runs and engines.
+    *
+    * Scale: the per-group NTILE is a full sort per language — fine up to
+    * ~10⁸ docs per language; beyond that, cut on approx_percentile
+    * boundaries instead (the [[qualityFilter]] scale mode) — same tiers
+    * up to sketch error, no global sort.
+    */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, buckets: Int = 3): DataFrame = {
+    val lm = unigramLogProb(df, textCol, idCol)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("mean_neg_logp_micro").asc, col(idCol).asc)
+    df.select(col(idCol), col(groupCol)).join(lm, Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(groupCol), col("mean_neg_logp_micro"),
+              col("bucket"), col("tier"))
+  }
 }

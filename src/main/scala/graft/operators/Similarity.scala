@@ -261,6 +261,70 @@ object Similarity {
     * 2·|anchors| rows. For anchor sets too big to broadcast, mine in
     * slices — each slice is this same plan.
     */
+  /** Deterministic distributed k-means clustering over the embedding
+    * column — the standalone clustering operator (the IVF coarse
+    * quantizer's big sibling; topic/dedup-bucket clustering in corpus
+    * curation). Init = the first `k` corpus vectors by id; each Lloyd
+    * round assigns every vector to its max-cosine centroid in a
+    * codegen'd per-row pass over literal centroids (the corpus is never
+    * joined or re-shuffled for assignment) and recomputes centroids as
+    * per-(cell, dim) means.
+    *
+    * Determinism: the mean accumulates 1e-6-QUANTIZED values —
+    * `sum(round(x·10⁶) as long)` is an exact integer sum, independent of
+    * partition order, and the final `sum/n/10⁶` is a fixed sequence of
+    * IEEE double ops — so the trained centroids are bit-identical across
+    * runs, cluster counts, and engines (a double partial-sum would make
+    * the model nondeterministic; full-decimal accumulation would hit
+    * engine-specific float→decimal rounding at the cast boundary).
+    * Quantization is principled here: Lloyd only needs approximate
+    * means, and 1e-6 of absolute error on unit-scale embeddings is far
+    * below the cluster-boundary noise floor.
+    *
+    * Scale: per round, ONE map-side-combining shuffle of at most
+    * k·dim·partitions quantized cells; the k×dim mean table is the only
+    * driver-side data. Empty cells keep their previous centroid.
+    */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 2): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "kmeansTrain: empty corpus")
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .select(centroidCell(centroids, col(vecCol)).as("cell"),
+                posexplode(col(vecCol)).as(Seq("idx", "x")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(sum(round(col("x") * lit(1000000.0), 0).cast("long")).as("q"),
+             count(lit(1)).as("n"))
+        .collect() // bounded: ≤ k × dim rows
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1)) =
+          (r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0).toFloat
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Cluster assignment under [[kmeansTrain]]'d centroids: one codegen'd
+    * per-row argmax pass, no join, no shuffle (first cell wins cosine
+    * ties). Output: (idCol, cluster, cos). */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int = 2,
+                   trained: Option[Array[Array[Float]]] = None): DataFrame = {
+    val centroids = trained.getOrElse(
+      kmeansTrain(corpus, idCol, vecCol, k, iters))
+    val scores = centroidScores(centroids, col(vecCol))
+    corpus.select(
+      col(idCol),
+      array_position(scores, array_max(scores)).cast("int").as("cluster"),
+      round(array_max(scores), 4).as("cos"))
+  }
+
   def minePairs(corpus: DataFrame, anchors: DataFrame,
                 idCol: String, vecCol: String, labelCol: String): DataFrame = {
     val a = anchors.select(col(idCol).as("anchor_id"),
