@@ -27,7 +27,13 @@ object Bench {
     // pair mining
     "d14_segment_dedup", "d15_decontam_bloom", "q68_incremental_agg",
     "q69_scd2", "q70_funnel", "q72_tpch5", "s05_pair_mining",
-    "t14_heavy_hitters")
+    "t14_heavy_hitters",
+    // round-4 part 2: k-means clustering (trains per call — worst case),
+    // fused expectations report, perplexity tiers, z-score anomalies
+    "s06_kmeans_clusters", "q76_expectations", "t15_perplexity_buckets",
+    "q74_anomaly",
+    // iterative graph rounds + the time-series window family
+    "g01_pagerank", "q78_rolling_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

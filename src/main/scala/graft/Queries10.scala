@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Round-4 queries, part 3: graph analytics (fixed-point PageRank) and
+  * the time-series family (calendar gap-fill with forward fill, rolling
+  * window statistics). Oracle-parity conventions follow [[Queries]]'
+  * scaladoc.
+  */
+object Queries10 {
+  import Queries.Q
+
+  /** Per-(user, day) activity counts — the shared time-series base. */
+  private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
+  val sparkQueries: Map[String, Q] = Map(
+    // fixed-point PageRank over the part↔supplier co-supply graph
+    // (undirected: both edge directions), 3 synchronous rounds. Integer
+    // pico-prob ranks make the iterative result bit-reproducible — a
+    // double formulation would drift by summation order
+    "g01_pagerank" -> ((s, d) => {
+      val f = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.pageRank(f.union(f.select(col("dst").as("src"),
+                                      col("src").as("dst"))),
+                     "src", "dst", iters = 3)
+        .orderBy(col("node"))
+    }),
+
+    // calendar gap-fill + forward fill: each user's [first, last] active
+    // span expanded to a dense daily grid (sequence + explode — no
+    // shuffle beyond the daily agg), missing days zero-filled, with the
+    // last active day carried forward (running last(ignoreNulls))
+    "q77_gapfill" -> ((s, d) => {
+      val dl = daily(s, d)
+      val grid = dl.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      grid.join(dl, Seq("user_id", "day"), "left")
+        .withColumn("n_events", coalesce(col("n"), lit(0L)))
+        .withColumn("active_day", when(col("n").isNotNull, col("day")))
+        .withColumn("last_active",
+          last(col("active_day"), ignoreNulls = true).over(w))
+        .withColumn("days_since_active",
+          datediff(col("day"), col("last_active")))
+        .select(col("user_id"), col("day"), col("n_events"),
+                col("last_active"), col("days_since_active"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // trailing-7-row rolling stats per user: exact median (integer
+    // counts interpolate exactly in double), max, and sum — one shuffle
+    // on the user key, single window pass
+    "q78_rolling_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      daily(s, d)
+        .withColumn("med7", expr("percentile(n, 0.5)").over(w))
+        .withColumn("max7", max(col("n")).over(w))
+        .withColumn("sum7", sum(col("n")).over(w))
+        .select(col("user_id"), col("day"), col("n"),
+                col("med7"), col("max7"), col("sum7"))
+        .orderBy(col("user_id"), col("day"))
+    })
+  )
+
+  /** Unrolled DuckDB twin of [[Graph.pageRank]]: integer pico-prob
+    * ranks, per-edge `pr // outdeg` contributions, damping 0.85 as
+    * `(85·s) // 100`, teleport `(15·(P // n)) // 100`. */
+  private def pageRankOracle(iters: Int): String = {
+    val P = Graph.Prec
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, SUM(p.pr // g.d) AS s
+         |  FROM e JOIN p${r - 1} p ON e.src = p.node
+         |         JOIN deg g ON e.src = g.src
+         |  GROUP BY e.dst),
+         |p$r AS (SELECT nodes.node,
+         |    (15 * ($P // nn.n)) // 100
+         |      + (85 * coalesce(c$r.s, 0)) // 100 AS pr
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$r ON nodes.node = c$r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |             l_suppkey * 2 + 1 AS dst
+       |           FROM lineitem),
+       |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+       |p0 AS (SELECT node, $P // nn.n AS pr FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, CAST(pr AS BIGINT) AS pr_pico
+       |FROM p$iters ORDER BY node""".stripMargin
+  }
+
+  private val DailyCte =
+    """daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY user_id, CAST(ts AS DATE))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "g01_pagerank" -> pageRankOracle(iters = 3),
+
+    "q77_gapfill" ->
+      s"""WITH $DailyCte,
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |         FROM daily GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |                                       CAST(d1 AS TIMESTAMP),
+         |                                       INTERVAL 1 DAY)) AS DATE)
+         |             AS day
+         |         FROM span),
+         |f AS (SELECT g.user_id, g.day, coalesce(d.n, 0) AS n_events,
+         |        CASE WHEN d.n IS NOT NULL THEN g.day END AS active_day
+         |      FROM grid g LEFT JOIN daily d
+         |        ON g.user_id = d.user_id AND g.day = d.day),
+         |ff AS (SELECT user_id, day, n_events,
+         |         last_value(active_day IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY day) AS last_active
+         |       FROM f)
+         |SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+         |  last_active,
+         |  CAST(date_diff('day', last_active, day) AS INT)
+         |    AS days_since_active
+         |FROM ff ORDER BY user_id, day""".stripMargin,
+
+    "q78_rolling_stats" ->
+      s"""WITH $DailyCte
+         |SELECT user_id, day, n,
+         |  quantile_cont(n, 0.5) OVER w AS med7,
+         |  CAST(MAX(n) OVER w AS BIGINT) AS max7,
+         |  CAST(SUM(n) OVER w AS BIGINT) AS sum7
+         |FROM daily
+         |WINDOW w AS (PARTITION BY user_id ORDER BY day
+         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, day""".stripMargin
+  )
+}

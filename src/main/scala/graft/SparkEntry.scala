@@ -20,7 +20,8 @@ object SparkEntry {
       Queries2.sparkQueries ++ Queries3.sparkQueries ++
       Queries4.sparkQueries ++ Queries5.sparkQueries ++
       Queries6.sparkQueries ++ Queries7.sparkQueries ++
-      Queries8.sparkQueries ++ Queries9.sparkQueries
+      Queries8.sparkQueries ++ Queries9.sparkQueries ++
+      Queries10.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,5 @@ object SparkEntry {
       Queries2.oracleSql ++ Queries3.oracleSql ++
       Queries4.oracleSql ++ Queries5.oracleSql ++
       Queries6.oracleSql ++ Queries7.oracleSql ++
-      Queries8.oracleSql ++ Queries9.oracleSql
+      Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql
 }
