@@ -38,7 +38,11 @@ object Queries10 {
     // shuffle beyond the daily agg), missing days zero-filled, with the
     // last active day carried forward (running last(ignoreNulls))
     "q77_gapfill" -> ((s, d) => {
-      val dl = daily(s, d)
+      // localCheckpoint: the daily agg feeds both the span/grid side and
+      // the fill join — without it the RAW events scan runs twice (at
+      // 100 TB the agg output is |users|·|days| rows, the scan is the
+      // dominant cost; same pattern as Corpus.unigramLogProb's vocab)
+      val dl = daily(s, d).localCheckpoint()
       val grid = dl.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
@@ -54,6 +58,49 @@ object Queries10 {
         .select(col("user_id"), col("day"), col("n_events"),
                 col("last_active"), col("days_since_active"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // key-skew diagnosis report: the pre-flight check before choosing a
+    // join strategy (salting? AQE skew hints?) — per-key counts, exact
+    // count percentiles, and the max/mean skew ratio in one row. Two
+    // aggregations (key counts, then count stats); at 100 TB swap the
+    // exact percentile for approx_percentile — same report, sketch-sized
+    // memory
+    "q79_skew_report" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_per_key"),
+          round(avg(col("cnt")), 4).as("mean_per_key"),
+          expr("percentile(cnt, 0.5)").as("p50"),
+          expr("percentile(cnt, 0.9)").as("p90"),
+          expr("percentile(cnt, 0.99)").as("p99"))
+        .withColumn("skew_ratio",
+          round(col("max_per_key") /
+                (col("total_rows").cast("double") /
+                 col("n_keys").cast("double")), 4))),
+
+    // TPC-H Q10 shape (returned-item reporting): which customers drove
+    // returned revenue — fact join with an early selective filter
+    // (returnflag pushed to the scan), dimension broadcast, top 20 by
+    // exact decimal revenue with a key tiebreak for determinism
+    "q80_tpch10" -> ((s, d) => {
+      val D = "decimal(12,2)"
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d),
+              col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+              col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d),
+              col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(D) *
+                 (lit(1).cast(D) - col("l_discount").cast(D)))
+               .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }),
 
     // trailing-7-row rolling stats per user: exact median (integer
@@ -133,6 +180,36 @@ object Queries10 {
          |  CAST(date_diff('day', last_active, day) AS INT)
          |    AS days_since_active
          |FROM ff ORDER BY user_id, day""".stripMargin,
+
+    "q79_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY l_orderkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+        |  round(AVG(cnt), 4) AS mean_per_key,
+        |  quantile_cont(cnt, 0.5) AS p50,
+        |  quantile_cont(cnt, 0.9) AS p90,
+        |  quantile_cont(cnt, 0.99) AS p99,
+        |  round(CAST(MAX(cnt) AS DOUBLE) /
+        |        (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 4)
+        |    AS skew_ratio
+        |FROM c""".stripMargin,
+
+    "q80_tpch10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(12,2)) -
+        |            CAST(l_discount AS DECIMAL(12,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY c.c_custkey, c.c_name, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q78_rolling_stats" ->
       s"""WITH $DailyCte

@@ -45,19 +45,22 @@ object Graph {
                          col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint() // reused every round — never recompute upstream
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
+    // fold the out-degree INTO the edge table once (src, dst, d) — each
+    // round is then ONE join + ONE aggregation instead of two joins
+    // (the same shuffle-per-round cut as connectedComponents' self-loop
+    // fold); checkpointed so no round recomputes the upstream distinct
+    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")),
+                    "src")
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
     val teleport = (15L * (Prec / n)) / 100L
     var pr = nodes.withColumn("pr", lit(Prec / n))
     for (_ <- 0 until iters) {
-      val contrib = e.join(pr, col("src") === col("node")).drop("node")
-        .join(outdeg, "src")
+      val contrib = ed.join(pr, col("src") === col("node")).drop("node")
         .select(col("dst").as("node"), expr("pr DIV d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       pr = nodes.join(contrib, Seq("node"), "left")
