@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source layer: validated scans with explicit schemas and projection.
@@ -52,6 +53,24 @@ object Extractor {
   def readOrc(spark: SparkSession, path: String,
               columns: Seq[String] = Nil): DataFrame =
     project(spark.read.orc(path), columns)
+
+  /** Raw binary-file scan (`binaryFile` format) — the multimodal
+    * ingestion front door: each file becomes one row of (path,
+    * modificationTime, length, content binary), ready for
+    * [[graft.operators.Multimodal]]'s decode/metadata stages. `pathGlob`
+    * filters at the LISTING level (pushed as `pathGlobFilter`), so
+    * non-matching files are never opened; `maxBytes` guards against a
+    * stray multi-GB file OOMing an executor task (binaryFile loads each
+    * file whole — that is its contract; shard huge media server-side).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      pathGlob: Option[String] = None,
+                      maxBytes: Long = 512L * 1024 * 1024): DataFrame = {
+    val base = spark.read.format("binaryFile")
+    val withGlob = pathGlob.fold(base)(g => base.option("pathGlobFilter", g))
+    val df = withGlob.load(path)
+    df.filter(col("length") <= maxBytes)
+  }
 
   /** JDBC table scan — the reference README muses about a Postgres source
     * for TB scale (reference `README:38`, never implemented there); this is

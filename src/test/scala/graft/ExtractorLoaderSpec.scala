@@ -144,4 +144,28 @@ class ExtractorLoaderSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:bigint,grp:int>"),
       s"schema not pruned:\n$plan")
   }
+
+  test("binaryFile ingestion: glob filter, size guard, content bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("a.png", Array[Byte](0x50, 0x4e, 0x47, 1, 2, 3))
+    put("b.png", Array.fill[Byte](64)(7))
+    put("skip.txt", "not media".getBytes)
+    val all = Extractor.readBinaryFiles(spark, dir.toString,
+                                        pathGlob = Some("*.png"))
+    val rows = all.select("path", "length", "content")
+      .collect().map(r => (new java.io.File(r.getString(0)).getName,
+                           r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1).toSeq
+    assert(rows.map(_._1) == Seq("a.png", "b.png"), "glob must exclude .txt")
+    assert(rows.head._2 == 6L &&
+           rows.head._3.toSeq == Seq[Byte](0x50, 0x4e, 0x47, 1, 2, 3))
+    // the size guard drops files ABOVE the cap, keeps those at/below it
+    val capped = Extractor.readBinaryFiles(spark, dir.toString,
+                                           pathGlob = Some("*.png"),
+                                           maxBytes = 6L)
+    assert(capped.select("path").collect().map(_.getString(0))
+      .map(p => new java.io.File(p).getName).toSeq == Seq("a.png"))
+  }
 }
