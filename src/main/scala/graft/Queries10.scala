@@ -103,6 +103,48 @@ object Queries10 {
         .limit(20)
     }),
 
+    // equi-width histogram of order totals: values ride EXACT integer
+    // cents (decimal→long) so bucket boundaries have no float edge
+    // cases; one map-side-combining shuffle on the bucket id. The
+    // data-profiling companion to q61/q79
+    "q82_histogram" -> ((s, d) => {
+      val width = 50000L // 500.00 per bucket, in cents
+      // NB: DIV truncates toward zero — exact for this data (all totals
+      // positive, q76 pins it); a signed-value histogram needs
+      // floor-division bucketing on both engine and oracle sides
+      Tables.orders(s, d)
+        .select((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+        .select(expr(s"cents DIV $width").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"),
+                (col("bucket") * width).as("lo_cents"),
+                ((col("bucket") + 1) * width).as("hi_cents"),
+                col("cnt"))
+        .orderBy(col("bucket"))
+    }),
+
+    // event-type transition counts (first-order Markov): each user's
+    // time-ordered event stream yields (from, to) bigram counts — one
+    // user-keyed window pass + one pair-keyed aggregation; transition
+    // probability in exact ppm (integer division, no float boundary)
+    "q83_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+                 col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w2 = Window.partitionBy(col("from_type"))
+      pairs
+        .withColumn("from_total", sum(col("cnt")).over(w2))
+        .select(col("from_type"), col("to_type"), col("cnt"),
+                expr("cnt * 1000000 DIV from_total").as("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // trailing-7-row rolling stats per user: exact median (integer
     // counts interpolate exactly in double), max, and sum — one shuffle
     // on the user key, single window pass
@@ -210,6 +252,30 @@ object Queries10 {
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q82_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT cents // 50000 AS bucket FROM c)
+        |SELECT bucket, CAST(bucket * 50000 AS BIGINT) AS lo_cents,
+        |  CAST((bucket + 1) * 50000 AS BIGINT) AS hi_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q83_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM p WHERE to_type IS NOT NULL
+        |      GROUP BY from_type, to_type),
+        |t AS (SELECT *, SUM(cnt) OVER (PARTITION BY from_type)
+        |        AS from_total FROM c)
+        |SELECT from_type, to_type, cnt,
+        |  CAST(cnt * 1000000 // from_total AS BIGINT) AS p_ppm
+        |FROM t ORDER BY from_type, to_type""".stripMargin,
 
     "q78_rolling_stats" ->
       s"""WITH $DailyCte

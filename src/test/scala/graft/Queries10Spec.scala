@@ -94,6 +94,39 @@ class Queries10Spec extends SparkSpec {
       (Date.valueOf("2024-01-04"), 1L, 0)))
   }
 
+  test("transition counts and ppm probabilities on a hand stream") {
+    // user 1: view -> click -> view -> click ; user 2: view -> buy
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 10:01:00", 7L, "click"),
+      (3L, "2024-01-01 10:02:00", 7L, "view"),
+      (4L, "2024-01-01 10:03:00", 7L, "click"),
+      (5L, "2024-01-01 10:00:00", 8L, "view"),
+      (6L, "2024-01-01 10:05:00", 8L, "buy"))
+      .map { case (id, t, u, ty) =>
+        (id, Timestamp.valueOf(t), u, ty) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+               col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    val out = pairs.withColumn("from_total", sum(col("cnt")).over(w2))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+              expr("cnt * 1000000 DIV from_total").as("p_ppm"))
+      .orderBy(col("from_type"), col("to_type"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("click", "view", 1L, 1000000L),      // click always followed by view
+      ("view", "buy", 1L, 333333L),          // 1/3 truncated ppm
+      ("view", "click", 2L, 666666L)))       // 2/3 truncated ppm
+  }
+
   test("rolling 7-row median interpolates exactly on integer counts") {
     val daily = (1 to 8).map(i =>
       (1L, Date.valueOf(f"2024-01-0$i"), i.toLong))
