@@ -12,6 +12,9 @@ import graft.operators.Graph
 object Queries10 {
   import Queries.Q
 
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
   /** Per-(user, day) activity counts — the shared time-series base. */
   private def daily(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
@@ -102,6 +105,26 @@ object Queries10 {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+
+    // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    // top-k by u^(1/w) ⟺ by ln(u)/w, with u a deterministic content-hash
+    // uniform — the training-data-mixing sampler (docs ∝ length here;
+    // swap any quality weight). u's 52 hash bits are exact in double;
+    // ln is rounded to 6 dp before ranking (the t09 determinism trick)
+    // with an id tiebreak. Plan = scan + per-partition top-k merge
+    // (TakeOrderedAndProject) — no full sort, no shuffle of the corpus
+    "q81_weighted_sample" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("h",
+          md5(concat(lit("ws:"), col("doc_id").cast("string"))))
+        .withColumn("u",
+          (expr("CAST(conv(substring(h, 1, 13), 16, 10) AS BIGINT)") + 1)
+            .cast("double") / lit(4503599627370496.0))
+        .withColumn("es_key",
+          round(log(col("u")) / col("n_chars").cast("double"), 6))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"), col("es_key"))),
 
     // equi-width histogram of order totals: values ride EXACT integer
     // cents (decimal→long) so bucket boundaries have no float edge
@@ -252,6 +275,19 @@ object Queries10 {
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q81_weighted_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id, n_chars,
+        |    md5('ws:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |        round(ln((CAST('0x' || substr(h, 1, 13) AS BIGINT) + 1)
+        |                 / 4503599627370496.0)
+        |              / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |      FROM x)
+        |SELECT doc_id, n_chars, es_key
+        |FROM k ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
 
     "q82_histogram" ->
       """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
