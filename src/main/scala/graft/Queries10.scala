@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Graph
+import graft.streaming.Streams
 
 /** Round-4 queries, part 3: graph analytics (fixed-point PageRank) and
   * the time-series family (calendar gap-fill with forward fill, rolling
@@ -104,6 +105,19 @@ object Queries10 {
                .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // left-outer stream-stream interval join: e05's attribution with the
+    // UNMATCHED purchases kept as null-padded rows — in streaming these
+    // emit only once the watermark proves no qualifying click can still
+    // arrive (parity + emission timing pinned in StreamingSpec)
+    "e11_interval_left" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Streams.clickAttribution(
+          purchases = ev.filter(col("event_type") === "purchase"),
+          clicks = ev.filter(col("event_type") === "click"),
+          attributionWindow = "1 hour", joinType = "left_outer")
+        .orderBy(col("purchase_id"), col("click_id"))
     }),
 
     // weighted sampling without replacement (Efraimidis–Spirakis A-ES):
@@ -275,6 +289,15 @@ object Queries10 {
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "e11_interval_left" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  c.event_id AS click_id, c.ts AS c_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
 
     "q81_weighted_sample" ->
       """WITH x AS (

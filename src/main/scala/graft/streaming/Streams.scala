@@ -85,7 +85,15 @@ object Streams {
     */
   def clickAttribution(purchases: DataFrame, clicks: DataFrame,
                        attributionWindow: String = "1 hour",
-                       watermark: String = "2 hours"): DataFrame = {
+                       watermark: String = "2 hours",
+                       joinType: String = "inner"): DataFrame = {
+    // left_outer: purchases with NO qualifying click survive with null
+    // click columns — in streaming Spark holds them back until the
+    // watermark proves no matching click can still arrive, THEN emits
+    // the null-padded row (the correctness property that makes outer
+    // stream-stream joins need both watermarks + the time bound)
+    require(Set("inner", "left_outer")(joinType),
+      s"clickAttribution: unsupported joinType $joinType")
     val p0 = if (purchases.isStreaming)
       purchases.withWatermark("ts", watermark) else purchases
     val c0 = if (clicks.isStreaming)
@@ -97,7 +105,8 @@ object Streams {
     p.join(c,
         col("user_id") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow") &&
-        col("c_ts") <= col("p_ts"))
+        col("c_ts") <= col("p_ts"),
+        joinType)
       .select(col("purchase_id"), col("user_id"), col("click_id"),
               col("c_ts"))
   }

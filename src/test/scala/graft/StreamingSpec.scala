@@ -375,4 +375,42 @@ class StreamingSpec extends SparkSpec {
       assert(got.get("2024-01-01 13:00:00") == Some(1L))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits unmatched purchases only after watermark") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Streams.Event]
+    val clicks = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String, u: Long, ty: String) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), u, ty, 1.0)
+    val q = Streams.clickAttribution(
+        purchases.toDS().toDF(), clicks.toDS().toDF(),
+        attributionWindow = "1 hour", watermark = "10 minutes",
+        joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_left").start()
+    try {
+      // user 1's purchase has a qualifying click; user 2's has none
+      purchases.addData(ev(10, "2024-01-01 10:00:00", 1, "purchase"),
+                        ev(20, "2024-01-01 10:00:00", 2, "purchase"))
+      clicks.addData(ev(11, "2024-01-01 09:30:00", 1, "click"))
+      q.processAllAvailable()
+      val early = spark.table("ssj_left").collect()
+      // the unmatched purchase must NOT be out yet: a qualifying click
+      // could still arrive until the watermark passes 10:00
+      assert(!early.exists(_.getLong(0) == 20L),
+        s"unmatched purchase emitted before the watermark proved it: " +
+        s"${early.toSeq}")
+      // advance both watermarks well past 10:00 + window
+      purchases.addData(ev(90, "2024-01-01 12:00:00", 9, "purchase"))
+      clicks.addData(ev(91, "2024-01-01 12:00:00", 9, "click"))
+      q.processAllAvailable()
+      val got = spark.table("ssj_left").collect()
+        .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString)))
+        .toSet
+      assert(got.contains((10L, Some("11"))), s"matched pair missing: $got")
+      assert(got.contains((20L, None)),
+        s"unmatched purchase never emitted null-padded: $got")
+    } finally q.stop()
+  }
 }
