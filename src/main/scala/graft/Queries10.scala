@@ -107,6 +107,64 @@ object Queries10 {
         .limit(20)
     }),
 
+    // RFM customer segmentation: recency/frequency/monetary per customer
+    // with quintile scores — counts and datediffs are exact integers,
+    // monetary rides exact decimal, and every ntile has a customer-key
+    // tiebreak, so segment boundaries are reproducible. One shuffle on
+    // the customer key + one broadcast of the single-row reference date
+    "q84_rfm" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val ref = o.agg(max(col("o_orderdate")).as("ref_date"))
+      val base = o.groupBy(col("o_custkey")).agg(
+          max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("m_dec"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("ref_date"), col("last_order")).as("recency_days"),
+          col("frequency"), col("m_dec"))
+      // global ntile = single-partition sort (3×, one per dimension) —
+      // exact quintiles for the sf-test form; at 100 TB customers cut on
+      // approx_percentile boundaries instead (the qualityFilter pattern)
+      def score(order: org.apache.spark.sql.Column) = ntile(5).over(
+        Window.orderBy(order, col("o_custkey")))
+      base
+        .withColumn("r_score", score(col("recency_days").asc))
+        .withColumn("f_score", score(col("frequency").desc))
+        .withColumn("m_score", score(col("m_dec").desc))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+                col("m_dec").cast("double").as("monetary"),
+                col("r_score"), col("f_score"), col("m_score"),
+                (col("r_score") * 100 + col("f_score") * 10 +
+                 col("m_score")).as("rfm"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // cohort retention matrix: users cohorted by first-activity week,
+    // retention = share of the cohort active k weeks later, in exact
+    // ppm. Two aggregations (per-user first week, then per-(cohort,
+    // offset) distinct users) — the standard growth-analytics query
+    "q85_cohort_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val weekly = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      val cohorts = weekly.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      weekly.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          expr("datediff(week, cohort_week) DIV 7").as("weeks_since"))
+        .groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count(lit(1)).as("retained"))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("weeks_since"), col("retained"),
+                col("cohort_size"),
+                expr("retained * 1000000 DIV cohort_size").as("pct_ppm"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    }),
+
     // left-outer stream-stream interval join: e05's attribution with the
     // UNMATCHED purchases kept as null-padded rows — in streaming these
     // emit only once the watermark proves no qualifying click can still
@@ -289,6 +347,54 @@ object Queries10 {
         |GROUP BY c.c_custkey, c.c_name, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q84_rfm" ->
+      """WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+        |b AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |                   CAST(ref.ref_date AS DATE)) AS INT)
+        |      AS recency_days,
+        |    CAST(COUNT(*) AS BIGINT) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m_dec
+        |  FROM orders CROSS JOIN ref
+        |  GROUP BY o_custkey, ref.ref_date),
+        |sc AS (
+        |  SELECT o_custkey, recency_days, frequency,
+        |    CAST(m_dec AS DOUBLE) AS monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey)
+        |      AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey)
+        |      AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m_dec DESC, o_custkey)
+        |      AS INT) AS m_score
+        |  FROM b)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS rfm
+        |FROM sc ORDER BY o_custkey""".stripMargin,
+
+    "q85_cohort_retention" ->
+      """WITH weekly AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+        |            FROM weekly GROUP BY user_id),
+        |sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT)
+        |            AS cohort_size
+        |          FROM cohorts GROUP BY cohort_week),
+        |r AS (
+        |  SELECT c.cohort_week,
+        |    CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+        |      AS weeks_since,
+        |    CAST(COUNT(*) AS BIGINT) AS retained
+        |  FROM weekly w JOIN cohorts c ON w.user_id = c.user_id
+        |  GROUP BY c.cohort_week, weeks_since)
+        |SELECT r.cohort_week, r.weeks_since, r.retained, s.cohort_size,
+        |  CAST(r.retained * 1000000 // s.cohort_size AS BIGINT) AS pct_ppm
+        |FROM r JOIN sizes s ON r.cohort_week = s.cohort_week
+        |ORDER BY r.cohort_week, r.weeks_since""".stripMargin,
 
     "e11_interval_left" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
