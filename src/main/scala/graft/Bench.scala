@@ -33,7 +33,9 @@ object Bench {
     "s06_kmeans_clusters", "q76_expectations", "t15_perplexity_buckets",
     "q74_anomaly",
     // iterative graph rounds + the time-series window family
-    "g01_pagerank", "q78_rolling_stats")
+    "g01_pagerank", "q78_rolling_stats",
+    // customer analytics (3 global quintile sorts) + outer interval join
+    "q84_rfm", "e11_interval_left")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,6 +33,11 @@ object Expectations {
     * aggregate, so the report needs no second scan. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Expectations.check: no rules")
+    // the unpivot goes through a map literal — a duplicate rule name
+    // would silently drop a rule's count instead of reporting it
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"Expectations.check: duplicate rule names in " +
+      rules.map(_.name).mkString(", "))
     val aggs = rules.map(r =>
       sum(when(coalesce(r.violated, lit(true)), 1L).otherwise(0L))
         .as(r.name)) :+ count(lit(1)).as("__total")
