@@ -159,4 +159,59 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"seed $seed gap $gapMin: ${got.diff(expected)} / ${expected.diff(got)}")
     }
   }
+
+  test("fuzzyPairs == brute force restricted to shared blocks (random names)") {
+    import graft.operators.Entity
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 31L)
+      val adjs = Seq("red", "blue", "old", "cold", "bold", "gold")
+      val nouns = Seq("gear", "bolt", "ring", "rod")
+      val rows = (1 to 60).map { i =>
+        (i.toLong, s"${adjs(rnd.nextInt(adjs.size))} ${nouns(rnd.nextInt(nouns.size))}")
+      }
+      val got = Entity.fuzzyPairs(rows.toDF("id", "name"), "name", "id",
+                                  Entity.lastTokenBlock, maxDist = 2)
+        .select("name_a", "name_b", "dist")
+        .as[(String, String, Int)].collect().toSet
+      // reference: all distinct-name pairs sharing the last token, with
+      // a driver-side Levenshtein
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = Seq(d(i - 1)(j) + 1, d(i)(j - 1) + 1,
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)).min
+        d(a.length)(b.length)
+      }
+      val names = rows.map(_._2).distinct
+      val expected = (for {
+        a <- names; b <- names
+        if a < b && a.split(' ').last == b.split(' ').last
+        dist = lev(a, b) if dist <= 2
+      } yield (a, b, dist)).toSet
+      assert(got == expected, s"seed $seed: ${got.diff(expected)} / ${expected.diff(got)}")
+    }
+  }
+
+  test("transition counts conserve per-user event mass on random streams") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 13L)
+      val types = Seq("view", "click", "buy", "error")
+      val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+      val ev = (1 to 200).map { i =>
+        (i.toLong, new Timestamp(base + rnd.nextInt(100000) * 1000L),
+         rnd.nextInt(9).toLong, types(rnd.nextInt(types.size)))
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val pairs = ev.withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("cnt"))
+      val totalTransitions = pairs.agg(sum($"cnt")).as[Long].head()
+      // invariant: Σ transitions = Σ_users (n_events(user) − 1)
+      val expected = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .agg(sum($"n" - 1)).as[Long].head()
+      assert(totalTransitions == expected, s"seed $seed")
+    }
+  }
 }
