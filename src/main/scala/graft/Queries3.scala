@@ -359,7 +359,7 @@ object Queries3 {
   // single source of truth for pair semantics: the same CTE chain the
   // d02/d03 oracles use (ExtensionQueries.jaccardCtes) — the cluster
   // oracles stay valid by construction when shingle params change
-  private val jaccardPairsSql: String =
+  private[graft] val jaccardPairsSql: String =
     s"""WITH ${ExtensionQueries.jaccardCtes}
        |SELECT id_a, id_b FROM j WHERE jac >= 0.7""".stripMargin
 

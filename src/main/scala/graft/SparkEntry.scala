@@ -21,7 +21,7 @@ object SparkEntry {
       Queries4.sparkQueries ++ Queries5.sparkQueries ++
       Queries6.sparkQueries ++ Queries7.sparkQueries ++
       Queries8.sparkQueries ++ Queries9.sparkQueries ++
-      Queries10.sparkQueries
+      Queries10.sparkQueries ++ Queries11.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,6 @@ object SparkEntry {
       Queries2.oracleSql ++ Queries3.oracleSql ++
       Queries4.oracleSql ++ Queries5.oracleSql ++
       Queries6.oracleSql ++ Queries7.oracleSql ++
-      Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql
+      Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++
+      Queries11.oracleSql
 }

@@ -388,4 +388,111 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("mean_neg_logp_micro"),
               col("bucket"), col("tier"))
   }
+
+  /** Group-balanced mixture sampling: downsample every group (language,
+    * source, ...) toward a common per-group target in expectation —
+    * the "rebalance the training mixture" step of a multilingual corpus
+    * build. Default target = the size of the SMALLEST group. Selection
+    * is a deterministic content-hash Bernoulli (the q50 sampler) against
+    * a per-group rate in exact ppm, so the sample is reproducible across
+    * runs, engines, and partitionings — no RNG state anywhere.
+    *
+    * Scale: two tiny aggregations (group counts; their min) broadcast
+    * back onto a single corpus scan; the accept/reject decision is a
+    * map-side integer compare, so the corpus itself never shuffles.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    targetPerGroup: Option[Long] = None): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+    val withTarget = targetPerGroup match {
+      case Some(t) => counts.withColumn("target", lit(t))
+      case None =>
+        counts.crossJoin(broadcast(counts.agg(min(col("n_grp")).as("target"))))
+    }
+    // integer ppm rate: no float boundary can flip a document in or out
+    val rates = withTarget.select(col(groupCol),
+      least(lit(1000000L), expr("target * 1000000 DIV n_grp")).as("rate_ppm"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("u24",
+        expr(s"CAST(conv(substring(md5(concat('mix:', " +
+             s"CAST($idCol AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .filter(expr("u24 * 1000000 DIV 16777216") < col("rate_ppm"))
+      .select(col(idCol), col(groupCol), col("rate_ppm"))
+  }
+
+  /** Bigram collocations by pointwise mutual information over the whole
+    * corpus — the phrase-mining / tokenizer-merge-candidate primitive.
+    * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) ), computed from exact corpus
+    * counts and rounded to 6 dp (with a (w1, w2) tiebreak) so the
+    * ranking is reproducible. `minCount` suppresses noise pairs.
+    *
+    * Scale: two corpus scans (unigram explode, bigram explode via
+    * zip_with — no self-join, no window); every join after that is on
+    * vocabulary-sized sides (broadcast), and the two totals are
+    * single-row crosses. Counts combine map-side, so the shuffles carry
+    * at most |vocab| and |vocab|² rows regardless of corpus size.
+    */
+  def bigramPmi(df: DataFrame, textCol: String,
+                minCount: Long = 20, topK: Int = 50): DataFrame = {
+    val w = words(col(textCol))
+    val toks = df.select(explode(w).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // adjacent pairs without a shuffle: zip the token array with itself
+    // shifted by one (slice is empty-safe via greatest(len-1, 0))
+    val len1 = greatest(size(w) - 1, lit(0))
+    val bigrams = df.select(explode(zip_with(
+      slice(w, lit(1), len1), slice(w, lit(2), len1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+    val bi = bigrams.select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val nBi = bigrams.agg(count(lit(1)).as("n_bi"))
+    val u1 = uni.select(col("tok").as("w1"), col("c1").as("c_w1"))
+    val u2 = uni.select(col("tok").as("w2"), col("c1").as("c_w2"))
+    bi.filter(col("c2") >= minCount)
+      .join(broadcast(u1), Seq("w1"))
+      .join(broadcast(u2), Seq("w2"))
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nTok))
+      // division order mirrored verbatim in the DuckDB oracle — PMI is
+      // the one double here, and both engines run the same IEEE754 ops
+      .withColumn("pmi", round(log(
+        (col("c2").cast("double") / col("n_bi")) /
+          ((col("c_w1").cast("double") / col("n_tok")) *
+           (col("c_w2").cast("double") / col("n_tok")))), 6))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c2"), col("c_w1"), col("c_w2"),
+              col("pmi"))
+  }
+
+  /** Contamination REPORT: for each corpus document, the fraction of its
+    * distinct word n-gram shingles that appear anywhere in the benchmark
+    * set — [[decontaminate]]'s boolean upgraded to a ranked severity
+    * score (exact ppm), the form an eval-leakage audit actually wants.
+    *
+    * Scale: per-document shingle sets are deduplicated INSIDE the array
+    * (array_distinct before explode — no extra shuffle); the benchmark
+    * side collapses to a broadcast distinct-shingle set; the single
+    * aggregation shuffle carries one row per (doc, distinct shingle).
+    * The corpus is never self-joined. A fixed threshold on frac_ppm
+    * then drives the actual drop decision.
+    */
+  def contaminationFraction(corpus: DataFrame, benchmark: DataFrame,
+                            textCol: String, idCol: String,
+                            n: Int): DataFrame = {
+    def shingled(df: DataFrame) = df.select(
+      col(idCol),
+      explode(array_distinct(Expressions.word_shingles(
+        TextAnalysis.normalize(col(textCol)), n))).as("sh"))
+    val benchShingles = shingled(benchmark).select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    shingled(corpus)
+      .join(broadcast(benchShingles), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .select(col(idCol), col("n_shingles"), col("n_hit"),
+              expr("n_hit * 1000000 DIV n_shingles").as("frac_ppm"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Expressions
 
@@ -444,6 +445,30 @@ object Dedup {
     // no broadcast hint: on a heavily-duplicated corpus the drop set is a
     // large fraction of all ids — let AQE pick broadcast vs shuffle from
     // its actual runtime size
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[applyClusterDedup]] with a QUALITY-ranked representative: per
+    * transitive cluster keep the document maximizing `qualityCol`
+    * (id tiebreak) instead of the arbitrary min-id — the form a real
+    * curation pipeline wants (keep the longest / highest-scored copy,
+    * drop the rest). Unpaired documents always survive.
+    *
+    * Scale: identical shape to [[applyClusterDedup]] plus one window
+    * over the cluster members only (pairs-sized, tiny relative to the
+    * corpus — never the corpus itself); the final anti-join prunes the
+    * same way.
+    */
+  def applyClusterDedupBest(corpus: DataFrame, pairs: DataFrame,
+                            idCol: String, qualityCol: String): DataFrame = {
+    val members = connectedComponents(pairs)
+      .join(corpus.select(col(idCol).as("id"), col(qualityCol).as("__q")),
+            Seq("id"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__q").desc, col("id").asc)
+    val drop = members.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1)
+      .select(col("id").as(idCol))
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 

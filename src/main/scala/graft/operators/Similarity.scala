@@ -216,6 +216,52 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Two-stage retrieval: int8-quantized COARSE scoring over the full
+    * corpus, exact float cosine RERANK on the per-query top-`candidates`
+    * survivors — the classic quantize-then-refine ANN shape (IVF-PQ's
+    * little sibling). The coarse score is an exact INTEGER dot product of
+    * the [[graft.functions.Expressions.QuantizeInt8]] codes, so the
+    * candidate cut is bit-reproducible across engines (no float boundary
+    * decides who gets reranked); only candidates pay the double-precision
+    * cosine.
+    *
+    * Scale: the corpus streams once and never shuffles (queries
+    * broadcast, as in [[bruteForceTopK]]); both window passes share one
+    * partitioning on query_id, and WindowGroupLimit caps what reaches
+    * them at `candidates`/`k` rows per query per partition. In a stored
+    * deployment stage 1 reads ONLY the int8 codes (4× narrower scan, 4×
+    * cheaper multiplies) and stage 2 fetches float vectors for the
+    * ~candidates·|Q| survivors alone.
+    */
+  def refineTopK(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 candidates: Int = 25,
+                 excludeSelf: Boolean = true): DataFrame = {
+    def coded(df: DataFrame, idAs: String, vecAs: String, qAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+                Expressions.quantize_int8(col(vecCol))
+                  .getField("q").as(qAs))
+    val q = coded(queries, "query_id", "q_vec", "q_code")
+    val c = coded(corpus, "neighbor_id", "c_vec", "c_code")
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+    val coarse = joined.withColumn("score_i",
+      aggregate(zip_with(col("q_code"), col("c_code"), (x, y) => x * y),
+                lit(0L), (acc, x) => acc + x))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_i").desc, col("neighbor_id").asc)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    coarse
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= candidates)
+      .withColumn("cos", Expressions.cosine_sim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   /** Near-dup candidate pairs from LSH buckets, verified with exact cosine.
     * Multi-probe: `numTables` independent signatures (different seeds) are
     * OR-ed for recall; output = exact-cosine-verified pairs (no false
