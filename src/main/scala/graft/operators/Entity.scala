@@ -49,4 +49,52 @@ object Entity {
     * stable part; typos concentrate in the modifier). */
   def lastTokenBlock(name: Column): Column =
     element_at(split(name, " "), -1)
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995): sort
+    * records by a cheap sort key (here: a prefix of the normalized
+    * text), compare each record only with its next `window` neighbors in
+    * sort order, verify with `levenshtein(prefix, prefix) <= maxDist`.
+    * Complements [[fuzzyPairs]]' equality blocking: near-duplicates
+    * whose block keys differ slightly still land adjacent in sort order.
+    * Emits (id_a, id_b, dist) with id_a < id_b, each pair once.
+    *
+    * Pair generation is `lead()` over the sort — pair volume is exactly
+    * n·window, never n². The declared form uses ONE global sort (the
+    * same single-partition bar as q84's quintiles — fine to ~10⁸ rows);
+    * at 100 TB, range-partition on the sort key instead and run the same
+    * lead() within partitions — only pairs straddling a boundary are
+    * lost, and re-running with the window duplicated across boundaries
+    * (or a second pass on boundary slices) recovers them. Recall is
+    * bounded by the sort key either way; production unions several
+    * passes with different keys (same plan each).
+    */
+  def sortedNeighborPairs(df: DataFrame, textCol: String, idCol: String,
+                          window: Int = 2, maxDist: Int = 15,
+                          keyLen: Int = 8, cmpLen: Int = 40): DataFrame = {
+    require(window >= 1, s"sortedNeighborPairs: window $window < 1")
+    import org.apache.spark.sql.expressions.Window
+    val norm = TextAnalysis.normalize(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+                         substring(norm, 1, cmpLen).as("probe"))
+      .withColumn("skey", substring(col("probe"), 1, keyLen))
+    val w = Window.orderBy(col("skey"), col("id"))
+    // window expressions must be materialized before the explode — an
+    // explode(array(lead...)) in one select is rejected at analysis
+    val led = base.select(col("id") +: col("probe") +:
+      (1 to window).flatMap(i => Seq(
+        lead(col("id"), i).over(w).as(s"nid$i"),
+        lead(col("probe"), i).over(w).as(s"np$i"))): _*)
+    led
+      .withColumn("nbr", explode(array((1 to window).map(i => struct(
+        col(s"nid$i").as("nid"), col(s"np$i").as("nprobe"))): _*)))
+      .filter(col("nbr.nid").isNotNull)
+      .withColumn("dist", levenshtein(col("probe"), col("nbr.nprobe")))
+      .filter(col("dist") <= maxDist)
+      // each unordered pair arises from exactly one (row, offset) in the
+      // sort, so no dedup shuffle is needed; least/greatest only
+      // normalizes the output orientation
+      .select(least(col("id"), col("nbr.nid")).as("id_a"),
+              greatest(col("id"), col("nbr.nid")).as("id_b"),
+              col("dist"))
+  }
 }

@@ -71,4 +71,36 @@ object Graph {
     }
     pr.select(col("node"), col("pr").as("pr_pico"))
   }
+
+  /** Per-node triangle participation over an undirected graph — the
+    * clustering-coefficient / community-density primitive. Input edges
+    * are normalized to (a < b) and deduplicated; each triangle
+    * {a < b < c} is enumerated exactly once by the two-join wedge-close
+    * pattern (e(a,b) ⋈ e(b,c) ⋈ e(a,c)), then credited to all three
+    * corners. Output: (node, n_triangles), nodes in ≥1 triangle only.
+    *
+    * Scale: both joins are equi-joins on a single node key — never
+    * all-pairs. Id-ordering bounds the wedge count by Σ deg_out² under
+    * the id orientation; at 100 TB with heavy hubs, orient edges by
+    * DEGREE instead (low-degree → high-degree endpoint first), which
+    * caps out-degree at O(√|E|) and makes the wedge stage near-linear
+    * (Schank & Wagner 2005) — a two-line change to the `norm` select
+    * (join in the degree table and order by (deg, id)); the output is
+    * identical, only intermediate sizes change.
+    */
+  def triangleParticipation(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // scanned three times below — compute once
+    val tri = norm
+      .join(norm.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(norm.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

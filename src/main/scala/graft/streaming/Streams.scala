@@ -151,6 +151,49 @@ object Streams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
+  case class LatestState(ts: java.sql.Timestamp, event_id: Long,
+                         value: Double)
+  case class LatestOut(user_id: Long, last_ts: java.sql.Timestamp,
+                       last_event_id: Long, last_value: Double)
+
+  /** Stream-maintained latest-value-per-key materialized view: for each
+    * user, the value of their most recent event by (ts, event_id) — the
+    * streaming twin of the batch row_number-desc-≤-1 "latest per key"
+    * (q44's shape). Late or out-of-order events NEVER regress the view:
+    * the state keeps the max (ts, event_id) seen, so an event older than
+    * the current latest is ignored whichever micro-batch it arrives in.
+    *
+    * Update-mode semantics: each micro-batch emits a refreshed row for
+    * every key it touched (a true materialized view — downstream sinks
+    * upsert on user_id). Bounded state: ONE (ts, id, value) triple per
+    * key, |keys|-bounded regardless of event volume; no timeout, because
+    * a view over all keys is precisely the contract (evicting would
+    * forget the latest value). Batch mode runs the identical merge per
+    * key and emits once.
+    */
+  def latestPerKey(events: Dataset[Event])
+                  (implicit spark: SparkSession): Dataset[LatestOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[LatestState]) =>
+          // fold, don't sort: one pass, O(1) memory per key even when a
+          // hot key contributes millions of rows to a micro-batch.
+          // Timestamp.compareTo keeps full nanosecond precision — a
+          // getTime-based compare would collapse micros to millis
+          var cur = state.getOption.orNull
+          for (e <- rows) {
+            val cmp = if (cur == null) 1 else e.ts.compareTo(cur.ts)
+            if (cur == null || cmp > 0 ||
+                (cmp == 0 && e.event_id > cur.event_id))
+              cur = LatestState(e.ts, e.event_id, e.value)
+          }
+          state.update(cur)
+          Iterator.single(LatestOut(userId, cur.ts, cur.event_id, cur.value))
+      }
+  }
+
   case class QuotaKey(user_id: Long, window_ms: Long)
   case class QuotaOut(event_id: Long, user_id: Long,
                       window_start: java.sql.Timestamp, rn: Long)
