@@ -35,7 +35,14 @@ object Bench {
     // iterative graph rounds + the time-series window family
     "g01_pagerank", "q78_rolling_stats",
     // customer analytics (3 global quintile sorts) + outer interval join
-    "q84_rfm", "e11_interval_left")
+    "q84_rfm", "e11_interval_left",
+    // round-4 part 3: CDC diff (one full-outer shuffle), order-bounded
+    // co-purchase self-join, corpus-count collocations, contamination
+    // report, quality-ranked cluster dedup, int8-coarse two-stage ANN,
+    // wedge-close triangles, gaps-and-islands streaks
+    "q86_snapshot_diff", "q91_copurchase", "t17_bigram_pmi",
+    "t18_contamination_frac", "d16_cluster_best", "s07_ann_refine",
+    "g02_triangles", "q92_streaks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
