@@ -466,6 +466,57 @@ object Corpus {
               col("pmi"))
   }
 
+  /** BM25 scoring of the corpus against a fixed term set — the classic
+    * lexical-retrieval ranking (Robertson–Spärck Jones; Lucene's
+    * `+1`-smoothed idf form so idf stays positive even when a term hits
+    * most documents). Builds on the same exact corpus counts as
+    * [[tfidfTopTerms]].
+    *
+    * Scale: ONE corpus scan computes per-doc length and each term's tf
+    * as fixed conditional columns (the term set is query-sized, not
+    * vocabulary-sized — tf lives in columns, not rows, so no explode
+    * and no (doc, term) shuffle at all); corpus statistics (N, Σdl,
+    * df_t) are ONE single-row aggregate broadcast back. The per-doc
+    * score is a fixed expression chain — deterministic, no float
+    * reduction order anywhere. Top-k via TakeOrderedAndProject.
+    */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                 topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: empty term set")
+    val base = df.select(col(idCol), words(col(textCol)).as("ws"))
+      .select(col(idCol) +: size(col("ws")).as("dl") +:
+        terms.indices.map(i =>
+          size(filter(col("ws"), x => x === lit(terms(i)))).as(s"tf_$i")): _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i").cast("double")
+      val dfT = col(s"df_$i")
+      val idf = log(((col("n_docs") - dfT + lit(0.5)) /
+                     (dfT + lit(0.5))) + lit(1.0))
+      // derived constants stay as literal ARITHMETIC (k1+1, 1-b), never
+      // pre-folded in Scala — the oracle writes the same literals and
+      // both engines fold them to the identical double
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * ((lit(1.0) - lit(b)) +
+          lit(b) * (col("dl").cast("double") / avgdl)))
+    }
+    base.crossJoin(broadcast(stats))
+      // fixed left-to-right addition chain — mirrored verbatim in the
+      // oracle, so the double result is bit-identical
+      .withColumn("score",
+        round(terms.indices.map(termScore).reduce(_ + _), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("dl").cast("long").as("dl"), col("score"))
+  }
+
   /** Contamination REPORT: for each corpus document, the fraction of its
     * distinct word n-gram shingles that appear anywhere in the benchmark
     * set — [[decontaminate]]'s boolean upgraded to a ranked severity

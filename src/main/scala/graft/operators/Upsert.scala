@@ -42,6 +42,36 @@ object Upsert {
     }: _*)
   }
 
+  /** CDC apply — [[upsert]] extended with row-level DELETES: `changes`
+    * carries the target schema plus an `opCol` of 'U' (insert-or-update)
+    * or 'D' (delete). Result = target with D keys removed and U rows
+    * upserted; the inverse of [[Snapshot.diff]] (apply(old, diff-as-cdc)
+    * reconstructs the new snapshot — pinned as a property test).
+    *
+    * Still ONE full-outer shuffle on the key: the delete is a filter on
+    * the joined row, not a second anti-join pass. Change streams at
+    * 100 TB are tiny next to the snapshot — AQE will broadcast the
+    * change side and the snapshot never shuffles at all.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, key: String,
+               opCol: String = "op"): DataFrame = {
+    val dataCols = target.columns.toIndexedSeq.filterNot(_ == key)
+    require(changes.columns.sorted.sameElements(
+        (target.columns :+ opCol).sorted),
+      s"applyCdc: changes must be target schema + $opCol " +
+      s"(got ${changes.columns.mkString(",")})")
+    val t = target.select(col(key) +: dataCols.map(c => col(c).as(s"t_$c")): _*)
+    val c = changes.select(col(key) +: col(opCol).as("__op") +:
+      dataCols.map(cn => col(cn).as(s"u_$cn")): _*)
+    t.join(c, Seq(key), "full")
+      // a D for an absent key is a no-op (op null = untouched target row)
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(key) +: dataCols.map { cn =>
+        when(col("__op").isNotNull, col(s"u_$cn"))
+          .otherwise(col(s"t_$cn")).as(cn)
+      }: _*)
+  }
+
   /** Incremental aggregate maintenance: merges a delta's pre-aggregated
     * state into a base aggregate snapshot, for aggregates that form a
     * commutative monoid under + (counts, sums; avg = merged sum/count).

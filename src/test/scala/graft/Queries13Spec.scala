@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Corpus, Snapshot, Upsert}
+import graft.functions.MisraGries
+
+/** Round-4 operators, part 6: CDC apply, Misra–Gries sketch guarantees,
+  * and BM25 ranking sanity on constructed inputs.
+  */
+class Queries13Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyCdc: updates, deletes, inserts, and D-on-absent-key no-op") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b2", 21.0, "U"),   // update
+      (3L, "c", 30.0, "D"),    // delete
+      (4L, "d", 40.0, "I"),    // insert
+      (9L, "x", 0.0, "D")      // delete of absent key: no-op
+    ).toDF("k", "s", "v", "op")
+    val out = Upsert.applyCdc(target, changes, "k").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((1L, "a", 10.0), (2L, "b2", 21.0),
+                             (4L, "d", 40.0)))
+  }
+
+  test("diff-as-CDC applied to the old snapshot reconstructs the new one") {
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_totalprice")
+    val oldSnap = o.filter($"o_orderkey" % 13 =!= 0)
+    val newSnap = o.filter($"o_orderkey" % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
+          .otherwise($"o_totalprice"))
+    // diff output -> CDC ops: added/changed carry the NEW payload as U,
+    // removed becomes D (payload from the old side, values irrelevant)
+    val cdc = Snapshot.diff(oldSnap, newSnap, "o_orderkey")
+      .select($"o_orderkey",
+        coalesce($"new_o_totalprice", $"old_o_totalprice")
+          .as("o_totalprice"),
+        when($"status" === "removed", "D").otherwise("U").as("op"))
+    val rebuilt = Upsert.applyCdc(oldSnap, cdc, "o_orderkey")
+    assert(rebuilt.exceptAll(newSnap).isEmpty &&
+           newSnap.exceptAll(rebuilt).isEmpty)
+  }
+
+  test("MisraGries: freq > n/k items survive and estimates undercount by <= n/k") {
+    val k = 8
+    // skewed stream: "hot" 400x, "warm" 120x, 80 distinct cold singletons
+    val items = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 80).map(i => s"cold$i")
+    val n = items.size
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // 7 partitions forces partial sketches + merges
+    val ds = spark.sparkContext.parallelize(items, 7).toDF("tok")
+    val est = ds.agg(MisraGries.misra_gries(k)($"tok").as("sk"))
+      .select(explode($"sk")).select($"col._1", $"col._2")
+      .as[(String, Long)].collect().toMap
+    for ((item, c) <- truth if c > n / k)
+      assert(est.contains(item), s"$item (freq $c > ${n / k}) must survive")
+    for ((item, e) <- est) {
+      val t = truth(item)
+      assert(e <= t, s"$item overestimated: $e > $t")
+      assert(t - e <= n / k, s"$item undercounted beyond n/k: $t - $e")
+    }
+    assert(est.size <= k - 1, "sketch must stay within k-1 entries")
+  }
+
+  test("bm25Scores ranks by term density and excludes term-free docs") {
+    val df = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark")                  // short doc: length norm boosts it
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25Scores(df, "text", "doc_id", Seq("spark"),
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val ids = out.map(_._1)
+    assert(!ids.contains(3L), "doc without the term must not score")
+    val byId = out.toMap
+    assert(byId(1L) > byId(2L), "higher tf must outrank at equal length")
+    assert(byId(4L) > byId(2L), "shorter doc with same tf must rank higher")
+  }
+}
