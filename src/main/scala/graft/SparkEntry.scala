@@ -22,7 +22,8 @@ object SparkEntry {
       Queries6.sparkQueries ++ Queries7.sparkQueries ++
       Queries8.sparkQueries ++ Queries9.sparkQueries ++
       Queries10.sparkQueries ++ Queries11.sparkQueries ++
-      Queries12.sparkQueries ++ Queries13.sparkQueries
+      Queries12.sparkQueries ++ Queries13.sparkQueries ++
+      Queries14.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       Queries4.oracleSql ++ Queries5.oracleSql ++
       Queries6.oracleSql ++ Queries7.oracleSql ++
       Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++
-      Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql
+      Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++
+      Queries14.oracleSql
 }
