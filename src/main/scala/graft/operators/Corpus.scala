@@ -420,6 +420,46 @@ object Corpus {
       .select(col(idCol), col(groupCol), col("rate_ppm"))
   }
 
+  /** Temperature-scaled mixture sampling (the mT5 / UniMax multilingual
+    * recipe): sampling probability per group ∝ n^alpha (alpha < 1 boosts
+    * rare groups, alpha = 1 is proportional, alpha = 0 is uniform), with
+    * `budget` total expected rows. The per-group weights n^alpha are
+    * rounded to 6 dp and summed as EXACT decimals (a plain double sum
+    * over groups would be order-dependent); acceptance is the same
+    * deterministic content-hash Bernoulli as [[mixtureSample]], against
+    * an integer ppm rate.
+    *
+    * Scale: identical shape to [[mixtureSample]] — group counts
+    * broadcast back onto one corpus scan, map-side accept, the corpus
+    * never shuffles.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+                         alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"temperatureMixture: alpha $alpha")
+    // alpha = 0.5 goes through sqrt, not pow: IEEE 754 requires sqrt be
+    // correctly rounded (bit-identical across engines), pow does not —
+    // the declared oracle query relies on this
+    def weight(n: Column): Column =
+      if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+      .withColumn("w",
+        round(weight(col("n_grp").cast("double")), 6)
+          .cast("decimal(28,6)"))
+    val sw = counts.agg(sum(col("w")).as("sum_w"))
+    val rates = counts.crossJoin(broadcast(sw)).select(col(groupCol),
+      least(lit(1000000L), floor(
+        lit(budget.toDouble) * (col("w").cast("double") /
+          col("sum_w").cast("double")) /
+          col("n_grp").cast("double") * lit(1000000.0)).cast("long"))
+        .as("rate_ppm"))
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("u24",
+        expr(s"CAST(conv(substring(md5(concat('mix:', " +
+             s"CAST($idCol AS STRING))), 1, 6), 16, 10) AS BIGINT)"))
+      .filter(expr("u24 * 1000000 DIV 16777216") < col("rate_ppm"))
+      .select(col(idCol), col(groupCol), col("rate_ppm"))
+  }
+
   /** Bigram collocations by pointwise mutual information over the whole
     * corpus — the phrase-mining / tokenizer-merge-candidate primitive.
     * PMI = ln( p(w1 w2) / (p(w1)·p(w2)) ), computed from exact corpus

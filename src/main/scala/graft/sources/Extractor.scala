@@ -46,6 +46,18 @@ object Extractor {
                columns: Seq[String] = Nil): DataFrame =
     project(spark.read.schema(schema).json(path), columns)
 
+  /** Parquet scan across SCHEMA-EVOLVED file sets (`mergeSchema`): files
+    * written before a column existed read it as null; the unified schema
+    * is the union. This is how a 100 TB lake absorbs schema growth
+    * without rewriting history — but the footer merge is a real cost at
+    * listing time, so it's opt-in here (Spark's default), not bolted
+    * onto [[readParquet]].
+    */
+  def readParquetMerged(spark: SparkSession, paths: Seq[String],
+                        columns: Seq[String] = Nil): DataFrame =
+    project(spark.read.option("mergeSchema", "true")
+              .parquet(paths: _*), columns)
+
   /** ORC scan with optional projection — the other columnar format a lake
     * mixes in; same pushdown/pruning behavior as parquet (ORC carries
     * min/max + bloom indexes Spark uses for predicate pushdown).
