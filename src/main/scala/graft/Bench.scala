@@ -42,7 +42,11 @@ object Bench {
     // wedge-close triangles, gaps-and-islands streaks
     "q86_snapshot_diff", "q91_copurchase", "t17_bigram_pmi",
     "t18_contamination_frac", "d16_cluster_best", "s07_ann_refine",
-    "g02_triangles", "q92_streaks")
+    "g02_triangles", "q92_streaks",
+    // round-4 part 4: CDC apply, PSI drift, BM25, lone-late-supplier
+    // aggregation, fixed-point centroids, two-phase global index
+    "q96_cdc_apply", "q97_psi_drift", "t19_bm25", "q100_tpch21",
+    "s08_label_centroids", "q102_global_index")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -61,6 +61,58 @@ object Loader {
       .options(options)
       .save()
 
+  /** Streaming UPSERT sink: maintains a parquet "current state" snapshot
+    * from a stream via foreachBatch — each micro-batch's latest row per
+    * key (by `orderCols`, descending) merges into the snapshot with
+    * [[graft.operators.Upsert.upsert]]. Semantics are ARRIVAL-ORDER
+    * (CDC-changelog): a later batch's row replaces the snapshot row even
+    * if it is older by event time — that is the upsert contract. For
+    * event-time "latest wins, late data never regresses" semantics, run
+    * [[graft.streaming.Streams.latestPerKey]] upstream of this sink
+    * instead. Plain parquet needs no
+    * row-mutation table format; snapshots are VERSIONED directories
+    * (v0, v1, ...) because overwriting the directory a lazy plan still
+    * reads would corrupt the merge — the returned handle exposes the
+    * current version's path. At scale the snapshot rewrite per batch is
+    * the cost: partition the snapshot and pair with partition overwrite
+    * so only touched partitions rewrite (noted, not implemented — the
+    * testdata has no partitioned snapshot).
+    */
+  final class SnapshotHandle {
+    @volatile private[Loader] var dir: Option[String] = None
+    def currentDir: Option[String] = dir
+  }
+  def streamUpsertSink(stream: DataFrame, baseDir: String, key: String,
+                       orderCols: Seq[String])
+      : (org.apache.spark.sql.streaming.StreamingQuery, SnapshotHandle) = {
+    require(stream.isStreaming, "streamUpsertSink: batch input")
+    require(orderCols.nonEmpty, "streamUpsertSink: empty orderCols")
+    val handle = new SnapshotHandle
+    val spark = stream.sparkSession
+    val q = stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(org.apache.spark.sql.functions.col(key))
+          .orderBy(orderCols.map(c =>
+            org.apache.spark.sql.functions.col(c).desc): _*)
+        val latest = batch
+          .withColumn("__rn", org.apache.spark.sql.functions
+            .row_number().over(w))
+          .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+          .drop("__rn")
+        val merged = handle.dir match {
+          case Some(d) => graft.operators.Upsert.upsert(
+            spark.read.parquet(d), latest, key)
+          case None => latest
+        }
+        val next = s"$baseDir/v$id"
+        merged.write.mode(SaveMode.Overwrite).parquet(next)
+        handle.dir = Some(next)
+        ()
+    }.start()
+    (q, handle)
+  }
+
   /** Single-file CSV for reference parity (`main.py:277` writes exactly one
     * file). coalesce(1) serializes the final write through one task — only
     * correct for driver-scale results (the reference's own output is 22k

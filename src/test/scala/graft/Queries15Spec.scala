@@ -51,6 +51,29 @@ class Queries15Spec extends SparkSpec {
     assert(prop.length == 1, s"alpha=1 must give one uniform rate, $prop")
   }
 
+  test("streamUpsertSink maintains a current-state snapshot across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)] // (user, seq, value)
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val (q, handle) = graft.sources.Loader.streamUpsertSink(
+      input.toDF().toDF("user_id", "seq", "value"),
+      base, key = "user_id", orderCols = Seq("seq"))
+    try {
+      input.addData((1L, 1L, 10.0), (1L, 2L, 11.0), (2L, 1L, 20.0))
+      q.processAllAvailable()
+      input.addData((2L, 3L, 22.0), (3L, 1L, 30.0), (1L, 0L, 9.0))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(handle.currentDir.get)
+        .select("user_id", "value").as[(Long, Double)].collect().toMap
+      // user 1: seq 0 in batch 2 is older than seq 2 from batch 1 — but
+      // per-batch latest upserts, so the batch-2 row (the only one for
+      // user 1 in that batch) wins: snapshot semantics are LAST BATCH'S
+      // latest, the upsert contract (not global max) — assert that
+      assert(snap === Map(1L -> 9.0, 2L -> 22.0, 3L -> 30.0))
+    } finally q.stop()
+  }
+
   test("readParquetMerged unions evolved schemas, old files read null") {
     val base = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, "a")).toDF("id", "s").write.parquet(s"$base/v1")
