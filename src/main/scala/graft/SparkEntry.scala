@@ -23,7 +23,8 @@ object SparkEntry {
       Queries8.sparkQueries ++ Queries9.sparkQueries ++
       Queries10.sparkQueries ++ Queries11.sparkQueries ++
       Queries12.sparkQueries ++ Queries13.sparkQueries ++
-      Queries14.sparkQueries ++ Queries15.sparkQueries
+      Queries14.sparkQueries ++ Queries15.sparkQueries ++
+      Queries16.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,5 @@ object SparkEntry {
       Queries6.oracleSql ++ Queries7.oracleSql ++
       Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++
       Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++
-      Queries14.oracleSql ++ Queries15.oracleSql
+      Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql
 }

@@ -52,4 +52,45 @@ object Events {
       .agg(stageCols.head, stageCols.tail: _*)
       .withColumn("stage_reached", reached.cast("long"))
   }
+
+  case class BalanceRow(key: Long, ord1: Long, ord2: Long, delta: Long)
+  case class BalanceOut(key: Long, ord2: Long, balance: Long)
+
+  /** Floored running balance: per key, fold events in time order as
+    * `balance = max(floor, balance + delta)` and emit the balance AFTER
+    * each event — the wallet / inventory / rate-credit primitive. The
+    * clamp makes the fold NON-ASSOCIATIVE, so no window frame or prefix
+    * sum can express it (a capped sum is not a sum of caps): this is the
+    * documented last-resort tier of the operator preference order —
+    * a per-key sequential scan via flatMapGroups, used precisely because
+    * Catalyst has no operator for it.
+    *
+    * Scale contract: ONE shuffle on the key; each key's history is
+    * sorted in executor memory, so a single key's event count must fit a
+    * task (the same bound as any per-key sequential state; chunk by time
+    * and carry balances forward for keys hotter than that). Deltas ride
+    * exact integer micro-units — the fold is bit-reproducible.
+    */
+  def cappedRunningBalance(events: DataFrame, keyCol: String,
+                           ordCols: (String, String), deltaCol: String,
+                           floor: Long = 0L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(keyCol).cast("long").as("key"),
+        col(ordCols._1).cast("long").as("ord1"),
+        col(ordCols._2).cast("long").as("ord2"),
+        col(deltaCol).cast("long").as("delta"))
+      .as[BalanceRow]
+      .groupByKey(_.key)
+      .flatMapGroups { (key: Long, rows: Iterator[BalanceRow]) =>
+        val sorted = rows.toIndexedSeq.sortBy(r => (r.ord1, r.ord2))
+        var bal = floor
+        sorted.iterator.map { r =>
+          bal = math.max(floor, bal + r.delta)
+          BalanceOut(key, r.ord2, bal)
+        }
+      }
+      .toDF("key", "ord2", "balance")
+      .select(col("key").as(keyCol), col("ord2"), col("balance"))
+  }
 }
