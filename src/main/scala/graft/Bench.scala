@@ -46,7 +46,10 @@ object Bench {
     // round-4 part 4: CDC apply, PSI drift, BM25, lone-late-supplier
     // aggregation, fixed-point centroids, two-phase global index
     "q96_cdc_apply", "q97_psi_drift", "t19_bm25", "q100_tpch21",
-    "s08_label_centroids", "q102_global_index")
+    "s08_label_centroids", "q102_global_index",
+    // the non-associative per-key fold (flatMapGroups) + exact-cents
+    // Pareto deciles
+    "q104_capped_balance", "q105_pareto")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
