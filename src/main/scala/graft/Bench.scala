@@ -49,7 +49,9 @@ object Bench {
     "s08_label_centroids", "q102_global_index",
     // the non-associative per-key fold (flatMapGroups) + exact-cents
     // Pareto deciles
-    "q104_capped_balance", "q105_pareto")
+    "q104_capped_balance", "q105_pareto",
+    // composed corpus pipeline + the widest classic join (Q9)
+    "t23_corpus_e2e", "q108_tpch9")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

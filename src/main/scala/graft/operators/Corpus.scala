@@ -524,6 +524,8 @@ object Corpus {
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                  topK: Int = 20): DataFrame = {
     require(terms.nonEmpty, "bm25Scores: empty term set")
+    require(terms.distinct.size == terms.size,
+      s"bm25Scores: duplicate query terms would double-count: $terms")
     val base = df.select(col(idCol), words(col(textCol)).as("ws"))
       .select(col(idCol) +: size(col("ws")).as("dl") +:
         terms.indices.map(i =>
