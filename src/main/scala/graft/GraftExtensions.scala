@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"argument${if (max == 1) "" else "s"}, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // edit-distance comparisons plan through the banded threshold DP +
+    // length prefilter (see the rule's scaladoc for the rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRewrite)
+
     def register(name: String, usage: String,
                  builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
