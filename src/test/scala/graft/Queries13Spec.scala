@@ -33,12 +33,13 @@ class Queries13Spec extends SparkSpec {
       .withColumn("o_totalprice",
         when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1.0)
           .otherwise($"o_totalprice"))
-    // diff output -> CDC ops: added/changed carry the NEW payload as U,
-    // removed becomes D (payload from the old side, values irrelevant)
+    // diff output -> CDC ops: added/changed carry the NEW payload as U
+    // (verbatim, so a change to NULL survives — not coalesce), removed
+    // becomes D (payload from the old side, values irrelevant)
     val cdc = Snapshot.diff(oldSnap, newSnap, "o_orderkey")
       .select($"o_orderkey",
-        coalesce($"new_o_totalprice", $"old_o_totalprice")
-          .as("o_totalprice"),
+        when($"status" === "removed", $"old_o_totalprice")
+          .otherwise($"new_o_totalprice").as("o_totalprice"),
         when($"status" === "removed", "D").otherwise("U").as("op"))
     val rebuilt = Upsert.applyCdc(oldSnap, cdc, "o_orderkey")
     assert(rebuilt.exceptAll(newSnap).isEmpty &&
