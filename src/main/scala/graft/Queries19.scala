@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Round-4 queries, part 12: the streaming per-window top-k leaderboard
+  * (batch-mode declared form) and the hash/encode scalar family.
+  * Oracle-parity conventions follow [[Queries]]' scaladoc.
+  */
+object Queries19 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // per-hour top-3 event types — Streams.windowTopK run in batch mode;
+    // the streaming path (bounded per-window state, emit-on-watermark)
+    // is pinned cross-batch in StreamingSpec-style tests
+    "e14_window_topk" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp = s
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value"))
+        .as[Streams.Event]
+      Streams.windowTopK(ev, k = 3, windowMinutes = 60).toDF()
+        .withColumn("window_start",
+                    col("window_start").cast("timestamp_ntz"))
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("window_start"), col("rk"))
+    }),
+
+    // hash / encode scalar family: md5, sha2-256, hex (lowercased — the
+    // engines disagree on case), base64 over utf-8 bytes, and a
+    // base64-roundtrip check column
+    "q109_hash_funcs" -> ((s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("h_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("h_sha256"),
+          lower(hex(col("p_name").cast("binary"))).as("h_hex"),
+          base64(col("p_name").cast("binary")).as("h_b64"),
+          (unbase64(base64(col("p_name").cast("binary")))
+             .cast("string") === col("p_name")).as("b64_roundtrip"))
+        .orderBy(col("p_partkey")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e14_window_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS window_start,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY window_start, event_type),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+        |        ORDER BY cnt DESC, event_type) AS rk
+        |      FROM c)
+        |SELECT window_start, event_type, cnt, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY window_start, rk""".stripMargin,
+
+    "q109_hash_funcs" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256,
+        |  lower(hex(p_name)) AS h_hex,
+        |  base64(CAST(p_name AS BLOB)) AS h_b64,
+        |  CAST(from_base64(base64(CAST(p_name AS BLOB))) AS VARCHAR)
+        |    = p_name AS b64_roundtrip
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -249,6 +249,62 @@ object Streams {
           }
       }
   }
+  case class TopKOut(window_start: java.sql.Timestamp, event_type: String,
+                     cnt: Long, rk: Int)
+
+  /** Streaming per-window top-k leaderboard: for each tumbling window,
+    * the k most frequent event types. In streaming mode the counts
+    * accumulate in per-window state (bounded by |distinct types| — the
+    * leaderboard domain, never the event volume) and the FINAL ranking
+    * emits exactly once, when the watermark proves the window closed
+    * (event-time timeout; append semantics — a premature emission would
+    * be wrong, ranks can still flip while the window is open). Batch
+    * mode folds and emits in one pass, which is how the declared query
+    * oracle-checks the ranking logic.
+    */
+  def windowTopK(events: Dataset[Event], k: Int,
+                 windowMinutes: Int = 60,
+                 watermarkDelay: String = "10 minutes")
+                (implicit spark: SparkSession): Dataset[TopKOut] = {
+    import spark.implicits._
+    require(k >= 1 && windowMinutes >= 1)
+    val winMs = windowMinutes * 60000L
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay)
+              else events
+    val timeoutConf = if (streaming) GroupStateTimeout.EventTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    def topK(windowMs: Long, counts: Map[String, Long]): Iterator[TopKOut] =
+      counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+        .map { case ((t, c), i) =>
+          TopKOut(new java.sql.Timestamp(windowMs), t, c, i + 1)
+        }.iterator
+    src.groupByKey(e => Math.floorDiv(e.ts.getTime, winMs) * winMs)
+      .flatMapGroupsWithState[Map[String, Long], TopKOut](
+        OutputMode.Append, timeoutConf) {
+        (windowMs: Long, rows: Iterator[Event],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) {
+            // window closed: the ranking is final — emit and evict
+            val counts = state.get
+            state.remove()
+            topK(windowMs, counts)
+          } else {
+            var counts = state.getOption.getOrElse(Map.empty[String, Long])
+            for (e <- rows)
+              counts = counts.updated(e.event_type,
+                counts.getOrElse(e.event_type, 0L) + 1L)
+            if (streaming) {
+              state.update(counts)
+              state.setTimeoutTimestamp(
+                math.max(windowMs + winMs,
+                         state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            } else topK(windowMs, counts)
+          }
+      }
+  }
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Int, duration_s: Long)
