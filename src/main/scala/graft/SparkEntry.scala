@@ -25,7 +25,8 @@ object SparkEntry {
       Queries12.sparkQueries ++ Queries13.sparkQueries ++
       Queries14.sparkQueries ++ Queries15.sparkQueries ++
       Queries16.sparkQueries ++ Queries17.sparkQueries ++
-      Queries18.sparkQueries ++ Queries19.sparkQueries
+      Queries18.sparkQueries ++ Queries19.sparkQueries ++
+      Queries20.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       Queries8.oracleSql ++ Queries9.oracleSql ++ Queries10.oracleSql ++
       Queries11.oracleSql ++ Queries12.oracleSql ++ Queries13.oracleSql ++
       Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql ++
-      Queries17.oracleSql ++ Queries18.oracleSql ++ Queries19.oracleSql
+      Queries17.oracleSql ++ Queries18.oracleSql ++ Queries19.oracleSql ++
+      Queries20.oracleSql
 }
