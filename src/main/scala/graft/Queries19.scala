@@ -28,6 +28,22 @@ object Queries19 {
         .orderBy(col("window_start"), col("rk"))
     }),
 
+    // perceptual-hash image near-dup: binary payload → 8×8 average-hash
+    // (stubbed decode, integer arithmetic) → Hamming-blocked pairs
+    // (Multimodal.perceptualHash + Dedup.hammingPairs); the oracle
+    // recomputes the grid/threshold/bits over the same bytes and
+    // brute-forces all pairs — the blocked engine plan must find exactly
+    // the same ≤3-bit pairs
+    "m05_phash_pairs" -> ((s, d) => {
+      val media = graft.operators.Multimodal.attachBinary(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.operators.Dedup.hammingPairs(
+          graft.operators.Multimodal.perceptualHash(media),
+          "id", "phash", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // hash / encode scalar family: md5, sha2-256, hex (lowercased — the
     // engines disagree on case), base64 over utf-8 bytes, and a
     // base64-roundtrip check column
@@ -54,6 +70,23 @@ object Queries19 {
         |SELECT window_start, event_type, cnt, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3
         |ORDER BY window_start, rk""".stripMargin,
+
+    "m05_phash_pairs" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |cells AS (SELECT doc_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> ascii(substr(text, CAST(i % n AS INT) + 1, 1))) AS cs
+        |  FROM c WHERE n > 0),
+        |m AS (SELECT doc_id, cs, list_sum(cs) / 64.0 AS mean FROM cells),
+        |bits AS (SELECT doc_id,
+        |           list_transform(cs, x -> x > mean) AS bs FROM m),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_filter(generate_series(1, 64),
+        |                             i -> a.bs[i] <> b.bs[i])) AS BIGINT)
+        |          AS hamming
+        |      FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q109_hash_funcs" ->
       """SELECT p_partkey,

@@ -219,20 +219,31 @@ object Dedup {
                 .as("simhash"))
 
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSketch(df, textCol, idCol), "id", "simhash",
+                 maxHamming)
+
+  /** Pairs of 64-bit sketches within `maxHamming` — the generic Hamming
+    * near-dup join shared by SimHash (d04) and perceptual-hash (m05)
+    * dedup. Blocks on each of the 4 16-bit chunks: a pair within
+    * hamming <= 3 agrees exactly on at least one chunk (pigeonhole over
+    * 4 blocks), so recall is total for maxHamming <= 3; larger budgets
+    * need more/narrower bands (recall documented, not silently lost).
+    */
+  def hammingPairs(sketch: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"hammingPairs: 4x16-bit pigeonhole blocking only guarantees " +
+      s"recall for maxHamming <= 3 (got $maxHamming) — add bands instead")
     // persist: materialization barrier so the sketch is hashed once, not
     // re-inlined into every block-key expression on both join sides
-    val sk = simhashSketch(df, textCol, idCol).persist()
-    // block on each of the 4 16-bit chunks; a pair within hamming<=3 agrees
-    // exactly on at least one chunk (pigeonhole over 4 blocks)
-    val blocked = sk.select(col("id"), col("simhash"),
+    val sk = sketch.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .persist()
+    val blocked = sk.select(col("id"), col("h"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("block", "key")))
-    val hamming = {
-      val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-      bit_count(x)
-    }
+    val hamming = bit_count(col("a.h").bitwiseXOR(col("b.h")))
     blocked.as("a")
       .join(blocked.as("b"),
             col("a.block") === col("b.block") &&

@@ -133,6 +133,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual hash (average-hash family): sample the payload onto a
+    * fixed 8×8 grid, threshold each cell against the grid mean, pack the
+    * 64 bits into a long — visually-near-identical images land within a
+    * few bits of each other, so near-dup detection is a Hamming join
+    * ([[graft.operators.Dedup.hammingPairs]], the d04 machinery). The
+    * "decode to grayscale grid" step is the usual deterministic STUB
+    * (byte sampling — a real decoder swaps into the same loop); the
+    * arithmetic is integer + one mean threshold, so the declared query
+    * (m05) is fully oracle-checkable. Null content → null hash.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("id", LongType),
+      StructField("phash", LongType))))
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          if (r.isNullAt(1)) Row(id, null)
+          else {
+            val b = r.getAs[Array[Byte]](1)
+            if (b.isEmpty) Row(id, 0L)
+            else {
+              // prefix-cyclic grid, not stride sampling: a real decoder
+              // resizes to a fixed thumbnail first (scale-invariant), and
+              // the stub's analogue of that is a fixed-size cell window —
+              // stride sampling would shift every cell when the payload
+              // length changes by one byte, destroying near-dup locality
+              val cells = Array.tabulate(64)(i => b(i % b.length) & 0xff)
+              val mean = cells.sum.toDouble / 64.0
+              var h = 0L
+              var i = 0
+              while (i < 64) {
+                if (cells(i) > mean) h |= (1L << i)
+                i += 1
+              }
+              Row(id, h)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Feature-extraction stub: derives a `dim`-float embedding per media row
     * via mapPartitions — the plumbing for an image/audio encoder (CLIP-style)
     * whose real model is STUBBED (deterministic arithmetic on the byte

@@ -89,6 +89,26 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1).isNullAt(3) && meta(1).isNullAt(4))
   }
 
+  test("perceptualHash: identical payloads collide, tail edits stay close") {
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val media = Multimodal.attachBinary(Seq(
+        (1L, base), (2L, base),                     // identical
+        (3L, base + " trailing edit far past cell window"),
+        (4L, "completely different content with other letters entirely zzz")
+      ).toDF("doc_id", "text"), "doc_id", "text")
+    val h = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L), "identical bytes must hash identically")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 3,
+      "a tail edit must stay within the Hamming budget")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) > 3,
+      "unrelated content must not collide")
+    // null content -> null hash
+    val withNull = Seq((9L, "image", None: Option[Array[Byte]]))
+      .toDF("id", "modality", "content")
+    assert(Multimodal.perceptualHash(withNull).collect().head.isNullAt(1))
+  }
+
   test("sampleFrames: k frames per row with frame_no index") {
     val media = Multimodal.attachBinary(
       Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("doc_id", "text"),
