@@ -44,6 +44,27 @@ object Queries19 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Benford first-digit audit (fraud / data-quality screen): observed
+    // leading-digit distribution of order totals vs Benford's law, with
+    // per-digit chi-square terms — counts exact, the expectation and
+    // chi terms mirrored double arithmetic
+    "q116_benford" -> ((s, d) => {
+      val counts = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(12,2)")
+                  .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val e = col("tot").cast("double") *
+        log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 DIV tot").as("observed_ppm"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
+                lit(1000000.0)).cast("long").as("benford_ppm"),
+          round((col("n").cast("double") - e) *
+                (col("n").cast("double") - e) / e, 6).as("chi_term"))
+        .orderBy(col("digit"))
+    }),
+
     // hash / encode scalar family: md5, sha2-256, hex (lowercased — the
     // engines disagree on case), base64 over utf-8 bytes, and a
     // base64-roundtrip check column
@@ -87,6 +108,26 @@ object Queries19 {
         |      FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q116_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(o_totalprice
+        |      AS DECIMAL(12,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM c GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // tot AS BIGINT) AS observed_ppm,
+        |  CAST(round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT) AS benford_ppm,
+        |  round((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |           log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) *
+        |        (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) *
+        |           log10(1.0 + 1.0 / CAST(digit AS DOUBLE))) /
+        |        (CAST(tot AS DOUBLE) *
+        |           log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+        |    AS chi_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
 
     "q109_hash_funcs" ->
       """SELECT p_partkey,
