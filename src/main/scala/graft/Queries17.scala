@@ -32,8 +32,13 @@ object Queries17 {
         .withColumn("cum_cents",
           sum(col("rev_cents")).over(Window.orderBy(col("decile"))))
         .crossJoin(broadcast(per.agg(sum(col("rev_cents")).as("tot"))))
+        // ppm through doubles: cum_cents·10⁶ overflows int64 once total
+        // revenue passes ~9·10¹² cents (it does at sf1); cum/tot ≤ 1 is
+        // exact-enough in double and the op order mirrors the oracle
         .select(col("decile"), col("n_cust"), col("rev_cents"),
-                expr("cum_cents * 1000000 DIV tot").as("cum_share_ppm"))
+                floor(col("cum_cents").cast("double") * lit(1000000.0) /
+                      col("tot").cast("double")).cast("long")
+                  .as("cum_share_ppm"))
         .orderBy(col("decile"))
     }),
 
@@ -71,7 +76,8 @@ object Queries17 {
         |          AS cum_cents
         |      FROM p)
         |SELECT decile, n_cust, rev_cents,
-        |  CAST(cum_cents * 1000000 // tot AS BIGINT) AS cum_share_ppm
+        |  CAST(floor(CAST(cum_cents AS DOUBLE) * 1000000.0 /
+        |             CAST(tot AS DOUBLE)) AS BIGINT) AS cum_share_ppm
         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
 
     "t22_hashing_tf" ->
