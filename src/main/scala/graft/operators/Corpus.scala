@@ -362,6 +362,35 @@ object Corpus {
         expr("micro DIV n_tok").as("mean_neg_logp_micro"))
   }
 
+  /** Vocabulary coverage / OOV rate: build the corpus vocabulary as the
+    * `vocabSize` most frequent tokens (count desc, token asc — a total
+    * order, so the vocabulary boundary is reproducible across runs and
+    * engines), then score every document by its out-of-vocabulary token
+    * fraction in exact integer ppm. The tokenizer-coverage health check
+    * of a training-data pipeline: a rising OOV rate in a new crawl slice
+    * means the tokenizer (or the corpus mix) drifted.
+    *
+    * Scale: one corpus token shuffle for the counts (map-side combining
+    * applies), the top-k vocabulary is a bounded `vocabSize`-row table
+    * BROADCAST back, and the per-doc score is a second token-keyed
+    * aggregation — the corpus text itself never joins or re-shuffles.
+    */
+  def oovRate(df: DataFrame, textCol: String, idCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"oovRate: vocabSize $vocabSize < 1")
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+           sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // integer ppm (DIV, not /): bit-reproducible, no double rounding
+      .select(col(idCol), col("n_tok"), col("n_oov"),
+              expr("n_oov * 1000000 DIV n_tok").as("oov_ppm"))
+  }
+
   /** CCNet-style LM-quality tiers (Wenzek et al. 2020 §4.3): rank each
     * document by [[unigramLogProb]] WITHIN its group (language) and cut
     * into `buckets` equal tiers — bucket 1 = "head" (most fluent),

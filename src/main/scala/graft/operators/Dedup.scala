@@ -155,6 +155,79 @@ object Dedup {
     }
   }
 
+  /** Exact pairwise n-gram Jaccard ≥ threshold via PREFIX FILTERING — the
+    * AllPairs/PPJoin candidate scheme (Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08, both public literature). Same contract and output as
+    * [[ngramJaccardPairs]], different (much smaller) candidate space.
+    *
+    * Prefix-filtering principle: order every document's shingles by a
+    * single global canonical order (document frequency ascending, shingle
+    * string as the tiebreak — rarest first), and index only each
+    * document's first `|x| − ⌈t·|x|⌉ + 1` shingles. Any pair with
+    * J(x,y) ≥ t has `|x∩y| ≥ ⌈t·|x|⌉` (since the union is at least each
+    * set's size), so by pigeonhole the two prefixes must share a shingle
+    * — candidate generation over prefixes alone is EXACT, not heuristic.
+    * Every candidate is then verified on the full shingle sets, so
+    * emitted pairs equal [[ngramJaccardPairs]]' bit-for-bit.
+    *
+    * The ceiling is computed in INTEGER arithmetic on a ppm-rational
+    * threshold (never `ceil(0.7·sz)` in doubles, whose representation
+    * error could overshoot the true ceiling and shorten a prefix into a
+    * missed borderline pair).
+    *
+    * Scale: at t=0.7 the indexed fraction of each document is ~30 % and —
+    * because the global order puts RARE shingles in prefixes — the
+    * inverted index self-join meets almost no hot keys: boilerplate
+    * (high-df) shingles land outside every prefix, giving the same skew
+    * protection [[ShingleCap]] buys, without a recall knob. Shuffles:
+    * one df count, one per-doc sort (window) to rank shingles, the
+    * prefix self-join, and the verification joins — all keyed, none
+    * all-pairs.
+    */
+  def prefixFilterJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                               n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixFilterJaccardPairs: threshold $threshold outside (0, 1]")
+    // exact rational form of the threshold: t = tNum / tDen
+    val tDen = 1000000L
+    val tNum = math.round(threshold * tDen)
+    val withSh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sh = withSh.select(col("id"), explode(col("sh")).as("s"),
+                           size(col("sh")).as("sz"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df_"))
+    // canonical rank of each shingle within its document: rarest first,
+    // deterministic tiebreak on the shingle text
+    val ranked = sh.join(dfreq, Seq("s"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df_"), col("s"))))
+    // prefix length = sz − ⌈t·sz⌉ + 1, ceiling in exact integers
+    val prefixes = ranked
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("id"), col("s"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+            Seq("id_a"))
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+            Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+            .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
     * numHashes = bands * rowsPerBand signature via the [[Expressions.MinHashSig]]
