@@ -113,6 +113,35 @@ object Upsert {
     * streams once. This is the plain-parquet path to dimension history;
     * pair with [[upsert]] for the "current snapshot" view.
     */
+  /** Point-in-time (AS OF) lookup against an [[scd2]] dimension: joins
+    * each fact row to THE version of its dimension key whose half-open
+    * validity interval `[valid_from, valid_to)` covers the fact
+    * timestamp (`valid_to IS NULL` = current version). SCD2 intervals
+    * per key are non-overlapping by construction, so every fact matches
+    * at most one version; facts timestamped before their key's first
+    * version (or inside a zero-length interval) drop — the standard
+    * training-serving-skew-safe feature join, where a fact must never
+    * see attribute values from its future.
+    *
+    * Scale: an equi-join on the dimension key with a residual interval
+    * predicate — hash join + per-key version-list scan, never a range
+    * cross product. The dimension (one row per key-version) broadcasts
+    * when it fits.
+    */
+  def scd2Lookup(dim: DataFrame, facts: DataFrame, key: String,
+                 factTsCol: String): DataFrame = {
+    val attrCols = dim.columns
+      .filterNot(Set(key, "valid_from", "valid_to", "is_current"))
+      .map(col).toIndexedSeq
+    val d = dim.select(
+      (col(key) +: col("valid_from") +: col("valid_to") +: attrCols): _*)
+    facts.join(d,
+      facts(key) === d(key) &&
+        facts(factTsCol) >= d("valid_from") &&
+        (d("valid_to").isNull || facts(factTsCol) < d("valid_to")))
+      .drop(d(key))
+  }
+
   def scd2(changes: DataFrame, key: String, attrCol: String,
            tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(tieCol))
