@@ -455,6 +455,48 @@ object Expressions {
       copy(child = c)
   }
 
+  /** DEFLATE-compressed byte length of a string (java.util.zip.Deflater,
+    * level 6, zlib wrapper) — the compression-ratio quality signal used
+    * by public pretraining-data pipelines (e.g. Dolma / RedPajama-style
+    * "compression ratio" filters): highly repetitive boilerplate
+    * compresses far below natural prose, and near-random noise barely
+    * compresses at all. Deflate output bytes are implementation-defined,
+    * so this is a rows-only (non-oracle) signal by design — but it is
+    * deterministic within a JVM, and RATIOS are stable enough across
+    * zlib implementations for threshold filtering.
+    *
+    * Per-row cost is O(len); no shuffle — this is a pure map-side
+    * column. The Deflater is allocated per call (not thread-local):
+    * codegen may evaluate from many tasks, and a shared native zlib
+    * stream would race.
+    */
+  case class DeflateLen(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("deflen", this, classOf[DeflateLen].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        java.lang.Long.valueOf(total)
+      } finally d.end()
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column-facing wrappers.
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -476,4 +518,5 @@ object Expressions {
     Bridge.column(
       HyperplaneSigs(Bridge.expression(vec), dim, numBits, numTables, baseSeed))
   def rolling_hash(s: Column): Column = Bridge.column(RollingHash(Bridge.expression(s)))
+  def deflate_len(s: Column): Column = Bridge.column(DeflateLen(Bridge.expression(s)))
 }

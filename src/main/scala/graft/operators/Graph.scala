@@ -88,6 +88,61 @@ object Graph {
     * (join in the degree table and order by (deg, id)); the output is
     * identical, only intermediate sizes change.
     */
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node of degree < k (and its edges) from the undirected simple graph
+    * until a fixed point; return the surviving nodes with their degree
+    * WITHIN the core. The standard cohesion filter — a node is in the
+    * k-core iff it has ≥ k neighbors that are themselves in the k-core.
+    *
+    * Convergence witness: the edge count is strictly decreasing until
+    * the fixed point (removing a node removes its incident edges), so
+    * "edge count unchanged" is an exact termination test — degrees, and
+    * therefore the survivor set, are functions of the edge set. Loud
+    * failure on non-convergence within `maxIter`, like
+    * [[Dedup.connectedComponents]].
+    *
+    * Scale: each round is one degree aggregation plus two semi-joins
+    * keyed on a node id — never all-pairs; the adjacency is
+    * `localCheckpoint`ed per round so the plan does not grow with
+    * iteration count. Rounds are bounded by the peeling depth (tiny for
+    * real graphs: each round must delete ≥ 1 node to continue).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"kCore: k $k < 1")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"),
+                          col(srcCol).cast("long").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+              col("u") =!= col("v"))
+      .distinct()
+    var adj = sym.localCheckpoint(true)
+    var nEdges = adj.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val survivors = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+        .localCheckpoint(true)
+      val next = adj
+        .join(survivors, Seq("u"), "left_semi")
+        .join(survivors.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      converged = m == nEdges
+      adj = next
+      nEdges = m
+      iter += 1
+    }
+    require(converged,
+      s"kCore: no fixed point after $maxIter rounds ($nEdges edges left) " +
+      "— raise maxIter")
+    adj.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("node"), col("core_deg"))
+  }
+
   def triangleParticipation(edges: DataFrame, srcCol: String,
                             dstCol: String): DataFrame = {
     val norm = edges.select(

@@ -64,6 +64,27 @@ object TextAnalysis {
       .withColumn("quality_score", round(score, 6))
   }
 
+  /** Compression-ratio quality signals (the Dolma/RedPajama-style
+    * "too repetitive / too random" screen): DEFLATE length of the raw
+    * UTF-8 bytes and the ratio in integer ppm. Low ratio = boilerplate
+    * or repeated spans; ratio near (or above) 10⁶ = incompressible
+    * noise. Deflate bytes are implementation-defined across zlib builds,
+    * so this is declared rows-only (no SQL oracle) by design — see
+    * [[graft.functions.Expressions.DeflateLen]]; within a JVM it is
+    * deterministic, and the spec pins the ordering invariants.
+    *
+    * Scale: pure map-side column work, no shuffle; cost O(bytes) per row.
+    */
+  def compressionSignals(df: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        graft.functions.Expressions.deflate_len(col(textCol))
+          .as("deflate_bytes"))
+      .filter(col("n_bytes") > 0)
+      .withColumn("compress_ppm",
+        expr("deflate_bytes * 1000000 DIV n_bytes"))
+
   /** Marker-word language ID (n-gram-free heuristic; deterministic
     * precedence zh > en > fr > de > es on ties, mirrored in the oracle).
     */
