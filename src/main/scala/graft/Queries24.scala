@@ -52,6 +52,21 @@ object Queries24 {
                 expr("sum_cents DIV n_eff").as("mean_cents"))
         .orderBy(col("b"))),
 
+    // Spark 4 transformWithState running per-user totals, batch twin
+    // (the cross-micro-batch accumulation and RocksDB state path are
+    // pinned in StreamingSpec): after all rows, the cumulative row per
+    // user equals the plain aggregate — the oracle below
+    "e16_running_stats" -> ((s, d) => {
+      import s.implicits._
+      implicit val sp = s
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value"))
+        .as[graft.streaming.Streams.Event]
+      graft.streaming.Streams.runningStatsPerKey(ev).toDF()
+        .orderBy(col("user_id"))
+    }),
+
     // Lexical diversity per document: type count, type-token ratio, and
     // hapax fraction (words used exactly once in the doc) in exact ppm
     // — the "fraction of unique words" screens public quality-filter
@@ -95,6 +110,13 @@ object Queries24 {
          |  CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
          |FROM w GROUP BY b ORDER BY b""".stripMargin
     },
+
+    "e16_running_stats" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_micro,
+        |  CAST(MAX(event_id) AS BIGINT) AS last_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "t26_lexical_stats" -> {
       val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"

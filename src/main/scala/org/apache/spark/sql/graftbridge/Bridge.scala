@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Force-create the driver-side StateStoreCoordinator RPC endpoint.
+    * Streaming queries create it on start; BATCH execution of stateful
+    * operators (`transformWithState` on a batch Dataset) still loads a
+    * state store on the executors, whose provider asks this endpoint for
+    * location info — without a prior streaming query in the session the
+    * lookup dies with RpcEndpointNotFoundException. The coordinator is
+    * held in a lazy val on the session's StreamingQueryManager
+    * (`private[sql]`, hence this bridge), so touching it is idempotent.
+    */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .streams.stateStoreCoordinator
 }

@@ -413,4 +413,45 @@ class StreamingSpec extends SparkSpec {
         s"unmatched purchase never emitted null-padded: $got")
     } finally q.stop()
   }
+
+  test("transformWithState accumulates per-user totals across micro-batches (RocksDB)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // transformWithState requires the RocksDB state store; scope the
+    // provider override to this test
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.Event]
+      val q = Streams.runningStatsPerKey(input.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        def ev(id: Long, u: Long, v: Double) = Streams.Event(
+          id, java.sql.Timestamp.valueOf("2021-01-01 00:00:01"), u, "view", v)
+        input.addData(ev(1, 1, 1.25), ev(2, 1, 2.0), ev(3, 2, 5.5))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_out")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                               r.getLong(3))).toSet
+        assert(b1 === Set((1L, 2L, 3250000L, 2L), (2L, 1L, 5500000L, 3L)))
+        input.addData(ev(4, 1, 0.75), ev(5, 3, 9.0))
+        q.processAllAvailable()
+        // update mode re-emits touched keys; the LATEST row per key must
+        // be the cumulative total — state carried across the batch gap
+        val latest = spark.table("tws_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).map { case (_, v) => v.maxBy(_._2) }.toSet
+        assert(latest === Set(
+          (1L, 3L, 4000000L, 4L), (2L, 1L, 5500000L, 3L),
+          (3L, 1L, 9000000L, 5L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
