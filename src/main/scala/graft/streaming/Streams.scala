@@ -53,6 +53,33 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
   }
 
+  /** TWO stateful aggregations chained in one query — Spark 4 supports
+    * multiple stateful operators in Append mode when the second windows
+    * over the first's window column (SPARK-40925 lineage): per-5-minute
+    * tumbling counts per event type, re-aggregated per hour into the
+    * peak and total 5-minute load. The streaming burst-detection shape:
+    * "what was the hottest 5-minute slice of each hour".
+    *
+    * Both stages keep windowed state evicted by the SAME watermark; the
+    * second stage's input is one row per (5-min window, type) — state is
+    * bounded by the window count, not the event count. Works identically
+    * on batch frames (window-over-window is batch-compatible), which is
+    * how e17's oracle checks it.
+    */
+  def chainedWindowAgg(events: DataFrame,
+                       watermark: String = "2 hours"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val fine = src
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+    fine
+      .groupBy(window(col("window"), "1 hour"), col("event_type"))
+      .agg(max(col("n5")).as("peak_5min"), sum(col("n5")).as("total_n"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("peak_5min"), col("total_n"))
+  }
+
   /** Native session-window aggregation (`session_window`): Spark's own
     * gap-based sessionizer — one shuffle on the key, sessions merged by the
     * engine, streaming-capable with watermark state eviction. Boundary

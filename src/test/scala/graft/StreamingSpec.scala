@@ -454,4 +454,35 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("chained window aggregations emit finalized hours after the watermark passes") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.chainedWindowAgg(input.toDF(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("cw_out")
+      .outputMode("append").start()
+    try {
+      def ev(id: Long, t: String, typ: String) = Streams.Event(
+        id, java.sql.Timestamp.valueOf(t), 1L, typ, 1.0)
+      // hour 10: two 5-min buckets for "view" (3 events + 1 event)
+      input.addData(
+        ev(1, "2021-01-01 10:02:00", "view"),
+        ev(2, "2021-01-01 10:03:00", "view"),
+        ev(3, "2021-01-01 10:04:30", "view"),
+        ev(4, "2021-01-01 10:17:00", "view"))
+      q.processAllAvailable()
+      // nothing final yet: watermark has not passed hour 10's end
+      assert(spark.table("cw_out").count() === 0L)
+      // an event far past hour 10 closes both stages' windows for it
+      input.addData(ev(9, "2021-01-01 13:00:00", "click"))
+      q.processAllAvailable()
+      val got = spark.table("cw_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+                   r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set(
+        ("2021-01-01 10:00:00.0", "view", 3L, 4L)))
+    } finally q.stop()
+  }
 }
