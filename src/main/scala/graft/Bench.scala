@@ -51,7 +51,12 @@ object Bench {
     // Pareto deciles
     "q104_capped_balance", "q105_pareto",
     // composed corpus pipeline + the widest classic join (Q9)
-    "t23_corpus_e2e", "q108_tpch9")
+    "t23_corpus_e2e", "q108_tpch9",
+    // round-4 part 5: prefix-filtering similarity join (the AllPairs
+    // candidate scheme vs d02/d10's inverted index), iterative k-core
+    // peel, shuffle-free Poisson bootstrap, point-in-time SCD2 lookup
+    "d18_prefix_filter", "g03_kcore", "q121_bootstrap",
+    "q120_scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -28,7 +28,8 @@ object SparkEntry {
       Queries18.sparkQueries ++ Queries19.sparkQueries ++
       Queries20.sparkQueries ++ Queries21.sparkQueries ++
       Queries22.sparkQueries ++ Queries23.sparkQueries ++
-      Queries24.sparkQueries ++ Queries25.sparkQueries
+      Queries24.sparkQueries ++ Queries25.sparkQueries ++
+      Queries26.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       Queries14.oracleSql ++ Queries15.oracleSql ++ Queries16.oracleSql ++
       Queries17.oracleSql ++ Queries18.oracleSql ++ Queries19.oracleSql ++
       Queries20.oracleSql ++ Queries21.oracleSql ++ Queries22.oracleSql ++
-      Queries23.oracleSql ++ Queries24.oracleSql ++ Queries25.oracleSql
+      Queries23.oracleSql ++ Queries24.oracleSql ++ Queries25.oracleSql ++
+      Queries26.oracleSql
 }

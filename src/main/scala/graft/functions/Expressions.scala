@@ -44,6 +44,38 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Inner product of two float arrays in double accumulation, strict
+    * index order — the scoring kernel for maximum-inner-product retrieval
+    * ([[graft.operators.Similarity.mipsTopK]]), where the NORM matters
+    * and cosine would be the wrong ranking. Same codegen shape as
+    * [[CosineSim]].
+    */
+  case class DotProductF32(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any =
+      dotProductArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Expressions.dotProductArrays($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Static kernel for [[DotProductF32]] — called from generated code. */
+  def dotProductArrays(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1
+    }
+    dot
+  }
+
   /** Static kernel for [[CosineSim]] — called from generated code. */
   def cosineSimArrays(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -519,4 +551,6 @@ object Expressions {
       HyperplaneSigs(Bridge.expression(vec), dim, numBits, numTables, baseSeed))
   def rolling_hash(s: Column): Column = Bridge.column(RollingHash(Bridge.expression(s)))
   def deflate_len(s: Column): Column = Bridge.column(DeflateLen(Bridge.expression(s)))
+  def dot_product_f32(a: Column, b: Column): Column =
+    Bridge.column(DotProductF32(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -40,6 +40,40 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Maximum-inner-product (MIPS) top-k: exact brute force ranked by the
+    * raw dot product — the recommendation-scoring regime where vector
+    * NORM is signal (a popular item's long embedding should outrank a
+    * same-direction short one) and cosine ranking is simply wrong.
+    *
+    * Scale path (documented, not a separate operator): the classic
+    * norm-augmentation reduction (Shrivastava & Li 2014, public
+    * literature) appends sqrt(M² − ‖x‖²) to every corpus vector and 0
+    * to every query (M = max corpus norm), after which MIPS order equals
+    * cosine order and [[lshTopK]]/[[ivfTopK]] apply unchanged — a
+    * per-row transform, no new infrastructure.
+    *
+    * Plan shape matches [[bruteForceTopK]]: queries broadcast, corpus
+    * never shuffles, per-partition WindowGroupLimit before the final
+    * per-query top-k.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val joined = c.join(broadcast(q),
+      if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+    val scored = joined.withColumn(
+      "dot", Expressions.dot_product_f32(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              round(col("dot"), 4).as("dot"))
+  }
+
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with seeded deterministic Gaussian planes, packed into a long.
     * Vectors with high cosine agree on most bits.
