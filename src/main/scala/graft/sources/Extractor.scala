@@ -32,6 +32,46 @@ object Extractor {
     project(df, columns)
   }
 
+  /** CSV scan with an explicit row-level malformed-record policy — the
+    * ingest-robustness knob a 100 TB crawl needs (bad rows are a
+    * certainty at scale, and the reference's whole-file suffix guard
+    * (`main.py:74-77`) is the only validation it has):
+    *
+    *  - `PERMISSIVE` (default): malformed rows survive with nulls and
+    *    the RAW LINE captured in `corruptCol` — quarantine-and-continue
+    *    (filter `corruptCol IS NOT NULL` into a dead-letter sink);
+    *  - `DROPMALFORMED`: silently drops bad rows (lossy — count the
+    *    input separately if you need an audit);
+    *  - `FAILFAST`: first bad row kills the job — the strict-contract
+    *    twin of the reference's exception surface.
+    *
+    * The corrupt-record column must be part of the declared schema in
+    * PERMISSIVE mode (Spark contract) — appended here so callers pass
+    * only the data schema.
+    */
+  def readCsvRobust(spark: SparkSession, path: String, schema: StructType,
+                    mode: String = "PERMISSIVE",
+                    corruptCol: String = "_corrupt_record"): DataFrame = {
+    val modes = Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
+    require(modes.contains(mode),
+      s"Extractor.readCsvRobust: mode '$mode' not in ${modes.mkString("/")}")
+    if (!path.endsWith(".csv"))
+      throw new java.io.FileNotFoundException(
+        s"Extractor.readCsvRobust: expected a .csv path, got '$path'")
+    require(!schema.fieldNames.contains(corruptCol),
+      s"Extractor.readCsvRobust: schema already contains '$corruptCol'")
+    val st =
+      if (mode == "PERMISSIVE")
+        schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read
+      .option("header", "true")
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(st)
+      .csv(path)
+  }
+
   /** Parquet scan with optional projection (engine-native format; the
     * driver testdata is parquet — TESTDATA.md).
     */

@@ -168,4 +168,38 @@ class ExtractorLoaderSpec extends SparkSpec {
     assert(capped.select("path").collect().map(_.getString(0))
       .map(p => new java.io.File(p).getName).toSeq == Seq("a.png"))
   }
+
+  test("readCsvRobust: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-robust")
+    val f = dir.resolve("rows.csv")
+    // the bad row is STRUCTURALLY malformed (extra column):
+    // type-conversion failures are nulled in place by the CSV parser,
+    // only token-count violations take the malformed-row path in every
+    // mode consistently
+    java.nio.file.Files.writeString(f,
+      "id,amount\n1,10.5\n2,NOT_A_NUMBER,extra\n3,30.0\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+                                StructField("amount", DoubleType)))
+    val perm = graft.sources.Extractor.readCsvRobust(
+      spark, f.toString, schema).cache()
+    assert(perm.count() === 3)
+    val bad = perm.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+      .collect().map(_.getString(2))
+    assert(bad.toSeq === Seq("2,NOT_A_NUMBER,extra"),
+      "bad row must survive with the raw line quarantined")
+    val dropped = graft.sources.Extractor.readCsvRobust(
+      spark, f.toString, schema, mode = "DROPMALFORMED")
+    // collect FULL rows: CSV column pruning would otherwise parse only
+    // the projected column and never notice the malformed tail
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 3L))
+    val strict = graft.sources.Extractor.readCsvRobust(
+      spark, f.toString, schema, mode = "FAILFAST")
+    intercept[org.apache.spark.SparkException] { strict.collect() }
+    intercept[IllegalArgumentException] {
+      graft.sources.Extractor.readCsvRobust(spark, f.toString, schema,
+        mode = "LENIENT")
+    }
+  }
 }

@@ -214,4 +214,34 @@ class PropertySpec extends SparkSpec {
       assert(totalTransitions == expected, s"seed $seed")
     }
   }
+
+  test("prefix filtering equals the exact inverted index on random corpora") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 131L)
+      val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+                         "foxtrot", "golf", "hotel")
+      def doc(): String =
+        Seq.fill(8 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      // clones with one appended word guarantee true near-dup pairs;
+      // the tiny vocabulary forces heavy shingle sharing (the hard case
+      // for candidate pruning)
+      val bases = Seq.fill(10)(doc())
+      val rows = bases.zipWithIndex.map { case (t, i) => (i.toLong * 2, t) } ++
+        bases.zipWithIndex.map { case (t, i) =>
+          (i.toLong * 2 + 1, t + " " + vocab(rnd.nextInt(vocab.size))) } ++
+        (100L to 120L).map(i => (i, doc()))
+      val df = rows.toDF("doc_id", "text")
+      val t = 0.3 + rnd.nextInt(5) * 0.1
+      val n = 2 + rnd.nextInt(2)
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val exact = pairs(Dedup.ngramJaccardPairs(df, "text", "doc_id", n, t,
+        Dedup.ShingleCap.Off))
+      val pf = pairs(Dedup.prefixFilterJaccardPairs(df, "text", "doc_id", n, t))
+      assert(exact.nonEmpty, s"seed $seed produced no pairs")
+      assert(pf === exact, s"seed $seed n=$n t=$t")
+    }
+  }
 }
