@@ -228,6 +228,86 @@ object Dedup {
               round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directional CONTAINMENT near-dup pairs: emits (contained_id,
+    * container_id, containment) where containment = |A∩B| / |A| ≥
+    * threshold — the ASYMMETRIC measure that catches quotes, excerpts,
+    * and boilerplate-wrapped copies which symmetric Jaccard misses (a
+    * 100-shingle doc fully embedded in a 10,000-shingle doc has
+    * containment 1.0 but Jaccard ≈ 0.01). The standard second pass of a
+    * dedup pipeline after [[ngramJaccardPairs]].
+    *
+    * Same inverted-index plan as the exact Jaccard path: intersections
+    * counted in the index self-join, then BOTH directions of each
+    * unordered pair are tested (one pass — no second join). The
+    * [[ShingleCap]] guard applies identically; Off keeps the declared
+    * oracle exact.
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double,
+                       shingleCap: ShingleCap = ShingleCap.Auto): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold $threshold outside (0, 1]")
+    val withSh = df
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
+    val capOpt: Option[Int] = shingleCap match {
+      case ShingleCap.Off => None
+      case ShingleCap.Limit(c) => Some(c)
+      case ShingleCap.Auto => Some(suggestedShingleCap(withSh.count()))
+    }
+    val indexed = capOpt match {
+      case None => sh
+      case Some(cap) =>
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") <= cap).select("s")
+        sh.join(rare, Seq("s"), "left_semi")
+    }
+    val inter = indexed.as("a")
+      .join(indexed.as("b"),
+            col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter_c"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+    val both = inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+            Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+            Seq("id_b"))
+    // capped candidate generation undercounts inter — re-verify exactly
+    // against the full arrays only when a cap was applied
+    val exact = capOpt match {
+      case None => both
+      case Some(_) =>
+        both.select(col("id_a"), col("id_b"))
+          .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+                Seq("id_a"))
+          .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+                Seq("id_b"))
+          .withColumn("inter_c",
+            size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("sz_a", size(col("sh_a")))
+          .withColumn("sz_b", size(col("sh_b")))
+          .select(col("id_a"), col("id_b"), col("inter_c"),
+                  col("sz_a"), col("sz_b"))
+    }
+    val aInB = exact
+      .withColumn("containment",
+        col("inter_c").cast("double") / col("sz_a").cast("double"))
+      .select(col("id_a").as("contained_id"),
+              col("id_b").as("container_id"), col("containment"))
+    val bInA = exact
+      .withColumn("containment",
+        col("inter_c").cast("double") / col("sz_b").cast("double"))
+      .select(col("id_b").as("contained_id"),
+              col("id_a").as("container_id"), col("containment"))
+    aInB.union(bInA)
+      .filter(col("containment") >= threshold)
+      .select(col("contained_id"), col("container_id"),
+              round(col("containment"), 6).as("containment"))
+  }
+
   /** MinHash + LSH near-duplicate pairs, exact-verified.
     *
     * numHashes = bands * rowsPerBand signature via the [[Expressions.MinHashSig]]

@@ -425,6 +425,20 @@ object Streams {
       }
   }
 
+  /** Stream-static enrichment: join the live stream against a SLOW
+    * dimension table (the lookup-table pattern — streams never wait for
+    * dimension shuffles; Spark re-plans the static side per micro-batch
+    * and broadcasts it when it fits). Works identically on batch
+    * frames, which is how e18's oracle checks the join itself; the
+    * streaming path (joined stream → grouped counts in Complete mode)
+    * is pinned in StreamingSpec.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(eventKey) === dim(dimKey))
+
   case class RunningOut(user_id: Long, n_events: Long,
                         sum_value_micro: Long, last_event_id: Long)
 

@@ -485,4 +485,32 @@ class StreamingSpec extends SparkSpec {
         ("2021-01-01 10:00:00.0", "view", 3L, 4L)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch against the dimension (Complete mode)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.enrichWithDim(input.toDF(), dim, "user_id", "c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("sse_out")
+      .outputMode("complete").start()
+    try {
+      def ev(id: Long, u: Long) = Streams.Event(
+        id, java.sql.Timestamp.valueOf("2021-01-01 10:00:00"), u, "view", 1.0)
+      input.addData(ev(1, 1), ev(2, 1), ev(3, 2), ev(4, 99)) // 99: no dim row
+      q.processAllAvailable()
+      val b1 = spark.table("sse_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(b1 === Map("BUILDING" -> 2L, "MACHINERY" -> 1L))
+      input.addData(ev(5, 2), ev(6, 2))
+      q.processAllAvailable()
+      val b2 = spark.table("sse_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(b2 === Map("BUILDING" -> 2L, "MACHINERY" -> 3L),
+        "Complete mode must re-emit the full updated aggregate")
+    } finally q.stop()
+  }
 }
