@@ -30,7 +30,8 @@ object SparkEntry {
       Queries22.sparkQueries ++ Queries23.sparkQueries ++
       Queries24.sparkQueries ++ Queries25.sparkQueries ++
       Queries26.sparkQueries ++ Queries27.sparkQueries ++
-      Queries28.sparkQueries ++ Queries29.sparkQueries
+      Queries28.sparkQueries ++ Queries29.sparkQueries ++
+      Queries30.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,5 @@ object SparkEntry {
       Queries20.oracleSql ++ Queries21.oracleSql ++ Queries22.oracleSql ++
       Queries23.oracleSql ++ Queries24.oracleSql ++ Queries25.oracleSql ++
       Queries26.oracleSql ++ Queries27.oracleSql ++ Queries28.oracleSql ++
-      Queries29.oracleSql
+      Queries29.oracleSql ++ Queries30.oracleSql
 }
