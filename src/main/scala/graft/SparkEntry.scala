@@ -31,7 +31,7 @@ object SparkEntry {
       Queries24.sparkQueries ++ Queries25.sparkQueries ++
       Queries26.sparkQueries ++ Queries27.sparkQueries ++
       Queries28.sparkQueries ++ Queries29.sparkQueries ++
-      Queries30.sparkQueries
+      Queries30.sparkQueries ++ Queries31.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,6 @@ object SparkEntry {
       Queries20.oracleSql ++ Queries21.oracleSql ++ Queries22.oracleSql ++
       Queries23.oracleSql ++ Queries24.oracleSql ++ Queries25.oracleSql ++
       Queries26.oracleSql ++ Queries27.oracleSql ++ Queries28.oracleSql ++
-      Queries29.oracleSql ++ Queries30.oracleSql
+      Queries29.oracleSql ++ Queries30.oracleSql ++
+      Queries31.oracleSql
 }

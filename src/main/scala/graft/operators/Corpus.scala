@@ -362,6 +362,45 @@ object Corpus {
         expr("micro DIV n_tok").as("mean_neg_logp_micro"))
   }
 
+  /** ROUGE-n recall of every corpus document against every document of
+    * a (small) evaluation set: |ngrams(doc) ∩ ngrams(ref)| / |ngrams(ref)|
+    * over DISTINCT n-grams, in exact integer ppm — the quantitative
+    * companion to [[decontaminate]]'s boolean hit: decontaminate says
+    * "this doc shares shingles with the eval set", rougeRecall says "it
+    * reproduces X % of this specific eval item" (Lin 2004's recall
+    * formulation, the standard leakage metric). Emits one row per
+    * (doc, ref) pair with bigram overlap > 0: unigram-only overlap is
+    * ubiquitous noise, bigram overlap is evidence.
+    *
+    * Scale: the eval set is broadcast (eval sets are KB-scale by
+    * nature); the corpus n-gram stream is joined against it map-side
+    * and aggregated once per n — the corpus never self-joins and never
+    * shuffles its text.
+    */
+  def rougeRecall(corpus: DataFrame, refs: DataFrame, textCol: String,
+                  idCol: String): DataFrame = {
+    def grams(df: DataFrame, id: String, n: Int) = df
+      .select(col(idCol).as(id),
+              explode(Dedup.shingles(col(textCol), n)).as("g"))
+    def refSizes(n: Int) = refs
+      .select(col(idCol).as("ref_id"),
+              size(Dedup.shingles(col(textCol), n)).as("ref_sz"))
+      .filter(col("ref_sz") > 0)
+    def recall(n: Int, outCol: String) =
+      grams(corpus, "doc_id_", n)
+        .join(broadcast(grams(refs, "ref_id", n)), Seq("g"))
+        .groupBy(col("doc_id_"), col("ref_id"))
+        .agg(count(lit(1)).as("inter"))
+        .join(broadcast(refSizes(n)), Seq("ref_id"))
+        .select(col("doc_id_"), col("ref_id"),
+                expr(s"inter * 1000000 DIV ref_sz").as(outCol))
+    recall(2, "rouge2_ppm")
+      .join(recall(1, "rouge1_ppm"), Seq("doc_id_", "ref_id"), "left")
+      .select(col("doc_id_").as(idCol), col("ref_id"),
+              coalesce(col("rouge1_ppm"), lit(0L)).as("rouge1_ppm"),
+              col("rouge2_ppm"))
+  }
+
   /** Vocabulary coverage / OOV rate: build the corpus vocabulary as the
     * `vocabSize` most frequent tokens (count desc, token asc — a total
     * order, so the vocabulary boundary is reproducible across runs and
