@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.operators.{Graph, Similarity}
 
-/** Round-4 queries, part 25: the corpus filter funnel — per-stage
+/** Round-4 queries, part 25: the corpus filter funnel (per-stage
   * survival counts for a chained filter stack, the ablation table every
-  * pretraining-data paper publishes. Oracle-parity conventions follow
-  * [[Queries]]' scaladoc.
+  * pretraining-data paper publishes), multi-source BFS reachability,
+  * BPE-style adjacent-pair statistics, per-group percentile gating,
+  * per-group OLS trend fits, and cosine range search. Oracle-parity
+  * conventions follow [[Queries]]' scaladoc.
   */
 object Queries32 {
   import Queries.Q
@@ -35,6 +38,89 @@ object Queries32 {
              sum(col("s_lang")).as("n_lang"),
              sum(col("s_len")).as("n_lang_len"),
              sum(col("s_uniq")).as("n_lang_len_unique"))
+    }),
+
+    // Multi-source BFS over the part↔supplier co-supply graph (g01's
+    // graph): min hop distance from suppliers 1–3 within 3 rounds —
+    // the blast-radius query (everything within N hops of a recall).
+    // Level-synchronous frontier expansion; oracle is the unrolled
+    // rounds as MATERIALIZED CTEs.
+    "g04_bfs_hops" -> ((s, d) => {
+      val f = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val sources = Tables.supplier(s, d)
+        .filter(col("s_suppkey") <= 3)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Graph.bfsHops(f.union(f.select(col("dst").as("src"),
+                                     col("src").as("dst"))),
+                    "src", "dst", sources, "node", maxHops = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Adjacent character-pair frequencies within words — the first
+    // counting pass of BPE tokenizer training. One explode per word,
+    // one per pair position (transform over an index sequence — no
+    // self-join), top 40 with a total-order tiebreak.
+    "t30_bpe_pairs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(
+          graft.operators.TextAnalysis.normalize(col("text")), " "))
+          .as("word"))
+        .filter(length(col("word")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, int(length(word)) - 1), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(40)),
+
+    // Per-language top-decile gate by document length: percent_rank is
+    // the exact rational (rank−1)/(n−1) in IEEE double on both engines,
+    // so the ≥ 0.9 cut is bit-deterministic — per-stratum percentile
+    // thresholds without a global sort.
+    "t31_quality_gate" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.9)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"),
+             min(col("n_chars")).as("min_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Per-nation OLS of line price on quantity — the regr_* family
+    // (slope/intercept/R², one streaming-moment pass, map-side
+    // combining). Rounded: float merge order differs by engine at the
+    // 1e-12 relative level (same rationale as q37).
+    "q132_regr_trend" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("rg_lineitem")
+      Tables.supplier(s, d).createOrReplaceTempView("rg_supplier")
+      s.sql("""SELECT s_nationkey,
+              |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+              |    AS n_pts,
+              |  round(regr_slope(l_extendedprice, l_quantity), 4)
+              |    AS slope,
+              |  round(regr_intercept(l_extendedprice, l_quantity), 4)
+              |    AS intercept,
+              |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+              |FROM rg_lineitem JOIN rg_supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+    }),
+
+    // Cosine range search: every corpus neighbor past a similarity
+    // bar for each query vector — the radius-query complement to s01's
+    // top-k. Queries broadcast; corpus never shuffles.
+    "s10_range_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.rangeSearch(
+          e.filter(col("vec_id") % 50 =!= 0),
+          e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", threshold = 0.3)
+        .orderBy(col("query_id"), col("neighbor_id"))
     })
   )
 
@@ -54,6 +140,85 @@ object Queries32 {
          |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= 200 AND rn = 1
          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_len_unique
          |FROM x""".stripMargin
+    },
+
+    "g04_bfs_hops" -> bfsOracle(maxHops = 3),
+
+    "t30_bpe_pairs" -> {
+      val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      s"""WITH w AS (
+         |  SELECT unnest(regexp_extract_all($norm, '\\S+')) AS word
+         |  FROM documents),
+         |p AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+         |                               i -> word[i:i+1])) AS pair
+         |  FROM w WHERE len(word) >= 2)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin
+    },
+
+    "t31_quality_gate" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang
+        |                         ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM r WHERE pr >= 0.9 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q132_regr_trend" ->
+      """SELECT s_nationkey,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+        |    AS n_pts,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "s10_range_search" -> {
+      val cos =
+        "list_dot_product(a.emb, b.emb) / " +
+        "(sqrt(list_dot_product(a.emb, a.emb)) * " +
+        "sqrt(list_dot_product(b.emb, b.emb)))"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings)
+         |SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |  round($cos, 4) AS cos
+         |FROM e a JOIN e b
+         |  ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
+         |WHERE $cos >= 0.3
+         |ORDER BY query_id, neighbor_id""".stripMargin
     }
   )
+
+  /** Unrolled level-synchronous BFS rounds. MATERIALIZED is load-bearing:
+    * plain DuckDB CTEs inline per reference and re-expand exponentially
+    * across rounds (the g03 lesson).
+    */
+  private def bfsOracle(maxHops: Int): String = {
+    val rounds = (1 to maxHops).map { h =>
+      s"""n$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node FROM e
+         |  JOIN d${h - 1} f ON e.src = f.node WHERE f.hops = ${h - 1}),
+         |d$h AS MATERIALIZED (
+         |  SELECT node, MIN(hops) AS hops FROM (
+         |    SELECT node, hops FROM d${h - 1}
+         |    UNION ALL SELECT node, $h AS hops FROM n$h)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT DISTINCT l_partkey * 2 AS src,
+       |             l_suppkey * 2 + 1 AS dst
+       |           FROM lineitem),
+       |e AS MATERIALIZED (SELECT src, dst FROM f
+       |                   UNION SELECT dst, src FROM f),
+       |d0 AS MATERIALIZED (SELECT 2 * s_suppkey + 1 AS node, 0 AS hops
+       |                    FROM supplier WHERE s_suppkey <= 3),
+       |$rounds
+       |SELECT node, CAST(hops AS BIGINT) AS hops
+       |FROM d$maxHops ORDER BY node""".stripMargin
+  }
 }

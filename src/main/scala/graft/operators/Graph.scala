@@ -72,6 +72,50 @@ object Graph {
     pr.select(col("node"), col("pr").as("pr_pico"))
   }
 
+  /** Multi-source BFS: minimum hop distance from any node in `sources`,
+    * over a directed edge list, up to `maxHops` rounds. Output:
+    * (node, hops) for every node reached within the horizon — the
+    * reachability / blast-radius primitive (which suppliers are within
+    * 3 hops of a recalled part, which docs cite a retracted source).
+    *
+    * Level-synchronous frontier expansion: round h joins ONLY the
+    * frontier (nodes first settled at h−1) against the edge table, then
+    * a min-hops aggregation folds new candidates into the distance
+    * table. With min-hops semantics a node's first settlement is final,
+    * so the frontier is exact — no node is ever expanded twice.
+    *
+    * Scale: per round ONE equi-join (frontier ⋈ edges on src) + ONE
+    * map-side-combining min aggregation; the frontier is typically a
+    * small fraction of |V| (broadcastable in early rounds), the edge
+    * table shuffles on src once per round, and the distance table
+    * (|V| rows max, two longs) is `localCheckpoint`ed so the plan stays
+    * flat across rounds — the same Pregel shape as [[pageRank]].
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              sources: DataFrame, sourceCol: String,
+              maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: negative maxHops $maxHops")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1).toLong)
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Per-node triangle participation over an undirected graph — the
     * clustering-coefficient / community-density primitive. Input edges
     * are normalized to (a < b) and deduplicated; each triangle

@@ -40,6 +40,29 @@ object Similarity {
               round(col("cos"), 4).as("cos"))
   }
 
+  /** Cosine range search: ALL corpus neighbors with similarity ≥
+    * `threshold` for each query — the radius-query complement to
+    * [[bruteForceTopK]]'s top-k (retrieval wants the k best; curation
+    * wants everything past a quality bar, however many that is).
+    *
+    * Plan shape matches [[bruteForceTopK]]: queries broadcast, the
+    * corpus never shuffles, and the threshold filter runs inside the
+    * scan's projection — no window, no sort, output size is the only
+    * cost that scales with the match count. At 100 TB swap the corpus
+    * side for [[lshBuckets]] candidates exactly as [[lshTopK]] does.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Expressions.cosine_sim(col("q_vec"), col("c_vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("query_id"), col("neighbor_id"),
+              round(col("cos"), 4).as("cos"))
+  }
+
   /** Maximum-inner-product (MIPS) top-k: exact brute force ranked by the
     * raw dot product — the recommendation-scoring regime where vector
     * NORM is signal (a popular item's long embedding should outrank a
