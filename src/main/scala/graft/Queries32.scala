@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Graph, Similarity}
+import graft.operators.{AsOf, Graph, Similarity}
 
 /** Round-4 queries, part 25: the corpus filter funnel (per-stage
   * survival counts for a chained filter stack, the ablation table every
@@ -121,6 +121,107 @@ object Queries32 {
           e.filter(col("vec_id") % 50 === 0),
           "vec_id", "embedding", threshold = 0.3)
         .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // Forward as-of: each purchase picks up the EARLIEST same-user
+    // click at-or-after its timestamp (merge_asof direction='forward' —
+    // e03's mirror; post-purchase attribution).
+    "e19_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts"))
+      AsOf.asofJoinForward(purchases,
+          ev.filter(col("event_type") === "click"),
+          "user_id", "ts", "ts",
+          payload = Seq("event_id" -> "click_id"),
+          tieBreak = "event_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Nearest as-of: whichever same-user click is closer in time, exact
+    // ties preferring the backward match (merge_asof
+    // direction='nearest'); distance compared in integer microseconds.
+    "e20_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts"))
+      AsOf.asofJoinNearest(purchases,
+          ev.filter(col("event_type") === "click"),
+          "user_id", "ts", "ts",
+          payload = Seq("event_id" -> "click_id"),
+          tieBreak = "event_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // Median-absolute-deviation outlier audit per return flag. Every
+    // arithmetic step is exact in IEEE double (prices are 2-decimal
+    // integers ≪ 2^53; the even-count median averages two of them, /2 is
+    // a power of two), so med/mad/outlier counts need NO rounding — a
+    // robust-stats gate that stays bit-deterministic.
+    "q133_mad_outliers" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("mad_lineitem")
+      s.sql("""WITH m AS (
+              |  SELECT l_returnflag,
+              |    percentile(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+              |  FROM mad_lineitem GROUP BY l_returnflag),
+              |d AS (
+              |  SELECT l.l_returnflag,
+              |    CAST(l.l_extendedprice AS DOUBLE) AS p, m.med
+              |  FROM mad_lineitem l
+              |  JOIN m ON l.l_returnflag = m.l_returnflag),
+              |a AS (
+              |  SELECT l_returnflag, med,
+              |    percentile(abs(p - med), 0.5) AS mad
+              |  FROM d GROUP BY l_returnflag, med)
+              |SELECT d.l_returnflag, a.med, a.mad,
+              |  CAST(SUM(CASE WHEN abs(d.p - a.med) > 3 * a.mad
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              |  CAST(COUNT(*) AS BIGINT) AS n_rows
+              |FROM d JOIN a ON d.l_returnflag = a.l_returnflag
+              |GROUP BY d.l_returnflag, a.med, a.mad
+              |ORDER BY d.l_returnflag""".stripMargin)
+    }),
+
+    // Customer spend deciles: exact decimal spend totals, ntile(10)
+    // under a total order, per-decile profile — the marketing decile
+    // report. The global ntile is a single-partition window HERE; the
+    // 100 TB path range-partitions on precomputed spend boundaries
+    // (q95's equi-depth histogram provides exactly those).
+    "q134_spend_deciles" -> ((s, d) => {
+      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice")).as("spend"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+             sum(col("spend")).as("total_spend"),
+             min(col("spend")).as("min_spend"),
+             max(col("spend")).as("max_spend"))
+        .orderBy(col("decile"))
+    }),
+
+    // Zipf exponent of the token frequency distribution: OLS slope of
+    // ln(freq) on ln(rank) over the top 200 tokens — the corpus
+    // health-check that catches boilerplate floods (slope → 0) and
+    // truncated vocabularies (slope ≪ −1).
+    "t32_zipf_slope" -> ((s, d) => {
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      Tables.documents(s, d)
+        .select(explode(split(
+          graft.operators.TextAnalysis.normalize(col("text")), " "))
+          .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 200)
+        .agg(round(expr("regr_slope(ln(c), ln(r))"), 4).as("zipf_slope"),
+             round(expr("regr_r2(ln(c), ln(r))"), 4).as("r2"),
+             count(lit(1)).as("n_tokens"))
     })
   )
 
@@ -192,6 +293,100 @@ object Queries32 {
          |  ON a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0
          |WHERE $cos >= 0.3
          |ORDER BY query_id, neighbor_id""".stripMargin
+    },
+
+    "e19_asof_forward" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS tb,
+        |         event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *, LAST_VALUE(click_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts DESC, side, tb DESC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS next_click
+        |  FROM u)
+        |SELECT purchase_id, user_id, next_click AS click_id
+        |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+
+    "e20_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, 0 AS side, event_id AS tb,
+        |         event_id AS click_id, ts AS cts,
+        |         CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, event_id, NULL, NULL, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    LAST_VALUE(click_id IGNORE NULLS) OVER wb AS b_id,
+        |    LAST_VALUE(cts IGNORE NULLS) OVER wb AS b_ts,
+        |    LAST_VALUE(click_id IGNORE NULLS) OVER wf AS f_id,
+        |    LAST_VALUE(cts IGNORE NULLS) OVER wf AS f_ts
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, side, tb NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |           ORDER BY ts DESC, side, tb DESC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT purchase_id, user_id,
+        |  CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+        |         epoch_us(ts) - epoch_us(b_ts) <=
+        |         epoch_us(f_ts) - epoch_us(ts))
+        |       THEN b_id ELSE f_id END AS click_id
+        |FROM w WHERE side = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q133_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l.l_returnflag,
+        |    CAST(l.l_extendedprice AS DOUBLE) AS p, m.med
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag),
+        |a AS (
+        |  SELECT l_returnflag, med, quantile_cont(abs(p - med), 0.5) AS mad
+        |  FROM d GROUP BY l_returnflag, med)
+        |SELECT d.l_returnflag, a.med, a.mad,
+        |  CAST(SUM(CASE WHEN abs(d.p - a.med) > 3 * a.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM d JOIN a ON d.l_returnflag = a.l_returnflag
+        |GROUP BY d.l_returnflag, a.med, a.mad
+        |ORDER BY d.l_returnflag""".stripMargin,
+
+    "q134_spend_deciles" ->
+      """WITH s AS (
+        |  SELECT o_custkey, SUM(o_totalprice) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (
+        |  SELECT spend, CAST(ntile(10) OVER (
+        |      ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+        |  FROM s)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  SUM(spend) AS total_spend, MIN(spend) AS min_spend,
+        |  MAX(spend) AS max_spend
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "t32_zipf_slope" -> {
+      val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      s"""WITH tk AS (
+         |  SELECT unnest(regexp_extract_all($norm, '\\S+')) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+         |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+         |      FROM c)
+         |SELECT round(regr_slope(ln(c), ln(r)), 4) AS zipf_slope,
+         |  round(regr_r2(ln(c), ln(r)), 4) AS r2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM r WHERE r <= 200""".stripMargin
     }
   )
 

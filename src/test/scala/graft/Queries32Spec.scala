@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Graph, Similarity}
+import graft.operators.{AsOf, Graph, Similarity}
 
 /** Round-4 part 25: BFS hop semantics on constructed graphs and range
   * search vs brute-force top-k consistency (the real-data values are
@@ -57,5 +57,39 @@ class Queries32Spec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(range.nonEmpty, "threshold too high — test is vacuous")
     assert(range === full)
+  }
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("asofJoinForward: earliest at-or-after, inclusive boundary, " +
+       "smallest tie-break wins") {
+    val left = Seq((1L, 10L, ts(100)), (1L, 11L, ts(250)))
+      .toDF("user", "lid", "t")
+    // rid 20 at t=100 (equal time — inclusive), rids 21/22 tie at t=300
+    val right = Seq((1L, 20L, ts(100)), (1L, 22L, ts(300)),
+                    (1L, 21L, ts(300))).toDF("user", "rid", "rt")
+    val out = AsOf.asofJoinForward(left, right, "user", "t", "rt",
+        payload = Seq("rid" -> "matched"), tieBreak = "rid")
+      .orderBy("lid").select("lid", "matched")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((10L, 20L), (11L, 21L)))
+  }
+
+  test("asofJoinNearest: picks the closer side; exact tie prefers " +
+       "backward; one-sided rows still match") {
+    // left at 100: back click at 90 (d=10) vs fwd at 120 (d=20) → back
+    // left at 200: back at 190 (d=10) vs fwd at 210 (d=10) → tie → back
+    // left at 10:  no backward match → forward (90)
+    val left = Seq((1L, 100L, ts(100)), (2L, 200L, ts(200)),
+                   (3L, 300L, ts(10))).toDF("lid", "mark", "t")
+      .withColumn("user", lit(7L))
+    val right = Seq((90L, ts(90)), (120L, ts(120)), (190L, ts(190)),
+                    (210L, ts(210))).toDF("rid", "rt")
+      .withColumn("user", lit(7L))
+    val out = AsOf.asofJoinNearest(left, right, "user", "t", "rt",
+        payload = Seq("rid" -> "matched"), tieBreak = "rid")
+      .orderBy("lid").select("lid", "matched")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 90L), (2L, 190L), (3L, 90L)))
   }
 }
