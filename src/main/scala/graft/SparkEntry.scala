@@ -32,7 +32,8 @@ object SparkEntry {
       Queries26.sparkQueries ++ Queries27.sparkQueries ++
       Queries28.sparkQueries ++ Queries29.sparkQueries ++
       Queries30.sparkQueries ++ Queries31.sparkQueries ++
-      Queries32.sparkQueries ++ Queries33.sparkQueries
+      Queries32.sparkQueries ++ Queries33.sparkQueries ++
+      Queries34.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       Queries23.oracleSql ++ Queries24.oracleSql ++ Queries25.oracleSql ++
       Queries26.oracleSql ++ Queries27.oracleSql ++ Queries28.oracleSql ++
       Queries29.oracleSql ++ Queries30.oracleSql ++
-      Queries31.oracleSql ++ Queries32.oracleSql ++ Queries33.oracleSql
+      Queries31.oracleSql ++ Queries32.oracleSql ++ Queries33.oracleSql ++
+      Queries34.oracleSql
 }
