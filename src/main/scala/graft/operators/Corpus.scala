@@ -362,6 +362,56 @@ object Corpus {
         expr("micro DIV n_tok").as("mean_neg_logp_micro"))
   }
 
+  /** Interpolated bigram language-model score per document (Jelinek-
+    * Mercer, λ = 0.5): mean negative log of
+    * 0.5·p(w|prev) + 0.5·p(w) over every bigram position — the
+    * next-order instance of [[unigramLogProb]]'s CCNet-style LM filter,
+    * sharper at spotting scrambled/templated text because it scores
+    * transitions, not just vocabulary. Documents with fewer than two
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Determinism contract (shared with unigramLogProb): the mixture is
+    * computed in doubles with a single mirrored op order, −ln is rounded
+    * to 6 dp once, summed as decimal(38,6), and the mean reported in
+    * integer micro-nats via DIV.
+    *
+    * Scale: bigram positions come from one lag() window keyed by doc —
+    * the same single shuffle the per-doc mean needs anyway. The bigram
+    * vocabulary aggregation map-side combines; context counts derive
+    * from the bigram vocab (|bigram vocab| rows, not corpus rows). The
+    * unigram table is broadcast like t09's; the bigram-logp join is the
+    * one shuffle keyed by (prev, w).
+    */
+  def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val pos = df.select(col(idCol), posexplode(words(col(textCol)))
+      .as(Seq("i", "w")))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bi = pos.withColumn("w_prev", lag(col("w"), 1).over(wd))
+      .filter(col("w_prev").isNotNull)
+      .select(col(idCol), col("w_prev"), col("w"))
+      .localCheckpoint()
+    val uni = pos.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tot = uni.agg(sum(col("c")).as("tot"))
+    val vb = bi.groupBy(col("w_prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val ctx = vb.groupBy(col("w_prev")).agg(sum(col("cb")).as("cctx"))
+    val logp = vb.join(ctx, Seq("w_prev"))
+      .join(broadcast(uni), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("w_prev"), col("w"),
+        round(-log(
+          lit(0.5) * (col("cb").cast("double") / col("cctx").cast("double"))
+            + lit(0.5) * (col("c").cast("double") / col("tot").cast("double"))
+        ), 6).cast("decimal(38,6)").as("neg_logp"))
+    bi.join(logp, Seq("w_prev", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("neg_logp")).as("sum_nlp"))
+      .withColumn("micro", (col("sum_nlp") * 1000000).cast("long"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("micro DIV n_bigrams").as("mean_neg_logp_micro"))
+  }
+
   /** ROUGE-n recall of every corpus document against every document of
     * a (small) evaluation set: |ngrams(doc) ∩ ngrams(ref)| / |ngrams(ref)|
     * over DISTINCT n-grams, in exact integer ppm — the quantitative
