@@ -56,7 +56,12 @@ object Bench {
     // candidate scheme vs d02/d10's inverted index), iterative k-core
     // peel, shuffle-free Poisson bootstrap, point-in-time SCD2 lookup
     "d18_prefix_filter", "g03_kcore", "q121_bootstrap",
-    "q120_scd2_lookup")
+    "q120_scd2_lookup",
+    // round-4 part 6: cross-source shingle overlap (heaviest self-join
+    // shape), bigram LM (lag window + bigram-keyed shuffle), broadcast
+    // prefix-dim scoring, pure-window CUSUM, first-occurrence novelty
+    "t33_source_overlap", "t36_bigram_lm", "s12_prefix_recall",
+    "q139_cusum", "t34_novelty")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

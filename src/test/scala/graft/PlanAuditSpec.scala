@@ -41,4 +41,47 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q121_bootstrap")
     assert(!p.toLowerCase.contains("join"))
   }
+
+  test("t33 source overlap joins only on the shared shingle, never source × source") {
+    val p = plan("t33_source_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s11 cluster quality broadcasts the centroids") {
+    val p = plan("s11_cluster_quality")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s12 prefix recall broadcasts the query side; corpus never shuffles for scoring") {
+    val p = plan("s12_prefix_recall")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q139 CUSUM is join-free — windows over one user-keyed shuffle") {
+    val p = plan("q139_cusum")
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("t34 novelty joins shingle-keyed then doc-keyed, never doc × doc") {
+    val p = plan("t34_novelty")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t36 bigram LM: unigram table broadcasts; no cartesian anywhere") {
+    val p = plan("t36_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q141 partitioned read prunes to the one selected day") {
+    val df = SparkEntry.queries("q141_partition_prune")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val pruned = scans.exists(s =>
+      s.contains("PartitionFilters") && s.contains("2024-01-15"))
+    assert(pruned, scans.mkString("\n").take(500))
+  }
 }
