@@ -33,7 +33,8 @@ object SparkEntry {
       Queries28.sparkQueries ++ Queries29.sparkQueries ++
       Queries30.sparkQueries ++ Queries31.sparkQueries ++
       Queries32.sparkQueries ++ Queries33.sparkQueries ++
-      Queries34.sparkQueries ++ Queries35.sparkQueries
+      Queries34.sparkQueries ++ Queries35.sparkQueries ++
+      Queries36.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,5 @@ object SparkEntry {
       Queries26.oracleSql ++ Queries27.oracleSql ++ Queries28.oracleSql ++
       Queries29.oracleSql ++ Queries30.oracleSql ++
       Queries31.oracleSql ++ Queries32.oracleSql ++ Queries33.oracleSql ++
-      Queries34.oracleSql ++ Queries35.oracleSql
+      Queries34.oracleSql ++ Queries35.oracleSql ++ Queries36.oracleSql
 }
