@@ -34,7 +34,7 @@ object SparkEntry {
       Queries30.sparkQueries ++ Queries31.sparkQueries ++
       Queries32.sparkQueries ++ Queries33.sparkQueries ++
       Queries34.sparkQueries ++ Queries35.sparkQueries ++
-      Queries36.sparkQueries
+      Queries36.sparkQueries ++ Queries37.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +52,6 @@ object SparkEntry {
       Queries26.oracleSql ++ Queries27.oracleSql ++ Queries28.oracleSql ++
       Queries29.oracleSql ++ Queries30.oracleSql ++
       Queries31.oracleSql ++ Queries32.oracleSql ++ Queries33.oracleSql ++
-      Queries34.oracleSql ++ Queries35.oracleSql ++ Queries36.oracleSql
+      Queries34.oracleSql ++ Queries35.oracleSql ++ Queries36.oracleSql ++
+      Queries37.oracleSql
 }

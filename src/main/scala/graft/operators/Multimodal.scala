@@ -257,4 +257,46 @@ object Multimodal {
           col("content").substr(i * step + 1, lit(frameBytes))))
         .as(Seq("frame_no", "frame_bytes")))
   }
+
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("frame_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** Audio frame energy: batched decode of the binary payload into PCM
+    * samples, then per-frame sum-of-squares energy — the loudness/
+    * silence-detection primitive of an audio preprocessing pipeline
+    * (VAD, silence trimming, clipping detection all start here). The
+    * "PCM decode" is the usual deterministic STUB: samples are the
+    * UTF-8 code points of the payload (a real libsndfile/FFmpeg decode
+    * swaps into the same mapPartitions loop with no plan change), which
+    * keeps the declared query (m06) fully oracle-checkable. All
+    * arithmetic is exact integers. Null or empty content yields no
+    * frames — mirrored by the oracle's empty generate_series.
+    *
+    * Scale: pure per-row fan-out inside mapPartitions (no shuffle); a
+    * payload's frames never leave its partition until the caller
+    * aggregates.
+    */
+  def frameEnergy(media: DataFrame, frameLen: Int = 32): DataFrame = {
+    val enc = Encoders.row(audioFrameSchema)
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (content == null || content.isEmpty) Iterator.empty
+          else {
+            val s = new String(content,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val cps = s.codePoints().toArray
+            cps.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+              Row(r.getLong(0), i.toLong, fr.length.toLong,
+                  fr.map(c => c.toLong * c).sum)
+            }
+          }
+        }
+      }(enc)
+  }
 }
