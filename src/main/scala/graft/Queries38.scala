@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 queries, part 31: a genuinely-streamed pipeline inside the
+  * correctness gate. Oracle-parity conventions follow [[Queries]]'
+  * scaladoc.
+  */
+object Queries38 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // REAL Structured Streaming execution (not a batch twin): file
+    // source → AvailableNow micro-batches → foreachBatch greatest-wins
+    // upsert snapshot → final snapshot hash-matched against the DuckDB
+    // latest-per-user oracle. The merge is idempotent + commutative, so
+    // the result is independent of how the source splits into batches
+    // (pinned explicitly in Queries38Spec with forced 1-file batches).
+    "e21_streamed_snapshot" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_snap_").toString
+      graft.streaming.Streams.streamedLatestSnapshot(
+          s, s"$d/events.parquet", work)
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e21_streamed_snapshot" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  value AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+}

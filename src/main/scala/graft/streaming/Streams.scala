@@ -513,4 +513,96 @@ object Streams {
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Latest-row-per-user reduction with a TOTAL order — (ts, event_id)
+    * max_by — so the result is identical however the input is split.
+    */
+  private def argmaxPerUser(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts").as("last_ts"),
+                         col("event_id").as("last_event_id"),
+                         col("value").as("last_value")),
+                  struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_ts").as("last_ts"),
+              col("m.last_event_id").as("last_event_id"),
+              col("m.last_value").as("last_value"))
+
+  /** A REAL Structured Streaming execution end-to-end — not a batch twin:
+    * file source over the events parquet (AvailableNow trigger, optional
+    * maxFilesPerTrigger batch splitting), foreachBatch greatest-wins
+    * upsert into a parquet snapshot, final snapshot returned. This is
+    * the production "stream → serving snapshot" sink pattern (the
+    * foreachBatch path Spark recommends for upsert sinks).
+    *
+    * Correctness under replay/splitting: the merge keeps, per user, the
+    * row with the greatest (ts, event_id) across the existing snapshot
+    * and the micro-batch — an idempotent, commutative fold, so the final
+    * snapshot is byte-identical no matter how the files split into
+    * micro-batches or whether a batch is re-delivered. Snapshots are
+    * written as generations (write gen N+1, then swap) because a Spark
+    * job cannot overwrite the files it is reading.
+    *
+    * Scale: each micro-batch shuffles only its own argmax (map-side
+    * combined) plus the snapshot keyed by user; state lives in the
+    * snapshot files, not executor memory.
+    */
+  def streamedLatestSnapshot(spark: SparkSession, eventsPath: String,
+                             workDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    // FileStreamSource needs a DIRECTORY source (it force-sets basePath
+    // to the given path for non-glob paths); the testdata tables are
+    // single .parquet files, so symlink a file input into a work subdir
+    // and stream that directory — zero copy, production shape.
+    val f = new java.io.File(eventsPath)
+    val srcPath =
+      if (!f.isFile) eventsPath
+      else {
+        val d = new java.io.File(workDir, "src"); d.mkdirs()
+        java.nio.file.Files.createSymbolicLink(
+          new java.io.File(d, f.getName).toPath, f.toPath.toAbsolutePath)
+        d.toString
+      }
+    val reader0 = spark.readStream.schema(batchSchema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(srcPath)
+    // same nanos-long normalization as graft.Tables.events
+    val ev = batchSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+    val snapDir = new java.io.File(workDir, "snapshot")
+    var gen = 0
+    val q = ev.writeStream
+      .foreachBatch { (df: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val updates = argmaxPerUser(df.select(
+          col("user_id"), col("ts"), col("event_id"), col("value")))
+        val cur = new java.io.File(snapDir, s"gen$gen")
+        val next = new java.io.File(snapDir, s"gen${gen + 1}")
+        val merged =
+          if (!cur.exists()) updates
+          else {
+            val prev = df.sparkSession.read.parquet(cur.toString)
+              .select(col("user_id"), col("last_ts").as("ts"),
+                      col("last_event_id").as("event_id"),
+                      col("last_value").as("value"))
+            argmaxPerUser(prev.unionByName(updates.select(
+              col("user_id"), col("last_ts").as("ts"),
+              col("last_event_id").as("event_id"),
+              col("last_value").as("value"))))
+          }
+        merged.write.mode("overwrite").parquet(next.toString)
+        gen += 1
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .start()
+    q.awaitTermination()
+    require(gen > 0, "streamedLatestSnapshot: no micro-batch ran")
+    spark.read.parquet(new java.io.File(snapDir, s"gen$gen").toString)
+  }
 }
