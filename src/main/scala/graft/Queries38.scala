@@ -22,6 +22,20 @@ object Queries38 {
       graft.streaming.Streams.streamedLatestSnapshot(
           s, s"$d/events.parquet", work)
         .orderBy(col("user_id"))
+    }),
+
+    // REAL watermarked Append-mode streaming aggregation: only windows
+    // the final watermark (max ts − 10 min) closed are emitted, and the
+    // oracle encodes that exact cutoff — so Spark's watermark
+    // finalization semantics are themselves hash-checked (Streams
+    // .streamedHourlyAgg scaladoc).
+    "e22_streamed_hourly" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_stream_hourly_").toString
+      graft.streaming.Streams.streamedHourlyAgg(
+          s, s"$d/events.parquet", work,
+          s"graft_e22_sink_${System.nanoTime}")
+        .orderBy(col("window_start"), col("event_type"))
     })
   )
 
@@ -32,6 +46,18 @@ object Queries38 {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
         |        ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events) x
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // the HAVING clause is Spark's Append-mode emission rule: a window
+    // is final iff window_end <= final watermark = max(ts) - 10 min
+    "e22_streamed_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |       (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+        |ORDER BY window_start, event_type""".stripMargin
   )
 }

@@ -546,14 +546,17 @@ object Streams {
     * combined) plus the snapshot keyed by user; state lives in the
     * snapshot files, not executor memory.
     */
-  def streamedLatestSnapshot(spark: SparkSession, eventsPath: String,
-                             workDir: String,
-                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+  /** File-source stream over the events table with the same nanos-long
+    * `ts` normalization as [[graft.Tables.events]]. FileStreamSource
+    * needs a DIRECTORY source (it force-sets basePath to the given path
+    * for non-glob paths); the testdata tables are single .parquet files,
+    * so a file input is symlinked into a work subdir and that directory
+    * is streamed — zero copy, production shape.
+    */
+  private def eventsFileStream(spark: SparkSession, eventsPath: String,
+                               workDir: String,
+                               maxFilesPerTrigger: Option[Int]): DataFrame = {
     val batchSchema = spark.read.parquet(eventsPath).schema
-    // FileStreamSource needs a DIRECTORY source (it force-sets basePath
-    // to the given path for non-glob paths); the testdata tables are
-    // single .parquet files, so symlink a file input into a work subdir
-    // and stream that directory — zero copy, production shape.
     val f = new java.io.File(eventsPath)
     val srcPath =
       if (!f.isFile) eventsPath
@@ -567,12 +570,17 @@ object Streams {
     val reader = maxFilesPerTrigger.fold(reader0)(n =>
       reader0.option("maxFilesPerTrigger", n.toString))
     val raw = reader.parquet(srcPath)
-    // same nanos-long normalization as graft.Tables.events
-    val ev = batchSchema("ts").dataType match {
+    batchSchema("ts").dataType match {
       case LongType => raw.withColumn("ts",
         timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
       case _ => raw
     }
+  }
+
+  def streamedLatestSnapshot(spark: SparkSession, eventsPath: String,
+                             workDir: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val ev = eventsFileStream(spark, eventsPath, workDir, maxFilesPerTrigger)
     val snapDir = new java.io.File(workDir, "snapshot")
     var gen = 0
     val q = ev.writeStream
@@ -604,5 +612,42 @@ object Streams {
     q.awaitTermination()
     require(gen > 0, "streamedLatestSnapshot: no micro-batch ran")
     spark.read.parquet(new java.io.File(snapDir, s"gen$gen").toString)
+  }
+
+  /** A REAL watermarked Append-mode streaming aggregation — not a batch
+    * twin: file source → `withWatermark(10 min)` → hourly tumbling
+    * window × event_type agg → memory sink. Append mode only emits a
+    * window once the watermark passes its end, so the result is the
+    * subset of e01's hourly grid that the final watermark
+    * (max event time − 10 min, monotone across micro-batches)
+    * finalized — the tail window(s) correctly stay open. The oracle
+    * encodes exactly that cutoff, making Spark's watermark-finalization
+    * semantics themselves driver-checked.
+    *
+    * Scale: state is one row per open (hour, event_type) — bounded by
+    * the watermark horizon, not by stream length; partial aggregation
+    * applies before the state-store shuffle.
+    */
+  def streamedHourlyAgg(spark: SparkSession, eventsPath: String,
+                        workDir: String, sinkName: String): DataFrame = {
+    // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+    // cast is lossless, and window_start is cast back to NTZ below
+    val ev = eventsFileStream(spark, eventsPath, workDir, None)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = ev.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("sum_value"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("w.start").cast(TimestampNTZType).as("window_start"),
+              col("event_type"), col("n"), col("sum_value"))
   }
 }

@@ -47,4 +47,24 @@ class Queries38Spec extends SparkSpec {
     assert(got.collect().toSeq === batchOracle()
       .collect().toSeq)
   }
+
+  test("streamedHourlyAgg: append emits exactly the watermark-closed windows") {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_e22_").toString
+    val got = Streams.streamedHourlyAgg(spark, s"$sf/events.parquet", work,
+        s"graft_e22_test_${System.nanoTime}")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val wm = ev.agg(max(col("ts"))).collect()(0).getAs[java.time.LocalDateTime](0)
+      .minusMinutes(10)
+    val expected = ev
+      .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz")
+                 .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("sum_value"))
+      .where(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wm))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(got.nonEmpty && got === expected)
+  }
 }
