@@ -529,6 +529,76 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Jaro-Winkler similarity in [0,1] — the standard Winkler (1990)
+    * formulation: Jaro with match window `max(⌊max(l1,l2)/2⌋−1, 0)` and
+    * transpositions = order-mismatched match pairs / 2, plus a prefix
+    * boost (≤4 chars, p=0.1) applied only when jaro > 0.7; either input
+    * empty → 0. These choices empirically bit-match DuckDB's
+    * `jaro_winkler_similarity` (probed: martha/marhta 0.961..., ab/ba 0,
+    * abcdxy/badcyx 5/6), so results hash-match the oracle without
+    * rounding. Spark has no built-in — levenshtein is the only string
+    * metric — and a per-row HOF composition would interpret lambdas per
+    * char; this is one O(l1·window) pass per row, inside codegen.
+    */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType, StringType)
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any =
+      jaroWinkler(l.asInstanceOf[UTF8String].toString,
+                  r.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.Expressions.jaroWinkler($a.toString(), $b.toString());")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Static kernel for [[JaroWinkler]] — called from generated code. */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val l1 = s1.length; val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var matches = 0
+    var i = 0
+    while (i < l1) {
+      val hi = math.min(l2 - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var mismatched = 0; var k = 0; i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) mismatched += 1
+        k += 1
+      }
+      i += 1
+    }
+    // transpositions = FLOOR(mismatched/2) — integer, matching DuckDB
+    // (probed: 3 order-mismatches → t=1, 0.944..., not half 1.5)
+    val m = matches.toDouble
+    val jaro = (m / l1 + m / l2 + (m - mismatched / 2) / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxP = math.min(4, math.min(l1, l2))
+      var p = 0
+      while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+      jaro + p * 0.1 * (1.0 - jaro)
+    }
+  }
+
   // Column-facing wrappers.
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
@@ -553,4 +623,6 @@ object Expressions {
   def deflate_len(s: Column): Column = Bridge.column(DeflateLen(Bridge.expression(s)))
   def dot_product_f32(a: Column, b: Column): Column =
     Bridge.column(DotProductF32(Bridge.expression(a), Bridge.expression(b)))
+  def jaro_winkler(a: Column, b: Column): Column =
+    Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
 }

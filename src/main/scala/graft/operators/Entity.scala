@@ -68,10 +68,15 @@ object Entity {
     * bounded by the sort key either way; production unions several
     * passes with different keys (same plan each).
     */
-  def sortedNeighborPairs(df: DataFrame, textCol: String, idCol: String,
-                          window: Int = 2, maxDist: Int = 15,
-                          keyLen: Int = 8, cmpLen: Int = 40): DataFrame = {
-    require(window >= 1, s"sortedNeighborPairs: window $window < 1")
+  /** Candidate (id, probe, nid, nprobe) rows for sorted-neighbor
+    * methods: normalized cmpLen-char probes sorted by their keyLen-char
+    * prefix, each row paired with its next `window` neighbors. Shared by
+    * [[sortedNeighborPairs]] and [[jaroNeighborPairs]].
+    */
+  private def neighborCandidates(df: DataFrame, textCol: String,
+                                 idCol: String, window: Int,
+                                 keyLen: Int, cmpLen: Int): DataFrame = {
+    require(window >= 1, s"neighborCandidates: window $window < 1")
     import org.apache.spark.sql.expressions.Window
     val norm = TextAnalysis.normalize(col(textCol))
     val base = df.select(col(idCol).as("id"),
@@ -88,13 +93,39 @@ object Entity {
       .withColumn("nbr", explode(array((1 to window).map(i => struct(
         col(s"nid$i").as("nid"), col(s"np$i").as("nprobe"))): _*)))
       .filter(col("nbr.nid").isNotNull)
-      .withColumn("dist", levenshtein(col("probe"), col("nbr.nprobe")))
+      .select(col("id"), col("probe"),
+              col("nbr.nid").as("nid"), col("nbr.nprobe").as("nprobe"))
+  }
+
+  def sortedNeighborPairs(df: DataFrame, textCol: String, idCol: String,
+                          window: Int = 2, maxDist: Int = 15,
+                          keyLen: Int = 8, cmpLen: Int = 40): DataFrame =
+    neighborCandidates(df, textCol, idCol, window, keyLen, cmpLen)
+      .withColumn("dist", levenshtein(col("probe"), col("nprobe")))
       .filter(col("dist") <= maxDist)
       // each unordered pair arises from exactly one (row, offset) in the
       // sort, so no dedup shuffle is needed; least/greatest only
       // normalizes the output orientation
-      .select(least(col("id"), col("nbr.nid")).as("id_a"),
-              greatest(col("id"), col("nbr.nid")).as("id_b"),
+      .select(least(col("id"), col("nid")).as("id_a"),
+              greatest(col("id"), col("nid")).as("id_b"),
               col("dist"))
-  }
+
+  /** Sorted-neighbor pairing verified with Jaro-Winkler instead of
+    * Levenshtein — the right metric when transposed words/typos should
+    * score high and a shared prefix should score higher (record-linkage
+    * convention; Winkler 1990). Same bounded candidate generation as
+    * [[sortedNeighborPairs]]: n·window pairs, never n². The similarity
+    * is the raw double — [[graft.functions.Expressions.JaroWinkler]]
+    * bit-matches the reference implementation, no rounding needed.
+    */
+  def jaroNeighborPairs(df: DataFrame, textCol: String, idCol: String,
+                        window: Int = 2, minSim: Double = 0.8,
+                        keyLen: Int = 8, cmpLen: Int = 40): DataFrame =
+    neighborCandidates(df, textCol, idCol, window, keyLen, cmpLen)
+      .withColumn("sim", graft.functions.Expressions.jaro_winkler(
+        col("probe"), col("nprobe")))
+      .filter(col("sim") >= minSim)
+      .select(least(col("id"), col("nid")).as("id_a"),
+              greatest(col("id"), col("nid")).as("id_b"),
+              col("sim"))
 }
