@@ -202,4 +202,50 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Bellman-Ford with a bounded edge count: after round h, `dist` is
+    * the exact minimum-cost path using ≤ h edges — so `maxEdges` rounds
+    * give the standard "shortest path within k hops" answer, a
+    * well-defined result even on graphs whose full shortest paths would
+    * need more rounds. Every round relaxes ALL current distances (the
+    * textbook form, and exactly what the unrolled oracle computes), not
+    * just a frontier: with weighted edges a node's distance can improve
+    * after its first settlement, so BFS's settled-is-final shortcut
+    * would be wrong here.
+    *
+    * Parallel edges collapse to their minimum weight first — fewer
+    * candidate rows per round and a deterministic edge table.
+    *
+    * Scale: per round ONE equi-join (dist ⋈ edges on src, shuffle
+    * bounded by |E|) + ONE map-side-combining min agg; dist (≤|V| rows,
+    * two longs) is localCheckpoint'ed so the plan stays flat across
+    * rounds — the Pregel shape of [[bfsHops]]/[[pageRank]]. Rounds are
+    * O(maxEdges), chosen by the caller, not data-dependent.
+    */
+  def boundedShortestPaths(edges: DataFrame, srcCol: String,
+                           dstCol: String, weightCol: String,
+                           sources: DataFrame, sourceCol: String,
+                           maxEdges: Int): DataFrame = {
+    require(maxEdges >= 0, s"boundedShortestPaths: negative maxEdges $maxEdges")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"),
+                         col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+              col("w").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxEdges) {
+      val cand = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(cand)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }
