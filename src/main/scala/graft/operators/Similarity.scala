@@ -450,4 +450,49 @@ object Similarity {
         max(when(!col("same"), col("cand_id"))).as("neg_id"),
         round(max(when(!col("same"), col("cos"))), 4).as("neg_cos"))
   }
+
+  /** Product-quantization codes (Jégou et al. 2011): each vector is
+    * split into `numSub` subvectors and each subvector is assigned the
+    * id of its nearest sub-centroid, compressing a d-dim float vector
+    * to `numSub` small ints — the memory layout behind billion-scale
+    * ANN (IVF-PQ). Codebook per subspace = the subvectors of the first
+    * `k` vectors by id — the same deterministic train-set stub as
+    * [[ivfTopK]]'s centroids (swapping in k-means per subspace changes
+    * no plan shape). Squared-L2 is accumulated in index order and
+    * ROUNDED to 6 before the argmin so the (dist, cid) ranking is
+    * engine-reproducible; ties break on centroid id.
+    *
+    * Scale: the codebook (numSub·k rows, 8-dim slices) broadcasts; the
+    * corpus explodes ×numSub but each row carries only its slice; the
+    * argmin is a per-(vector, subspace) window over k candidate rows —
+    * no cross-vector shuffle at all beyond the final per-vector
+    * collect.
+    */
+  def pqCodes(embeddings: DataFrame, idCol: String, vecCol: String,
+              dim: Int, numSub: Int, k: Int): DataFrame = {
+    require(numSub >= 1 && dim % numSub == 0,
+      s"pqCodes: dim $dim not divisible into $numSub subvectors")
+    val subLen = dim / numSub
+    val e = embeddings.select(col(idCol).cast("long").as("vid"),
+                              col(vecCol).cast("array<double>").as("emb"))
+    val subs = e.select(col("vid"), explode(expr(
+        s"transform(sequence(0, ${numSub - 1}), " +
+        s"j -> struct(j AS j, slice(emb, j * $subLen + 1, $subLen) AS sub))"))
+        .as("x"))
+      .select(col("vid"), col("x.j").as("j"), col("x.sub").as("sub"))
+    val cents = subs.filter(col("vid") < k)
+      .select(col("vid").as("cid"), col("j"), col("sub").as("csub"))
+    val scored = subs.join(broadcast(cents), Seq("j"))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (a, v) -> a + v)"), 6))
+    val w = Window.partitionBy(col("vid"), col("j"))
+      .orderBy(col("dist"), col("cid"))
+    // long form (vec_id, subspace, code) — the packed array<int> layout
+    // is one collect_list away, but a flat code table joins/aggregates
+    // directly and keeps the result scalar-typed for the oracle gate
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vid").as("vec_id"), col("j").cast("long").as("j"),
+              col("cid").as("code"))
+  }
 }

@@ -650,4 +650,52 @@ object Streams {
       .select(col("w.start").cast(TimestampNTZType).as("window_start"),
               col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** A REAL stream-stream inner join: clicks and purchases are two
+    * watermarked streams over the same file source, joined per user on
+    * a purchase-within-30-minutes-after-click time-range condition.
+    * Inner stream-stream joins emit eagerly (nothing is withheld at
+    * end-of-stream, unlike Append aggregations), and the watermark +
+    * range condition exist to BOUND the buffered state — each side
+    * keeps only rows within watermark ± range, the production
+    * requirement for an unbounded join — so the emitted set equals the
+    * batch join exactly and the oracle is the plain SQL join.
+    *
+    * Scale: state per side is O(rows within the watermark horizon) per
+    * user partition, not O(stream); the join shuffles both sides on
+    * user_id once.
+    */
+  def streamedClickPurchaseJoin(spark: SparkSession, eventsPath: String,
+                                workDir: String,
+                                sinkName: String): DataFrame = {
+    val ev = eventsFileStream(spark, eventsPath, workDir, None)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+              col("ts").cast("timestamp").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+              col("ts").cast("timestamp").as("p_ts"),
+              col("event_id").as("purchase_id"),
+              col("value").as("purchase_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("c_user").as("user_id"),
+              col("click_id"), col("purchase_id"),
+              col("c_ts").cast(TimestampNTZType).as("click_ts"),
+              col("p_ts").cast(TimestampNTZType).as("purchase_ts"),
+              col("purchase_value"))
+  }
 }
