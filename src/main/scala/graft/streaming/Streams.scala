@@ -651,6 +651,48 @@ object Streams {
               col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** A REAL cross-micro-batch streamed deduplication: the events file is
+    * presented TWICE (two symlinks) and `maxFilesPerTrigger=1` forces the
+    * copies into separate micro-batches, so every row of batch 2 is a
+    * duplicate that only the key state store can reject — the emitted
+    * set is exactly one copy of each event, which is what the oracle
+    * (the plain table) checks. Append mode: first-seen rows emit
+    * immediately, duplicates are dropped on arrival.
+    *
+    * `dropDuplicates` here keeps UNBOUNDED key state for exactness
+    * against the oracle; production streams bound it with
+    * `dropDuplicatesWithinWatermark` (see [[dedupStream]]) at the cost
+    * of only-within-horizon guarantees.
+    */
+  def streamedDedup(spark: SparkSession, eventsPath: String,
+                    workDir: String, sinkName: String): DataFrame = {
+    val f = new java.io.File(eventsPath)
+    require(f.isFile, s"streamedDedup: expected a single parquet file, got $eventsPath")
+    val d = new java.io.File(workDir, "dup"); d.mkdirs()
+    for (n <- Seq("events_a.parquet", "events_b.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(d, n).toPath, f.toPath.toAbsolutePath)
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val ev = batchSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+    val q = ev.dropDuplicates("event_id")
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+  }
+
   /** A REAL stream-stream inner join: clicks and purchases are two
     * watermarked streams over the same file source, joined per user on
     * a purchase-within-30-minutes-after-click time-range condition.
