@@ -61,7 +61,15 @@ object Bench {
     // shape), bigram LM (lag window + bigram-keyed shuffle), broadcast
     // prefix-dim scoring, pure-window CUSUM, first-occurrence novelty
     "t33_source_overlap", "t36_bigram_lm", "s12_prefix_recall",
-    "q139_cusum", "t34_novelty")
+    "q139_cusum", "t34_novelty",
+    // round-4 part 7: REAL streaming executions (file source → watermark
+    // state → sink, timed end-to-end incl. micro-batch scheduling),
+    // codegen Jaro-Winkler neighbor pairing, Bellman-Ford rounds,
+    // window-only exact stats, broadcast-codebook product quantization
+    "e21_streamed_snapshot", "e22_streamed_hourly",
+    "d20_jaro_neighbors", "g05_shortest_path", "q151_weighted_median",
+    "q152_ewma", "q155_interval_coverage", "s13_pq_codes",
+    "q158_filter_clause", "q160_share_of_total")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

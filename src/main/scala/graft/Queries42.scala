@@ -59,6 +59,34 @@ object Queries42 {
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Share-of-total at two grouping levels (ratio_to_report): nation
+    // revenue as a fraction of its region and of the world. Numerators
+    // and denominators are EXACT cents longs; each share is ONE double
+    // division (deterministic), rounded 6. Two window passes over the
+    // 25-row aggregate — the heavy lineitem scan aggregates first.
+    "q160_share_of_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+              col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.nation(s, d),
+              col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+               .cast("long")).as("cents"))
+      rev
+        .withColumn("region_cents",
+          sum(col("cents")).over(Window.partitionBy(col("n_regionkey"))))
+        .withColumn("world_cents",
+          sum(col("cents")).over(Window.partitionBy()))
+        .select(col("n_regionkey"), col("n_nationkey"), col("cents"),
+                round(col("cents") / col("region_cents"), 6)
+                  .as("share_region"),
+                round(col("cents") / col("world_cents"), 6)
+                  .as("share_world"))
+        .orderBy(col("n_regionkey"), col("n_nationkey"))
+    }),
+
     // Ordered intra-group string concatenation (listagg WITHIN GROUP —
     // new SQL:2016 surface in Spark 4): nations per region, name-ordered
     // so the concatenation is total-order deterministic.
@@ -100,6 +128,24 @@ object Queries42 {
         |    AS cents_untaxed
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q160_share_of_total" ->
+      """WITH rev AS (
+        |  SELECT n_regionkey, n_nationkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_regionkey, n_nationkey)
+        |SELECT n_regionkey, n_nationkey, cents,
+        |  ROUND(CAST(cents AS DOUBLE) /
+        |    CAST(CAST(SUM(cents) OVER (PARTITION BY n_regionkey)
+        |         AS BIGINT) AS DOUBLE), 6) AS share_region,
+        |  ROUND(CAST(cents AS DOUBLE) /
+        |    CAST(CAST(SUM(cents) OVER () AS BIGINT) AS DOUBLE), 6)
+        |    AS share_world
+        |FROM rev ORDER BY n_regionkey, n_nationkey""".stripMargin,
 
     "q159_listagg" ->
       """SELECT r_name,

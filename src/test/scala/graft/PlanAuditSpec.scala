@@ -54,6 +54,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d20 jaro neighbor pairing is window-based — no join of any kind") {
+    val p = plan("d20_jaro_neighbors")
+    assert(!p.toLowerCase.contains("join"))
+  }
+
+  test("s13 PQ assignment broadcasts the codebook; corpus never all-pairs") {
+    val p = plan("s13_pq_codes")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q151/q155 weighted median and interval coverage are join-free window plans") {
+    assert(!plan("q151_weighted_median").toLowerCase.contains("join"))
+    assert(!plan("q155_interval_coverage").toLowerCase.contains("join"))
+  }
+
+  test("q160 share-of-total windows run over the 25-row aggregate, lineitem joins broadcast") {
+    val p = plan("q160_share_of_total")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s12 prefix recall broadcasts the query side; corpus never shuffles for scoring") {
     val p = plan("s12_prefix_recall")
     assert(p.contains("BroadcastHashJoin"))
