@@ -69,7 +69,10 @@ object Bench {
     "e21_streamed_snapshot", "e22_streamed_hourly",
     "d20_jaro_neighbors", "g05_shortest_path", "q151_weighted_median",
     "q152_ewma", "q155_interval_coverage", "s13_pq_codes",
-    "q158_filter_clause", "q160_share_of_total")
+    "q158_filter_clause", "q160_share_of_total",
+    // round-4 part 8: source-surface round-trips — JDBC sink+scan with
+    // pushdown (embedded Derby) and the binaryFile multimodal front door
+    "q161_jdbc_roundtrip", "m07_binary_files")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

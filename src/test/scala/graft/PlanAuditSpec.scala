@@ -54,6 +54,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q161 JDBC read pushes the filter into Derby; nation joins broadcast") {
+    val p = plan("q161_jdbc_roundtrip")
+    assert(p.contains("Scan JDBCRelation"), p.linesIterator.take(3).mkString)
+    assert(p.contains("GreaterThanOrEqual(n_cust,10)"))  // in PushedFilters
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q162 SQL UDF bodies inline — no UDF node survives in the physical plan") {
+    val p = plan("q162_sql_udf")
+    assert(!p.toLowerCase.contains("udf"), p.linesIterator.take(5).mkString)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q163 bound parameters fold into parquet pushdown like literals") {
+    val p = plan("q163_param_sql")
+    assert(p.contains("PushedFilters"))
+    // the plan string elides the filter list tail — pin the first bound
+    // param (the timestamp) reaching the parquet scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1995-01-01T00:00"), p)
+  }
+
   test("d20 jaro neighbor pairing is window-based — no join of any kind") {
     val p = plan("d20_jaro_neighbors")
     assert(!p.toLowerCase.contains("join"))
