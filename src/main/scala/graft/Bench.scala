@@ -72,7 +72,9 @@ object Bench {
     "q158_filter_clause", "q160_share_of_total",
     // round-4 part 8: source-surface round-trips — JDBC sink+scan with
     // pushdown (embedded Derby) and the binaryFile multimodal front door
-    "q161_jdbc_roundtrip", "m07_binary_files")
+    "q161_jdbc_roundtrip", "m07_binary_files",
+    // state-store introspection: full streaming run + state-file read-back
+    "e25_state_reader")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,7 +37,8 @@ object SparkEntry {
       Queries36.sparkQueries ++ Queries37.sparkQueries ++
       Queries38.sparkQueries ++ Queries39.sparkQueries ++
       Queries40.sparkQueries ++ Queries41.sparkQueries ++
-      Queries42.sparkQueries ++ Queries43.sparkQueries
+      Queries42.sparkQueries ++ Queries43.sparkQueries ++
+      Queries44.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       Queries31.oracleSql ++ Queries32.oracleSql ++ Queries33.oracleSql ++
       Queries34.oracleSql ++ Queries35.oracleSql ++ Queries36.oracleSql ++
       Queries37.oracleSql ++ Queries38.oracleSql ++ Queries39.oracleSql ++ Queries40.oracleSql ++
-      Queries41.oracleSql ++ Queries42.oracleSql ++ Queries43.oracleSql
+      Queries41.oracleSql ++ Queries42.oracleSql ++ Queries43.oracleSql ++
+      Queries44.oracleSql
 }

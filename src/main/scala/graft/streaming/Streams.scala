@@ -740,4 +740,38 @@ object Streams {
               col("p_ts").cast(TimestampNTZType).as("purchase_ts"),
               col("purchase_value"))
   }
+
+  /** Streaming-state INTROSPECTION via the `statestore` batch source: runs
+    * a Complete-mode per-user aggregation over the events stream to a
+    * checkpoint, then reads the aggregation's state store back as a plain
+    * DataFrame — (key struct, value struct with the live agg buffer) — and
+    * flattens it. The returned counts/sums come from the STATE FILES, not
+    * from a sink, so this checks that the state a long-running job would
+    * recover from is itself correct (the oracle is the plain batch
+    * aggregation).
+    *
+    * This is the offline half of state management at 100 TB: the same
+    * reader audits skewed keys, sizes state before a migration, or
+    * bootstraps a repaired checkpoint — without touching the running
+    * query. The read parallelizes per state-store partition (one task per
+    * shuffle partition of the streaming agg).
+    */
+  def stateStoreCounts(spark: SparkSession, eventsPath: String,
+                       workDir: String): DataFrame = {
+    val ev = eventsFileStream(spark, eventsPath, workDir, None)
+    val ck = new java.io.File(workDir, "ckpt").toString
+    val q = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+             .as("value_cents"))
+      .writeStream.outputMode(OutputMode.Complete()).format("noop")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").load(ck)
+      .select(col("key.user_id").as("user_id"),
+              col("value.count").as("n_events"),
+              col("value.sum").as("value_cents"))
+  }
 }

@@ -132,4 +132,51 @@ class ScaleInfraSpec extends SparkSpec {
       s"the 1-D layout should read everything for a date-only predicate " +
       s"(got $scanK of $total)")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's runtime row-level filtering: when a shuffle join's build side
+    // is selective, the optimizer injects bloom_filter_might_contain on the
+    // probe side so fact rows that cannot match die AT THE SCAN instead of
+    // crossing the shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the matching slice.
+    // Thresholds are sized for clusters (10M-row build, 10GB probe scan),
+    // so scope them down to make the tiny fixture eligible; broadcast is
+    // disabled because a broadcast hash join already prunes via its
+    // hashed relation and no bloom would be needed.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.keys.map(k =>
+      k -> util.Try(spark.conf.get(k)).toOption).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val thr = Tables.orders(spark, sf)
+        .stat.approxQuantile("o_totalprice", Array(0.99), 0.0).head
+      val selective = Tables.orders(spark, sf)
+        .filter($"o_totalprice" > thr)  // ~1% of orders
+        .select($"o_orderkey", $"o_orderpriority")
+      val joined = Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_quantity")
+        .join(selective, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") &&
+             plan.contains("might_contain"),
+        plan.linesIterator.take(12).mkString("\n"))
+      // and the filtered plan still returns the same rows as the plain join
+      val n = joined.count()
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plainN = Tables.lineitem(spark, sf)
+        .select($"l_orderkey", $"l_quantity")
+        .join(selective, $"l_orderkey" === $"o_orderkey").count()
+      assert(n == plainN, s"bloom-filtered join lost rows: $n vs $plainN")
+      assert(n > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
