@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // length prefilter (see the rule's scaladoc for the rewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRewrite)
 
+    // whole-operator extension: the native as-of join plan node
+    // (graft.plans.AsOfJoinPlan) plans through its merge-scan exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     def register(name: String, usage: String,
                  builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

@@ -26,4 +26,14 @@ object Bridge {
   def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .streams.stateStoreCoordinator
+
+  /** Wrap a (possibly custom) resolved LogicalPlan as a DataFrame —
+    * `Dataset.ofRows` is `private[sql]`; every Spark-extension library
+    * providing whole-operator plan nodes needs this one hop.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
