@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_quantize_int8(vec) - struct(scale, q, max_abs_err) symmetric int8 quantization",
       args => { arity("graft_quantize_int8", args, 1, 1); QuantizeInt8(args(0)) })
 
+    register("graft_sentences",
+      "graft_sentences(text) - generator: one (sent_idx, sentence) row per sentence",
+      args => { arity("graft_sentences", args, 1, 1); SentenceSplit(args(0)) })
+
     register("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
       args => { arity("graft_jaro_winkler", args, 2, 2)

@@ -112,4 +112,31 @@ class ExpressionsSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(got == Seq(0.4, 0.0, 0.0))
   }
+
+  test("SentenceSplit generator: fan-out, normalization, empty-drop, null row") {
+    val df = Seq(
+      (1, "One two.  Three   four! Five? "),
+      (2, "!!!"),                 // only separators -> zero rows
+      (3, null.asInstanceOf[String]), // null text -> zero rows
+      (4, "no terminator at all")
+    ).toDF("id", "text")
+    val got = df.select($"id",
+        Expressions.sentences_split($"text").as(Seq("sent_idx", "sentence")))
+      .as[(Int, Int, String)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1, 0, "One two"), (1, 1, "Three four"), (1, 2, "Five"),
+      (4, 0, "no terminator at all")))
+    // SQL-registry path plans the same generator through LATERAL VIEW
+    df.createOrReplaceTempView("ss_t")
+    val viaSql = spark.sql(
+      "SELECT id, sent_idx, sentence FROM ss_t " +
+      "LATERAL VIEW graft_sentences(text) AS sent_idx, sentence")
+      .as[(Int, Int, String)].collect().toSeq.sorted
+    assert(viaSql == got)
+    // wrong input type fails analysis, not silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_sentences(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
 }
