@@ -124,5 +124,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]",
       args => { arity("graft_jaro_winkler", args, 2, 2)
         JaroWinkler(args(0), args(1)) })
+
+    register("graft_unaccent",
+      "graft_unaccent(s) - strip diacritics via NFD + combining-mark removal",
+      args => { arity("graft_unaccent", args, 1, 1); Unaccent(args(0)) })
   }
 }

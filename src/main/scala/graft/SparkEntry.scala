@@ -39,7 +39,8 @@ object SparkEntry {
       Queries40.sparkQueries ++ Queries41.sparkQueries ++
       Queries42.sparkQueries ++ Queries43.sparkQueries ++
       Queries44.sparkQueries ++ Queries45.sparkQueries ++
-      Queries46.sparkQueries
+      Queries46.sparkQueries ++ Queries47.sparkQueries ++
+      Queries48.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +61,6 @@ object SparkEntry {
       Queries34.oracleSql ++ Queries35.oracleSql ++ Queries36.oracleSql ++
       Queries37.oracleSql ++ Queries38.oracleSql ++ Queries39.oracleSql ++ Queries40.oracleSql ++
       Queries41.oracleSql ++ Queries42.oracleSql ++ Queries43.oracleSql ++
-      Queries44.oracleSql ++ Queries45.oracleSql ++ Queries46.oracleSql
+      Queries44.oracleSql ++ Queries45.oracleSql ++ Queries46.oracleSql ++
+      Queries47.oracleSql ++ Queries48.oracleSql
 }

@@ -650,6 +650,51 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Diacritic stripping via Unicode canonical decomposition: NFD
+    * normalize, drop combining marks (Mn/Mc/Me), recompose. The text
+    * normalization step every multilingual corpus pipeline runs before
+    * fingerprinting/dedup — "café" and "cafe" must land in the same
+    * bucket. Spark has no built-in (translate() needs an explicit char
+    * map, which can never cover Unicode); this is one ICU-free
+    * java.text.Normalizer pass per row, ASCII fast-path included so the
+    * common case never allocates.
+    */
+  case class Unaccent(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("unacc", this, classOf[Unaccent].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($a);")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      // ASCII can't carry diacritics: skip the Normalizer entirely
+      if (u.isFullAscii) u
+      else {
+        val s = u.toString
+        val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(nfd.length)
+        var i = 0
+        while (i < nfd.length) {
+          val c = nfd.charAt(i)
+          val t = Character.getType(c)
+          if (t != Character.NON_SPACING_MARK &&
+              t != Character.COMBINING_SPACING_MARK &&
+              t != Character.ENCLOSING_MARK) sb.append(c)
+          i += 1
+        }
+        UTF8String.fromString(java.text.Normalizer.normalize(
+          sb.toString, java.text.Normalizer.Form.NFC))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // Column-facing wrappers.
   def sentences_split(text: Column): Column =
     Bridge.column(SentenceSplit(Bridge.expression(text)))
@@ -678,4 +723,5 @@ object Expressions {
     Bridge.column(DotProductF32(Bridge.expression(a), Bridge.expression(b)))
   def jaro_winkler(a: Column, b: Column): Column =
     Bridge.column(JaroWinkler(Bridge.expression(a), Bridge.expression(b)))
+  def unaccent(s: Column): Column = Bridge.column(Unaccent(Bridge.expression(s)))
 }
