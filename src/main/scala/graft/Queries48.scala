@@ -114,15 +114,25 @@ object Queries48 {
         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
         |    FROM documents) GROUP BY w),
         |up AS (SELECT upper(w) AS u, n_occ FROM v),
+        |-- RE2 has no backreferences, so adjacent-duplicate collapse is
+        |-- three rounds of pair replaces (handles runs up to 16)
+        |d0 AS (
+        |  SELECT u, n_occ,
+        |    translate(substr(u, 1, 1) || translate(substr(u, 2), 'HW', ''),
+        |              'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+        |              '00000000111122222222334556') AS dd
+        |  FROM up),
+        |d1 AS (SELECT u, n_occ, replace(replace(replace(replace(replace(replace(
+        |  dd, '11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS dd FROM d0),
+        |d2 AS (SELECT u, n_occ, replace(replace(replace(replace(replace(replace(
+        |  dd, '11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS dd FROM d1),
+        |d3 AS (SELECT u, n_occ, replace(replace(replace(replace(replace(replace(
+        |  dd, '11','1'),'22','2'),'33','3'),'44','4'),'55','5'),'66','6') AS dd FROM d2),
         |sx AS (
         |  SELECT u, n_occ,
         |    substr(u, 1, 1) ||
-        |    substr(rpad(replace(substr(regexp_replace(
-        |      translate(substr(u, 1, 1) || translate(substr(u, 2), 'HW', ''),
-        |                'AEIOUYHWBFPVCGJKQSXZDTLMNR',
-        |                '00000000111122222222334556'),
-        |      '(.)\1+', '\1', 'g'), 2), '0', ''), 3, '0'), 1, 3) AS sx
-        |  FROM up)
+        |    substr(rpad(replace(substr(dd, 2), '0', ''), 3, '0'), 1, 3) AS sx
+        |  FROM d3)
         |SELECT sx, CAST(COUNT(*) AS BIGINT) AS n_words,
         |  CAST(SUM(n_occ) AS BIGINT) AS n_occurrences,
         |  MIN(u) AS first_word, MAX(u) AS last_word
