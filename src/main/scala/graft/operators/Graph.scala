@@ -248,4 +248,54 @@ object Graph {
     }
     dist
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), run for a FIXED number of rounds: every node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the smallest label. Fixed rounds — not
+    * run-to-convergence — because synchronous LPA can oscillate between
+    * two labelings forever on bipartite-ish structure; a bounded,
+    * deterministic round count makes the result exactly reproducible
+    * (and exactly oracle-unrollable), which matters more for a curation
+    * pipeline than squeezing out the last merge.
+    *
+    * Determinism: the (count, label) preference is encoded as ONE
+    * integer score `cnt * 10^8 + (10^8 - 1 - label)` so the arg-max is a
+    * plain MAX — no engine-specific struct ordering or arg_min tie
+    * rules. Requires node ids < 10^8; checked loudly.
+    *
+    * Scale: each round is one (neighbor-join + count + max) pass —
+    * shuffles keyed on node id, never all-pairs; adjacency is checkpointed
+    * once, labels are checkpointed per round so the plan stays flat.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds $rounds < 1")
+    val sym = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"),
+                          col(srcCol).cast("long").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+              col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val tooBig = sym.filter(col("u") >= 100000000L).limit(1).count()
+    require(tooBig == 0L,
+      "labelPropagation: node ids must be < 1e8 for the integer tie-break")
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(col("c") * 100000000L + (lit(99999999L) - col("lbl")))
+          .as("score"))
+        .select(col("u").as("node"),
+                (lit(99999999L) - col("score") % 100000000L).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }
