@@ -40,7 +40,8 @@ object SparkEntry {
       Queries42.sparkQueries ++ Queries43.sparkQueries ++
       Queries44.sparkQueries ++ Queries45.sparkQueries ++
       Queries46.sparkQueries ++ Queries47.sparkQueries ++
-      Queries48.sparkQueries ++ Queries49.sparkQueries
+      Queries48.sparkQueries ++ Queries49.sparkQueries ++
+      Queries50.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +63,6 @@ object SparkEntry {
       Queries37.oracleSql ++ Queries38.oracleSql ++ Queries39.oracleSql ++ Queries40.oracleSql ++
       Queries41.oracleSql ++ Queries42.oracleSql ++ Queries43.oracleSql ++
       Queries44.oracleSql ++ Queries45.oracleSql ++ Queries46.oracleSql ++
-      Queries47.oracleSql ++ Queries48.oracleSql ++ Queries49.oracleSql
+      Queries47.oracleSql ++ Queries48.oracleSql ++ Queries49.oracleSql ++
+      Queries50.oracleSql
 }

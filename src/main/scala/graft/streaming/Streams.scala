@@ -741,6 +741,99 @@ object Streams {
               col("purchase_value"))
   }
 
+  /** Stream-stream LEFT OUTER join: every click emits — matched rows
+    * eagerly (inner-join semantics), unmatched clicks with a null
+    * purchase side once the watermark proves no match can still arrive
+    * (the click's join window `[c_ts, c_ts + 30 min]` has passed fully
+    * below the global watermark and its buffered state is evicted).
+    * Outer rows are therefore a FUNCTION OF THE WATERMARK at
+    * end-of-stream: clicks whose window is still inside the horizon are
+    * withheld (correctly — a match could still arrive), so the oracle
+    * reproduces the eviction rule: unmatched AND
+    * `c_ts + 30 min < min(max click ts, max purchase ts) - 10 min`.
+    *
+    * Scale: identical to the inner variant — state per side is bounded
+    * by the watermark horizon, one shuffle on user_id. The outer rows
+    * add no state; they're emitted exactly at eviction.
+    */
+  def streamedLeftOuterJoin(spark: SparkSession, eventsPath: String,
+                            workDir: String, sinkName: String): DataFrame = {
+    val ev = eventsFileStream(spark, eventsPath, workDir, None)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+              col("ts").cast("timestamp").as("c_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+              col("ts").cast("timestamp").as("p_ts"),
+              col("event_id").as("purchase_id"),
+              col("value").as("purchase_value"))
+      .withWatermark("p_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("c_user").as("user_id"),
+              col("click_id"), col("purchase_id"),
+              col("c_ts").cast(TimestampNTZType).as("click_ts"),
+              col("p_ts").cast(TimestampNTZType).as("purchase_ts"),
+              col("purchase_value"))
+  }
+
+  /** Cross-batch dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * keeps a key's dedup state only until the watermark passes its event
+    * time + delay, unlike [[streamedDedup]]'s unbounded `dropDuplicates`
+    * — the production choice for unbounded streams, where "exactly once
+    * per key, ever" is unenforceable without infinite state. Here the
+    * delay (90 days) exceeds the fixture's 30-day span, so no state is
+    * evicted mid-run and the emitted set equals exact dedup (the
+    * oracle); StreamingSpec pins the complementary behavior — a
+    * duplicate arriving AFTER the horizon re-emits.
+    */
+  def streamedDedupWithinWatermark(spark: SparkSession, eventsPath: String,
+                                   workDir: String,
+                                   sinkName: String): DataFrame = {
+    val f = new java.io.File(eventsPath)
+    require(f.isFile,
+      s"streamedDedupWithinWatermark: expected a single parquet file, got $eventsPath")
+    val d = new java.io.File(workDir, "dup"); d.mkdirs()
+    for (n <- Seq("events_a.parquet", "events_b.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(d, n).toPath, f.toPath.toAbsolutePath)
+    val batchSchema = spark.read.parquet(eventsPath).schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
+    val ev = batchSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts",
+        timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case _ => raw
+    }
+    val q = ev
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "90 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode(OutputMode.Append()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+  }
+
   /** Streaming-state INTROSPECTION via the `statestore` batch source: runs
     * a Complete-mode per-user aggregation over the events stream to a
     * checkpoint, then reads the aggregation's state store back as a plain

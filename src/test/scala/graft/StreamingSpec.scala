@@ -513,4 +513,38 @@ class StreamingSpec extends SparkSpec {
         "Complete mode must re-emit the full updated aggregate")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark: dup inside horizon drops, after eviction re-emits") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.Event]
+    def ev(id: Long, t: String) =
+      Streams.Event(id, java.sql.Timestamp.valueOf(t), 1L, "click", 1.0)
+    val q = input.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddww_out").start()
+    try {
+      // batch 1: id 1 twice in the same batch — second copy dropped
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+                    ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").count() === 2)
+      // batch 2: id 1 again, watermark still below 10:00 + 1 h — dropped
+      input.addData(ev(1, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").count() === 2)
+      // batch 3: push the watermark past id 1's expiry (10:00 + 1 h);
+      // batch 4: id 1 re-arrives AFTER eviction — re-emitted (the
+      // bounded-state tradeoff this operator makes by design)
+      input.addData(ev(99, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(1, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      val ids = spark.table("ddww_out").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 1L, 2L, 99L),
+        s"expected id 1 re-emitted after horizon eviction, got $ids")
+    } finally q.stop()
+  }
 }
