@@ -74,7 +74,13 @@ object Bench {
     // pushdown (embedded Derby) and the binaryFile multimodal front door
     "q161_jdbc_roundtrip", "m07_binary_files",
     // state-store introspection: full streaming run + state-file read-back
-    "e25_state_reader")
+    "e25_state_reader",
+    // round-4 part 9: two-sample tests over the orders×customer join
+    // (distinct-value window ECDFs), iterative LPA rounds, soundex
+    // vocabulary blocking, per-user journey window, stream-stream outer
+    // join with eviction-gated emission, XML round-trip (write + read)
+    "q175_ks_test", "g06_label_prop", "t41_soundex_block",
+    "q181_journeys", "e27_stream_leftouter", "q179_xml_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

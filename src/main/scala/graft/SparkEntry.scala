@@ -42,7 +42,7 @@ object SparkEntry {
       Queries46.sparkQueries ++ Queries47.sparkQueries ++
       Queries48.sparkQueries ++ Queries49.sparkQueries ++
       Queries50.sparkQueries ++ Queries51.sparkQueries ++
-      Queries52.sparkQueries
+      Queries52.sparkQueries ++ Queries53.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +65,6 @@ object SparkEntry {
       Queries41.oracleSql ++ Queries42.oracleSql ++ Queries43.oracleSql ++
       Queries44.oracleSql ++ Queries45.oracleSql ++ Queries46.oracleSql ++
       Queries47.oracleSql ++ Queries48.oracleSql ++ Queries49.oracleSql ++
-      Queries50.oracleSql ++ Queries51.oracleSql ++ Queries52.oracleSql
+      Queries50.oracleSql ++ Queries51.oracleSql ++ Queries52.oracleSql ++
+      Queries53.oracleSql
 }
