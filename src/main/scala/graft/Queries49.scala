@@ -13,7 +13,7 @@ import graft.operators.Graph
 object Queries49 {
   import Queries.Q
 
-  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
     val op = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -62,10 +62,11 @@ object Queries49 {
             6).as("assortativity"))
     }))
 
-  /** Unrolled synchronous LPA rounds; the arg-max tie-break uses the
-    * same single-integer encoding as the Spark operator.
+  /** Unrolled synchronous LPA rounds as a WITH-clause body (shared with
+    * Queries54's modularity oracle); the arg-max tie-break uses the same
+    * single-integer encoding as the Spark operator.
     */
-  private def lpaOracle(rounds: Int): String = {
+  private[graft] def lpaCtes(rounds: Int): String = {
     val base =
       """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |       FROM lineitem),
@@ -86,14 +87,15 @@ object Queries49 {
          |        GROUP BY e.u, l.lbl)
          |  GROUP BY u)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $base,
-       |$chain
-       |SELECT node, CAST(lbl AS BIGINT) AS community
-       |FROM l$rounds ORDER BY node""".stripMargin
+    s"""$base,
+       |$chain""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
-    "g06_label_prop" -> lpaOracle(rounds = 4),
+    "g06_label_prop" ->
+      s"""WITH ${lpaCtes(rounds = 4)}
+         |SELECT node, CAST(lbl AS BIGINT) AS community
+         |FROM l4 ORDER BY node""".stripMargin,
 
     "g07_assortativity" ->
       """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
