@@ -182,9 +182,11 @@ object Queries10 {
     // top-k by u^(1/w) ⟺ by ln(u)/w, with u a deterministic content-hash
     // uniform — the training-data-mixing sampler (docs ∝ length here;
     // swap any quality weight). u's 52 hash bits are exact in double;
-    // ln is rounded to 6 dp before ranking (the t09 determinism trick)
-    // with an id tiebreak. Plan = scan + per-partition top-k merge
-    // (TakeOrderedAndProject) — no full sort, no shuffle of the corpus
+    // the key is emitted in exact integer micro-units (floor(·×10⁶)
+    // BIGINT — the t09 micro-nats device) so no float column is ever
+    // hashed or compared across engines. Plan = scan + per-partition
+    // top-k merge (TakeOrderedAndProject) — no full sort, no shuffle
+    // of the corpus
     "q81_weighted_sample" -> ((s, d) =>
       docs(s, d)
         .withColumn("h",
@@ -193,7 +195,8 @@ object Queries10 {
           (expr("CAST(conv(substring(h, 1, 13), 16, 10) AS BIGINT)") + 1)
             .cast("double") / lit(4503599627370496.0))
         .withColumn("es_key",
-          round(log(col("u")) / col("n_chars").cast("double"), 6))
+          floor(log(col("u")) / col("n_chars").cast("double")
+            * lit(1000000.0)).cast("long"))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(50)
         .select(col("doc_id"), col("n_chars"), col("es_key"))),
@@ -411,9 +414,10 @@ object Queries10 {
         |    md5('ws:' || CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents),
         |k AS (SELECT doc_id, n_chars,
-        |        round(ln((CAST('0x' || substr(h, 1, 13) AS BIGINT) + 1)
-        |                 / 4503599627370496.0)
-        |              / CAST(n_chars AS DOUBLE), 6) AS es_key
+        |        CAST(floor(ln((CAST('0x' || substr(h, 1, 13) AS BIGINT) + 1)
+        |                      / 4503599627370496.0)
+        |                   / CAST(n_chars AS DOUBLE) * 1000000.0)
+        |             AS BIGINT) AS es_key
         |      FROM x)
         |SELECT doc_id, n_chars, es_key
         |FROM k ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
