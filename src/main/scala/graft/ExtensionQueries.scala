@@ -16,7 +16,22 @@ object ExtensionQueries {
   private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // DuckDB mirror of TextAnalysis.normalize ('g' flag: replace ALL runs)
-  private val NormSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[graft] val NormSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** DuckDB SQL for Expressions.fnv1a64(col, seed=0): fold the string's
+    * UTF-8 bytes through h = (h XOR byte) * 0x100000001b3 mod 2^64 in
+    * HUGEINT (the product fits 128 bits; '0x'||hex casts only to BIGINT
+    * in DuckDB 1.0, hence the byte-wise bridge). Shared by the d04 and
+    * t07 oracles.
+    */
+  private[graft] def FnvSql(c: String): String =
+    s"""list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(1, octet_length(encode($c))+1),
+       |        i -> CAST(CAST('0x' || substr(hex(encode($c)), 2*i-1, 2)
+       |                       AS BIGINT) AS HUGEINT))),
+       |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
+       |              % 18446744073709551616::HUGEINT)""".stripMargin
 
   val sparkQueries: Map[String, Q] = Map(
 
@@ -47,9 +62,13 @@ object ExtensionQueries {
                             bands = 64, rowsPerBand = 4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // SimHash near-dup pairs — not SQL-expressible; rows-only check.
+    // SimHash near-dup pairs. The DuckDB oracle replays the exact bit
+    // math — FNV-1a64 per token (HUGEINT fold), ±1 majority vote per bit,
+    // brute-force all-pairs Hamming — so the pigeonhole-blocked engine
+    // plan must produce exactly the exact-algorithm pair set.
     "d04_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Embedding cosine similar-pair mining, brute-force exact — the
@@ -209,7 +228,33 @@ object ExtensionQueries {
 
     "d02_ngram_jaccard" -> jaccardSql,
     "d03_minhash_lsh" -> jaccardSql,
-    // d04_simhash: no SQL oracle (hash-sketch specific) — rows-only check.
+
+    // exact replay of Expressions.SimHash64 + all-pairs Hamming: FNV-1a64
+    // per token via a HUGEINT list_reduce over the token's UTF-8 bytes
+    // (the '0x'||hex→BIGINT byte bridge from q121's oracle), 64-bit ±1
+    // majority vote, then O(n²) xor/bit_count — affordable at oracle SF,
+    // and total recall makes it a true oracle for the blocked engine plan
+    "d04_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_extract_all($NormSql, '\\S+')) AS t
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, ${FnvSql("t")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN (h >> j) & 1::HUGEINT = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM th, (SELECT unnest(range(0, 64)) AS j)
+         |  GROUP BY doc_id, j),
+         |sk AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN s > 0 THEN 1::HUGEINT << CAST(j AS INT)
+         |        ELSE 0::HUGEINT END) AS sim
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

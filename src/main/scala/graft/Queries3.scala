@@ -323,9 +323,13 @@ object Queries3 {
         .orderBy(col("user_id"), col("session_start"))),
 
     // grouped MinHash-signature merge (custom typed Aggregator): one
-    // bounded sketch per language — rows-only check (FNV-based signature
-    // is not SQL-expressible); the union property is pinned in
-    // MinHashMergeSpec
+    // bounded sketch per language. The DuckDB oracle replays the full
+    // signature math (FNV-1a64 token hash + the 64 splitmix-derived
+    // affine permutations, signed-long mins) — merge-of-doc-mins equals
+    // min-over-all-group-tokens, so the aggregator's result is checkable
+    // as a group-level min; the digest is md5 over the comma-joined
+    // signed signature (crc32 isn't available in DuckDB). The union
+    // property is additionally pinned in MinHashMergeSpec.
     "t07_minhash_merge" -> ((s, d) =>
       docs(s, d)
         .select(col("lang"),
@@ -336,7 +340,7 @@ object Queries3 {
         .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")).as("msig"),
              count(lit(1)).as("n_docs"))
         .select(col("lang"), col("n_docs"),
-                lower(hex(crc32(to_json(col("msig"))))).as("sig_crc"))
+                md5(concat_ws(",", col("msig"))).as("sig_md5"))
         .orderBy(col("lang"))),
 
     // PII redaction (emails / long digit runs → tags) + match counts;
@@ -363,7 +367,72 @@ object Queries3 {
     s"""WITH ${ExtensionQueries.jaccardCtes}
        |SELECT id_a, id_b FROM j WHERE jac >= 0.7""".stripMargin
 
+  /** Oracle-side mirror of Expressions.MinHashSig's permutation
+    * coefficients: the same splitmix64 chains (seeded from `seed`) the
+    * engine uses, rendered as a DuckDB VALUES list (j, a, b) with the
+    * longs in unsigned decimal for HUGEINT literals. Duplicating the
+    * derivation here IS the oracle — an independent replay of the spec,
+    * not shared code.
+    */
+  private def minhashCoefRows(numHashes: Int, seed: Long): String = {
+    def splitmix(in: Long): Long = {
+      var z = in + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var xa = seed ^ 0x9e3779b97f4a7c15L
+    val as = Array.fill(numHashes) { xa = splitmix(xa); xa | 1L }
+    var xb = seed ^ 0x2545f4914f6cdd1dL
+    val bs = Array.fill(numHashes) { xb = splitmix(xb); xb }
+    (0 until numHashes).map { j =>
+      s"($j, ${java.lang.Long.toUnsignedString(as(j))}::HUGEINT, " +
+      s"${java.lang.Long.toUnsignedString(bs(j))}::HUGEINT)"
+    }.mkString(", ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // full replay of the MinHash signature + merge: merge-of-per-doc-mins
+    // = min over every token in the lang group, so compute FNV-1a64 per
+    // DISTINCT (lang, token-hash), apply each affine permutation
+    // a*h+b mod 2^64 (128-bit-safe split multiply), compare as SIGNED
+    // longs (the engine's Long compare), min per (lang, j), then md5 the
+    // comma-joined signature. A lang whose docs are all token-free gets
+    // the engine's Long.MaxValue sentinel signature via the COALESCE.
+    "t07_minhash_merge" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(regexp_extract_all(
+         |    ${ExtensionQueries.NormSql}, '\\S+')) AS t
+         |  FROM documents),
+         |dh AS (
+         |  SELECT DISTINCT lang, ${ExtensionQueries.FnvSql("t")} AS h
+         |  FROM tok),
+         |coef(j, a, b) AS (VALUES ${minhashCoefRows(64, 42L)}),
+         |pm AS (
+         |  SELECT lang, j,
+         |    MIN(CAST(CASE WHEN pu >= 9223372036854775808::HUGEINT
+         |             THEN pu - 18446744073709551616::HUGEINT
+         |             ELSE pu END AS BIGINT)) AS m
+         |  FROM (SELECT lang, j,
+         |          (((a >> 32) * h % 4294967296::HUGEINT)
+         |             * 4294967296::HUGEINT
+         |           + (a & 4294967295::HUGEINT) * h + b)
+         |          % 18446744073709551616::HUGEINT AS pu
+         |        FROM dh CROSS JOIN coef)
+         |  GROUP BY lang, j),
+         |sig AS (
+         |  SELECT lang,
+         |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY j)) AS sig_md5
+         |  FROM pm GROUP BY lang),
+         |langs AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |          FROM documents GROUP BY lang)
+         |SELECT l.lang, l.n_docs,
+         |  COALESCE(s.sig_md5,
+         |    md5(array_to_string(list_transform(range(0, 64),
+         |      i -> '9223372036854775807'), ','))) AS sig_md5
+         |FROM langs l LEFT JOIN sig s USING (lang)
+         |ORDER BY l.lang""".stripMargin,
+
     "q41_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
