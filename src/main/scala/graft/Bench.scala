@@ -115,10 +115,27 @@ object Bench {
     // a failed query's (typically fast) elapsed time must not feed the
     // headline: report it only in "failed", keep value = sum of successes
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    val qjson = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the driver stores only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail: with 78+ queries the full-name map blows
+    // past the window and the head of the line gets clipped (BENCH_r04
+    // "parsed": null). The printed line therefore uses the unique id
+    // prefix per query ("q01", "d14", ... — the spec's own "q1":sec
+    // shape); the full-name map goes to bench_full.json alongside.
+    def short(n: String): String =
+      n.indexOf('_') match { case -1 => n; case i => n.substring(0, i) }
+    val collision = ok.map(t => short(t._1)).groupBy(identity)
+      .exists(_._2.size > 1)
+    val key: String => String = if (collision) identity else short
+    val qjson = ok.map { case (k, v) => "\"" + key(k) + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val fullJson = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullJson,"failed":$failedJson,"sf":"$sfDir"}%n"""
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best effort; the stdout line rules
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
