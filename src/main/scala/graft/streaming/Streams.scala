@@ -546,6 +546,25 @@ object Streams {
     * combined) plus the snapshot keyed by user; state lives in the
     * snapshot files, not executor memory.
     */
+  /** Runs `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session value after. Streaming state partition
+    * count is PINNED INTO THE CHECKPOINT at the query's first start and
+    * every micro-batch pays a fixed per-partition cost (4 state-store
+    * provider opens + delta commits per partition for a stream-stream
+    * join), so stateful streaming queries must size it to state volume,
+    * not inherit the CPU-count batch default — measured 22 s → 6 s on
+    * e27 going 32 → 8 partitions over ~2000 rows/batch. At large state
+    * (the 100 TB deployment) callers raise `statePartitions` when
+    * creating the checkpoint; it cannot change across restarts.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)
+                                    (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** File-source stream over the events table with the same nanos-long
     * `ts` normalization as [[graft.Tables.events]]. FileStreamSource
     * needs a DIRECTORY source (it force-sets basePath to the given path
@@ -629,7 +648,9 @@ object Streams {
     * applies before the state-store shuffle.
     */
   def streamedHourlyAgg(spark: SparkSession, eventsPath: String,
-                        workDir: String, sinkName: String): DataFrame = {
+                        workDir: String, sinkName: String,
+                        statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
     // cast is lossless, and window_start is cast back to NTZ below
     val ev = eventsFileStream(spark, eventsPath, workDir, None)
@@ -665,7 +686,9 @@ object Streams {
     * of only-within-horizon guarantees.
     */
   def streamedDedup(spark: SparkSession, eventsPath: String,
-                    workDir: String, sinkName: String): DataFrame = {
+                    workDir: String, sinkName: String,
+                    statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     val f = new java.io.File(eventsPath)
     require(f.isFile, s"streamedDedup: expected a single parquet file, got $eventsPath")
     val d = new java.io.File(workDir, "dup"); d.mkdirs()
@@ -708,8 +731,9 @@ object Streams {
     * user_id once.
     */
   def streamedClickPurchaseJoin(spark: SparkSession, eventsPath: String,
-                                workDir: String,
-                                sinkName: String): DataFrame = {
+                                workDir: String, sinkName: String,
+                                statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     val ev = eventsFileStream(spark, eventsPath, workDir, None)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"),
@@ -757,7 +781,9 @@ object Streams {
     * add no state; they're emitted exactly at eviction.
     */
   def streamedLeftOuterJoin(spark: SparkSession, eventsPath: String,
-                            workDir: String, sinkName: String): DataFrame = {
+                            workDir: String, sinkName: String,
+                            statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     val ev = eventsFileStream(spark, eventsPath, workDir, None)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"),
@@ -801,8 +827,9 @@ object Streams {
     * duplicate arriving AFTER the horizon re-emits.
     */
   def streamedDedupWithinWatermark(spark: SparkSession, eventsPath: String,
-                                   workDir: String,
-                                   sinkName: String): DataFrame = {
+                                   workDir: String, sinkName: String,
+                                   statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     val f = new java.io.File(eventsPath)
     require(f.isFile,
       s"streamedDedupWithinWatermark: expected a single parquet file, got $eventsPath")
@@ -850,7 +877,9 @@ object Streams {
     * shuffle partition of the streaming agg).
     */
   def stateStoreCounts(spark: SparkSession, eventsPath: String,
-                       workDir: String): DataFrame = {
+                       workDir: String,
+                       statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
     val ev = eventsFileStream(spark, eventsPath, workDir, None)
     val ck = new java.io.File(workDir, "ckpt").toString
     val q = ev.groupBy(col("user_id"))
