@@ -91,16 +91,20 @@ object Queries6 {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal resize plumbing (integer-stride byte resample — real
-    // resize is codec work, stubbed; byte-level contract pinned in
-    // MultimodalSpec). Rows-only: per-byte blob indexing is not portable
-    // DuckDB SQL over multibyte UTF-8 payloads.
+    // multimodal resize plumbing over non-image payloads (integer-stride
+    // byte resample; real images take the javax.imageio pixel path,
+    // pinned in MultimodalSpec). The fingerprint is md5 over the
+    // LOWERCASE HEX of the resampled bytes — DuckDB's md5 only accepts
+    // VARCHAR, and the hex rendering makes the byte-exact resample
+    // portable SQL (the '0x'-free sibling of the d04 byte bridge).
     "m04_resize" -> ((s, d) =>
       graft.operators.Multimodal.resize(
           graft.operators.Multimodal.attachBinary(docs(s, d), "doc_id",
                                                   "text"), 8, 8)
         .select(col("id").as("doc_id"), col("width"), col("height"),
-                col("n_bytes"), md5(col("content")).as("content_md5"))
+                col("n_bytes"),
+                md5(lower(hex(col("content"))).cast("binary"))
+                  .as("content_hex_md5"))
         .orderBy(col("doc_id")))
   )
 
@@ -132,6 +136,26 @@ object Queries6 {
   val oracleSql: Map[String, String] = {
     val cos = d09Cos
     Map(
+      // replays the integer-stride byte resample over the text's UTF-8
+      // bytes: byte k of the output is source byte (k*n) DIV 64, fetched
+      // through the hex bridge (DuckDB can't index blob bytes directly),
+      // then md5 over the lowercase hex rendering — exactly the engine's
+      // md5(lower(hex(content))). Empty text → null n_bytes/fingerprint.
+      "m04_resize" ->
+        """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+          |                  octet_length(encode(text)) AS n
+          |           FROM documents),
+          |r AS (
+          |  SELECT doc_id,
+          |    md5(lower(string_agg(
+          |      substr(hx, 2*CAST((k*n)//64 AS INT)+1, 2), ''
+          |      ORDER BY k))) AS content_hex_md5
+          |  FROM b, (SELECT unnest(range(0, 64)) AS k)
+          |  WHERE n > 0 GROUP BY doc_id)
+          |SELECT b.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+          |  CASE WHEN b.n > 0 THEN CAST(64 AS BIGINT) END AS n_bytes,
+          |  r.content_hex_md5
+          |FROM b LEFT JOIN r USING (doc_id) ORDER BY b.doc_id""".stripMargin,
       // exact all-pairs ground truth over the SAME planted corpus — the
       // oracle is the exact algorithm, the Spark side is the bucketed one;
       // hash-match proves the LSH path's recall AND precision on this data.

@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * analogue of an Arrow-batched UDF: one iterator per partition, rows
   * streamed, no driver collection).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * codecs): [[StubCodec.decode]] derives deterministic pseudo-metadata from
-  * the byte content. The Spark-side contract — schema, batch iteration,
-  * partition preservation, null passthrough — is real and tested; swapping
-  * `StubCodec` for a JNI/FFmpeg decoder changes no plan shape.
+  * IMAGE payloads (PNG/JPEG/GIF/BMP) get a REAL pixel decode via
+  * `javax.imageio` ([[PixelCodec]]) — true dimensions, true grayscale
+  * resize, true average-hash. Payloads no JDK codec reads (audio/video —
+  * this container has no media libraries) fall back to
+  * [[StubCodec.decode]]'s deterministic pseudo-metadata, keeping the
+  * text-derived oracle fixtures checkable. The Spark-side contract —
+  * schema, batch iteration, partition preservation, null passthrough —
+  * is identical on both paths; swapping the stub for a JNI/FFmpeg decoder
+  * changes no plan shape.
   */
 object Multimodal {
 
@@ -91,6 +95,68 @@ object Multimodal {
       pngDims(content).orElse(jpegDims(content)).map { case (w, h) => (w, h, 1) }
   }
 
+  /** REAL pixel decode via `javax.imageio` (in the JDK — no new deps):
+    * decodes PNG/JPEG/GIF/BMP payloads to actual pixels, so [[resize]] and
+    * [[perceptualHash]] operate on true image content when given real
+    * images. Attempted only when the payload starts with a known image
+    * magic — arbitrary text/binary payloads skip straight to the
+    * deterministic [[StubCodec]] path without paying a reader probe per
+    * row, and the oracle-checked text-derived fixtures keep their stub
+    * semantics.
+    *
+    * All derived pixel math is integer and fully deterministic
+    * (nearest-neighbor sampling + the ITU-R 601 integer luma
+    * (299r+587g+114b)/1000), never Graphics2D interpolation whose
+    * output could vary across JVM rendering pipelines.
+    */
+  object PixelCodec {
+    def looksLikeImage(b: Array[Byte]): Boolean =
+      b.length >= 4 &&
+        (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+         ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) ||
+         (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+         (b(0) == 'B' && b(1) == 'M'))
+
+    def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!looksLikeImage(content)) None
+      else try Option(javax.imageio.ImageIO.read(
+             new java.io.ByteArrayInputStream(content)))
+           catch { case _: Throwable => None }
+
+    /** Integer ITU-R 601 luma of the pixel at (x, y), 0..255. */
+    def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+
+    /** Nearest-neighbor grayscale resample to exactly w×h bytes
+      * (row-major): source coordinate = target * srcDim DIV dstDim — the
+      * same integer-floor mapping the byte-stride stub uses, applied to
+      * real pixels.
+      */
+    def resampleGray(img: java.awt.image.BufferedImage,
+                     w: Int, h: Int): Array[Byte] = {
+      val sw = img.getWidth
+      val sh = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val sy = (y.toLong * sh / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx = (x.toLong * sw / w).toInt
+          out(y * w + x) = gray(img, sx, sy).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),
@@ -126,8 +192,17 @@ object Multimodal {
             case Some((w, h, f)) =>
               Row(id, mod, content, content.length.toLong, w, h, f)
             case None =>
-              val m = StubCodec.decode(content)
-              Row(id, mod, content, m.n_bytes, m.width, m.height, m.n_frames)
+              // formats without a hand-parsed header (GIF/BMP): a real
+              // ImageIO decode still yields true dimensions
+              PixelCodec.decode(content) match {
+                case Some(img) =>
+                  Row(id, mod, content, content.length.toLong,
+                      img.getWidth, img.getHeight, 1)
+                case None =>
+                  val m = StubCodec.decode(content)
+                  Row(id, mod, content, m.n_bytes, m.width, m.height,
+                      m.n_frames)
+              }
           }
         }
       }(enc)
@@ -156,12 +231,18 @@ object Multimodal {
             val b = r.getAs[Array[Byte]](1)
             if (b.isEmpty) Row(id, 0L)
             else {
-              // prefix-cyclic grid, not stride sampling: a real decoder
+              // real images: true average-hash — nearest-neighbor 8×8
+              // grayscale thumbnail of actual pixels. Other payloads:
+              // prefix-cyclic grid, not stride sampling — a real decoder
               // resizes to a fixed thumbnail first (scale-invariant), and
-              // the stub's analogue of that is a fixed-size cell window —
-              // stride sampling would shift every cell when the payload
-              // length changes by one byte, destroying near-dup locality
-              val cells = Array.tabulate(64)(i => b(i % b.length) & 0xff)
+              // the stub's analogue of that is a fixed-size cell window
+              // (stride sampling would shift every cell when the payload
+              // length changes by one byte, destroying near-dup locality)
+              val cells = PixelCodec.decode(b) match {
+                case Some(img) =>
+                  PixelCodec.resampleGray(img, 8, 8).map(_ & 0xff)
+                case None => Array.tabulate(64)(i => b(i % b.length) & 0xff)
+              }
               val mean = cells.sum.toDouble / 64.0
               var h = 0L
               var i = 0
@@ -231,13 +312,18 @@ object Multimodal {
           val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           if (content == null || content.isEmpty)
             Row(id, w, h, null, null)
-          else {
-            // nearest-neighbor stride in integer math (k * n / outLen is
-            // exact in Long for any realistic payload size)
-            val n = content.length.toLong
-            val out = Array.tabulate(outLen)(k =>
-              content(((k.toLong * n) / outLen).toInt))
-            Row(id, w, h, outLen.toLong, out)
+          else PixelCodec.decode(content) match {
+            case Some(img) =>
+              // real image: true nearest-neighbor grayscale resize
+              Row(id, w, h, outLen.toLong,
+                  PixelCodec.resampleGray(img, w, h))
+            case None =>
+              // nearest-neighbor stride in integer math (k * n / outLen
+              // is exact in Long for any realistic payload size)
+              val n = content.length.toLong
+              val out = Array.tabulate(outLen)(k =>
+                content(((k.toLong * n) / outLen).toInt))
+              Row(id, w, h, outLen.toLong, out)
           }
         }
       }(enc)

@@ -109,6 +109,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.perceptualHash(withNull).collect().head.isNullAt(1))
   }
 
+  test("real PNG pixels: true dims, exact grayscale resample, pixel phash") {
+    // a real 16x8 PNG with a deterministic RGB gradient, encoded by the
+    // JDK itself (PNG is lossless, so the decode side sees these exact
+    // pixel values back)
+    val (sw, sh) = (16, 8)
+    val img = new java.awt.image.BufferedImage(
+      sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until sh; x <- 0 until sw)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 32) << 8) | ((x + y) * 10))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    def luma(x: Int, y: Int): Int =
+      (299 * (x * 16) + 587 * (y * 32) + 114 * ((x + y) * 10)) / 1000
+
+    // decodeMeta: header fast-path yields the true dimensions
+    val media = Seq((1L, "image", png)).toDF("id", "modality", "content")
+    val meta = Multimodal.decodeMeta(media).collect().head
+    assert((meta.getInt(4), meta.getInt(5), meta.getInt(6)) == (sw, sh, 1))
+
+    // resize 4x4: nearest-neighbor on REAL pixels — source (x*16/4, y*8/4),
+    // ITU-601 integer luma; pinned byte-for-byte
+    val out = Multimodal.resize(media, 4, 4).collect().head
+    val expected = (for (y <- 0 until 4; x <- 0 until 4)
+      yield luma(x * sw / 4, y * sh / 4).toByte).toArray
+    assert(out.getAs[Array[Byte]](4).toSeq == expected.toSeq)
+    assert(out.getLong(3) == 16L)
+
+    // perceptualHash: 8x8 grid over real pixels, mean-thresholded
+    val cells = for (y <- 0 until 8; x <- 0 until 8)
+      yield luma(x * sw / 8, y * sh / 8)
+    val mean = cells.sum.toDouble / 64.0
+    var expectedHash = 0L
+    for (i <- 0 until 64) if (cells(i) > mean) expectedHash |= (1L << i)
+    val got = Multimodal.perceptualHash(media).collect().head.getLong(1)
+    assert(got == expectedHash,
+      s"pixel-path phash mismatch: got $got expected $expectedHash")
+
+    // the same pixels encoded at a different byte length (BMP) must hash
+    // identically — pixel-path hashing is representation-invariant,
+    // which the byte-stub path can never be
+    val baos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", baos2)
+    val bmp = baos2.toByteArray
+    assert(bmp.length != png.length)
+    val media2 = Seq((2L, "image", bmp)).toDF("id", "modality", "content")
+    assert(Multimodal.perceptualHash(media2).collect().head.getLong(1) ==
+      expectedHash)
+    // and decodeMeta reaches BMP dims through the ImageIO fallback
+    // (no hand-parsed BMP header exists)
+    val meta2 = Multimodal.decodeMeta(media2).collect().head
+    assert((meta2.getInt(4), meta2.getInt(5)) == (sw, sh))
+  }
+
   test("sampleFrames: k frames per row with frame_no index") {
     val media = Multimodal.attachBinary(
       Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("doc_id", "text"),
