@@ -60,6 +60,46 @@ class Queries10Spec extends SparkSpec {
     assert(a.map(_._2).sum <= Graph.Prec)
   }
 
+  test("pageRank conserves rank mass round-over-round within the " +
+       "documented pico-unit truncation bound") {
+    // random directed graph WITH dangling nodes (ids 50..54 only ever
+    // receive), so the witness also covers the documented dropped-mass
+    // term — a truncated or skipped iteration would push the sum
+    // outside the bounds below
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(250)((rnd.nextInt(40).toLong,
+                                rnd.nextInt(40).toLong)) ++
+                 Seq.fill(25)((rnd.nextInt(40).toLong,
+                               (50 + rnd.nextInt(5)).toLong)))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst")
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.length.toLong
+    val srcs = edges.map(_._1).toSet
+    val teleport = BigInt((15L * (Graph.Prec / n)) / 100L)
+    val nEdges = BigInt(edges.length)
+    // pr_k for k = 0..3 (deterministic, so run k is a prefix of run k+1)
+    val sums = (0 to 3).map { k =>
+      val pr = Graph.pageRank(df, "src", "dst", k).as[(Long, Long)]
+        .collect().toMap
+      (BigInt(pr.values.sum),
+       BigInt(pr.filterNot(kv => srcs(kv._1)).values.sum)) // dangling mass
+    }
+    for (k <- 0 until 3) {
+      val (sumK, danglingK) = sums(k)
+      val (sumK1, _) = sums(k + 1)
+      // next sum = n·teleport + Σ_v (85·s_v DIV 100) where Σ_v s_v =
+      // sum_k − dangling_k − edgeTrunc, edgeTrunc ∈ [0, |E|) (each src
+      // loses pr mod outdeg < outdeg, summing to < |E|), and the DIV 100
+      // loses < 1 pico-unit per node
+      val upper = BigInt(n) * teleport + (BigInt(85) * (sumK - danglingK)) / 100
+      val lower = BigInt(n) * teleport +
+        (BigInt(85) * (sumK - danglingK - nEdges)) / 100 - BigInt(n)
+      assert(sumK1 <= upper && sumK1 >= lower,
+        s"round ${k + 1}: sum $sumK1 outside [$lower, $upper]")
+    }
+  }
+
   test("gapfill semantics: zero-fill, forward fill, days-since") {
     val ev = Seq(
       (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
