@@ -73,6 +73,9 @@ object Bench {
     // round-4 part 8: source-surface round-trips — JDBC sink+scan with
     // pushdown (embedded Derby) and the binaryFile multimodal front door
     "q161_jdbc_roundtrip", "m07_binary_files",
+    // round-5: DSIR importance scoring (two corpus passes + broadcast
+    // weight table) and SemDeDup cluster-bounded cosine dedup
+    "t44_dsir_weights", "d22_semdedup",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",
     // round-4 part 9: two-sample tests over the orders×customer join

@@ -127,27 +127,34 @@ object Queries9 {
     * (assign by max cosine, first cell on ties) → (per-(cell, dim) mean
     * of 1e-6-quantized values, empty cells keep their centroid).
     */
-  private def kmeansOracle(k: Int, dim: Int, iters: Int): String = {
+  /** The unrolled-Lloyd kmeans replay as a reusable CTE chain (no WITH
+    * keyword): `base` is any SQL producing (vec_id, v DOUBLE[]); CTE
+    * names are prefixed `ke/kx/kq/c0/aN/mN` and the final assignment is
+    * `fin (vec_id, cell, cos)`. Shared by the s06 oracle and d22's
+    * SemDeDup oracle (which feeds the planted d09 corpus through it).
+    */
+  private[graft] def kmeansCtes(k: Int, dim: Int, iters: Int,
+                                base: String): String = {
     def assign(name: String, cSrc: String): String =
       s"""$name AS (
          |  SELECT vec_id, cell, cos FROM (
          |    SELECT vec_id, cell, cos,
          |      row_number() OVER (PARTITION BY vec_id
          |        ORDER BY cos DESC, cell ASC) AS rn
-         |    FROM (SELECT e.vec_id, $cSrc.cell,
-         |            list_dot_product(e.v, $cSrc.c) /
-         |              (sqrt(list_dot_product(e.v, e.v)) *
+         |    FROM (SELECT ke.vec_id, $cSrc.cell,
+         |            list_dot_product(ke.v, $cSrc.c) /
+         |              (sqrt(list_dot_product(ke.v, ke.v)) *
          |               sqrt(list_dot_product($cSrc.c, $cSrc.c))) AS cos
-         |          FROM e, $cSrc))
+         |          FROM ke, $cSrc))
          |  WHERE rn = 1)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""${assign(s"a${r - 1}", s"c${r - 1}")},
          |m$r AS (
-         |  SELECT a.cell, q.idx,
-         |    CAST(CAST(SUM(q.q) AS DOUBLE) / COUNT(*) / 1000000.0 AS FLOAT)
+         |  SELECT a.cell, kq.idx,
+         |    CAST(CAST(SUM(kq.q) AS DOUBLE) / COUNT(*) / 1000000.0 AS FLOAT)
          |      AS m
-         |  FROM a${r - 1} a JOIN q ON a.vec_id = q.vec_id
-         |  GROUP BY a.cell, q.idx),
+         |  FROM a${r - 1} a JOIN kq ON a.vec_id = kq.vec_id
+         |  GROUP BY a.cell, kq.idx),
          |c$r AS (
          |  SELECT p.cell, coalesce(n.c, p.c) AS c
          |  FROM c${r - 1} p LEFT JOIN
@@ -155,22 +162,25 @@ object Queries9 {
          |     FROM m$r GROUP BY cell) n
          |    ON p.cell = n.cell)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings),
-       |x AS (SELECT vec_id, v,
+    s"""ke AS ($base),
+       |kx AS (SELECT vec_id, v,
        |        unnest(generate_series(1, $dim)) AS idx
-       |      FROM e),
-       |q AS (SELECT vec_id, idx,
+       |      FROM ke),
+       |kq AS (SELECT vec_id, idx,
        |        CAST(round(v[idx] * 1000000.0) AS BIGINT) AS q
-       |      FROM x),
+       |      FROM kx),
        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT)
        |         AS cell, v AS c
-       |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |       FROM (SELECT vec_id, v FROM ke ORDER BY vec_id LIMIT $k)),
        |$rounds,
-       |${assign("fin", s"c$iters")}
+       |${assign("fin", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansOracle(k: Int, dim: Int, iters: Int): String =
+    s"""WITH ${kmeansCtes(k, dim, iters,
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")}
        |SELECT vec_id, CAST(cell AS INT) AS cluster, round(cos, 4) AS cos
        |FROM fin ORDER BY vec_id""".stripMargin
-  }
 
   val oracleSql: Map[String, String] = Map(
     "s06_kmeans_clusters" -> kmeansOracle(k = 8, dim = 64, iters = 2),

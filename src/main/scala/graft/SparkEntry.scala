@@ -43,7 +43,8 @@ object SparkEntry {
       Queries48.sparkQueries ++ Queries49.sparkQueries ++
       Queries50.sparkQueries ++ Queries51.sparkQueries ++
       Queries52.sparkQueries ++ Queries53.sparkQueries ++
-      Queries54.sparkQueries ++ Queries55.sparkQueries
+      Queries54.sparkQueries ++ Queries55.sparkQueries ++
+      Queries56.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       Queries44.oracleSql ++ Queries45.oracleSql ++ Queries46.oracleSql ++
       Queries47.oracleSql ++ Queries48.oracleSql ++ Queries49.oracleSql ++
       Queries50.oracleSql ++ Queries51.oracleSql ++ Queries52.oracleSql ++
-      Queries53.oracleSql ++ Queries54.oracleSql ++ Queries55.oracleSql
+      Queries53.oracleSql ++ Queries54.oracleSql ++ Queries55.oracleSql ++
+      Queries56.oracleSql
 }

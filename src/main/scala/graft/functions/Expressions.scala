@@ -195,6 +195,51 @@ object Expressions {
       copy(child = c)
   }
 
+  /** DSIR-style hashed n-gram feature stream (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): every
+    * unigram and bigram of the token array, hashed into `buckets` bins —
+    * WITH multiplicity (unlike [[WordShingles]]' distinct set), because
+    * importance weights sum per occurrence. One pass, codegen'd; the
+    * bucket is the low bits of FNV-1a64 (`buckets` must be a power of
+    * two so unsigned-mod — what a SQL oracle computes on the unsigned
+    * rendering — equals the masked signed value).
+    */
+  case class DsirFeatures(child: Expression, buckets: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"DsirFeatures: buckets must be a power of two, got $buckets")
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dsir", this, classOf[DsirFeatures].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
+    @inline private def bucket(h: Long): Int = (h & (buckets - 1)).toInt
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Any](if (n == 0) 0 else 2 * n - 1)
+      var i = 0
+      while (i < n) {
+        out(i) = bucket(fnv1a64(arr.getUTF8String(i), 0L))
+        i += 1
+      }
+      i = 0
+      while (i + 1 < n) {
+        val bg = UTF8String.concatWs(UTF8String.fromString(" "),
+          arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        out(n + i) = bucket(fnv1a64(bg, 0L))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Normalized word n-gram shingle set: lowercases, splits on whitespace,
     * emits distinct space-joined n-grams — one pass of Java code per row.
     *
@@ -709,6 +754,8 @@ object Expressions {
   def minhash_sig(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSig(Bridge.expression(tokens), numHashes, seed))
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def dsir_features(tokens: Column, buckets: Int): Column =
+    Bridge.column(DsirFeatures(Bridge.expression(tokens), buckets))
   def quantize_int8(vec: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(vec)))
   def top_gram_frac(wordArr: Column, n: Int): Column =

@@ -706,4 +706,51 @@ object Corpus {
       .select(col(idCol), col("n_shingles"), col("n_hit"),
               expr("n_hit * 1000000 DIV n_shingles").as("frac_ppm"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how target-like its hashed n-gram profile is —
+    * log p_target(doc) − log p_source(doc) under bag-of-hashed-features
+    * unigram+bigram models of the target slice (`isTarget`) vs the rest
+    * of the corpus, add-1 smoothed over `buckets` bins. The standard
+    * pretraining-data selection scorer: resample the corpus ∝ exp(weight)
+    * to tilt it toward the target domain.
+    *
+    * Determinism: the bucket log-ratio is rounded once to 6 dp and
+    * accumulated as decimal(18,6) (t09's micro-nats device), so the
+    * per-doc sum is partition-order independent; output is integer
+    * micro-nats.
+    *
+    * Scale: one codegen'd pass per doc emits the feature stream
+    * ([[Expressions.DsirFeatures]]); bucket counts are ONE map-side-
+    * combining shuffle to `buckets` rows; the weight table (`buckets`
+    * rows) broadcasts back onto a second feature pass; the per-doc sum
+    * is one shuffle on the doc id. The corpus streams twice and never
+    * self-joins — the same shape as [[unigramLogProb]].
+    *
+    * @return (idCol, is_target, n_feat, dsir_micro) for every doc with
+    *         at least one token
+    */
+  def dsirImportance(df: DataFrame, textCol: String, idCol: String,
+                     isTarget: Column, buckets: Int = 8192): DataFrame = {
+    def feats = df.select(col(idCol), isTarget.as("is_t"),
+        explode(Expressions.dsir_features(words(col(textCol)), buckets))
+          .as("b"))
+    val cnt = feats.groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+           sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    val tot = cnt.agg(sum(col("ct")).as("tt"), sum(col("cs")).as("ts"))
+    val weights = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") /
+                  (col("tt") + buckets).cast("double")) -
+              log((col("cs") + 1).cast("double") /
+                  (col("ts") + buckets).cast("double")), 6)
+          .cast("decimal(18,6)").as("wt"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol), col("is_t"))
+      .agg(count(lit(1)).as("n_feat"), sum(col("wt")).as("sum_wt"))
+      .select(col(idCol), col("is_t").as("is_target"), col("n_feat"),
+              (col("sum_wt") * 1000000).cast("long").as("dsir_micro"))
+  }
 }
