@@ -74,8 +74,10 @@ object Bench {
     // pushdown (embedded Derby) and the binaryFile multimodal front door
     "q161_jdbc_roundtrip", "m07_binary_files",
     // round-5: DSIR importance scoring (two corpus passes + broadcast
-    // weight table) and SemDeDup cluster-bounded cosine dedup
-    "t44_dsir_weights", "d22_semdedup",
+    // weight table), SemDeDup cluster-bounded cosine dedup, the linear
+    // quality classifier, and blocked Fellegi-Sunter linkage scoring
+    "t44_dsir_weights", "d22_semdedup", "t46_quality_classifier",
+    "q189_fellegi_sunter",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",
     // round-4 part 9: two-sample tests over the orders×customer join

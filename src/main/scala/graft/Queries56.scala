@@ -52,7 +52,79 @@ object Queries56 {
         .select(col("id").as("vec_id"), col("comp").as("keep_id"),
                 (col("id") === col("comp")).as("is_kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // linear quality classifier (the fasttext-style fixed-weight filter
+    // stand-in): five exact-integer features — mean token length in
+    // milli-chars, stopword/digit/punct rates in ppm, capped token
+    // count — dotted with integer weights into a micro-unit score, then
+    // thresholded into keep/review/drop. Zero float math anywhere, so
+    // the oracle is exact; one scan, no shuffle before the final sort.
+    // Stopword counting is a codegen'd one-pass expression (a HOF
+    // lambda would re-tokenize per element — the WordShingles trap).
+    "t46_quality_classifier" -> ((s, d) => {
+      val toks = TextAnalysis.tokens(TextAnalysis.normalize(col("text")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("nc"),
+          size(toks).cast("long").as("ntok"),
+          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+            .cast("long").as("ndig"),
+          size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"),
+                                  lit(0))).cast("long").as("npunct"),
+          Expressions.stop_token_count(toks, Queries56.Stopwords)
+            .cast("long").as("nstop"))
+        .filter(col("ntok") > 0)
+        .select(col("doc_id"),
+          (expr("100 * (1000 * nc DIV ntok)") +
+           expr("2 * (1000000 * nstop DIV ntok)") -
+           expr("3 * (1000000 * ndig DIV nc)") -
+           expr("2 * (1000000 * npunct DIV nc)") +
+           expr("1000 * least(ntok, 400)") - lit(700000L)).as("z_micro"))
+        .select(col("doc_id"), col("z_micro"),
+          when(col("z_micro") >= 150000L, "keep")
+            .when(col("z_micro") >= 0L, "review")
+            .otherwise("drop").as("decision"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fellegi–Sunter record-linkage scoring (1969): candidate pairs from
+    // nationkey blocking (the quadratic is bounded per block — the
+    // production linkage shape), four field comparisons, each adding its
+    // precomputed agreement/disagreement log-likelihood weight
+    // (ln(m/u), ln((1-m)/(1-u)) in integer micro-nats — constants, so
+    // runtime arithmetic is all-integer and the oracle exact), decisions
+    // by the classic two-threshold rule. Only above-zero pairs emit.
+    // The negative-balance bucket uses a +1e8-cent shift so integer
+    // division is over positives on both engines (Spark DIV truncates
+    // toward zero, DuckDB // floors — they differ below zero).
+    "q189_fellegi_sunter" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+             " + 100000000) DIV 100000").as("balb"),
+        expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+             " + 100000000) % 100").as("cc"),
+        expr("right(c_name, 3)").as("nm3"))
+      c.as("a").join(c.as("b"),
+          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (when(col("a.seg") === col("b.seg"), 1558145L).otherwise(-2772589L) +
+           when(col("a.balb") === col("b.balb"), 2129566L).otherwise(-2189416L) +
+           when(col("a.cc") === col("b.cc"), 4641102L).otherwise(-1888886L) +
+           when(col("a.nm3") === col("b.nm3"), 7364514L).otherwise(-2302015L))
+            .as("score_micro"))
+        .filter(col("score_micro") >= 0L)
+        .select(col("id_a"), col("id_b"), col("score_micro"),
+          when(col("score_micro") >= 4000000L, "match")
+            .otherwise("possible").as("decision"))
+        .orderBy(col("id_a"), col("id_b"))
     }))
+
+  /** Stopword set for t46 — fixed, mirrored verbatim in the oracle. */
+  private[graft] val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
   val oracleSql: Map[String, String] = Map(
     // full replay: tokens → unigram+bigram FNV buckets (low 13 bits of
@@ -92,6 +164,55 @@ object Queries56 {
          |FROM fb JOIN w USING (b)
          |GROUP BY fb.doc_id, fb.is_t
          |ORDER BY fb.doc_id""".stripMargin,
+
+    "t46_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+         |    CAST(len(regexp_extract_all(${ExtensionQueries.NormSql},
+         |      '\\S+')) AS BIGINT) AS ntok,
+         |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+         |      AS ndig,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+         |      AS BIGINT) AS npunct,
+         |    CAST(len(list_filter(regexp_extract_all(
+         |      ${ExtensionQueries.NormSql}, '\\S+'),
+         |      t -> t IN ('the','a','of','and','to','in','is','it')))
+         |      AS BIGINT) AS nstop
+         |  FROM documents),
+         |z AS (
+         |  SELECT doc_id,
+         |    CAST(100 * (1000 * nc // ntok) + 2 * (1000000 * nstop // ntok)
+         |      - 3 * (1000000 * ndig // nc) - 2 * (1000000 * npunct // nc)
+         |      + 1000 * least(ntok, 400) - 700000 AS BIGINT) AS z_micro
+         |  FROM f WHERE ntok > 0)
+         |SELECT doc_id, z_micro,
+         |  CASE WHEN z_micro >= 150000 THEN 'keep'
+         |       WHEN z_micro >= 0 THEN 'review'
+         |       ELSE 'drop' END AS decision
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q189_fellegi_sunter" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |     + 100000000) // 100000 AS balb,
+        |    (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |     + 100000000) % 100 AS cc,
+        |    right(c_name, 3) AS nm3
+        |  FROM customer),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(CASE WHEN a.seg = b.seg THEN 1558145 ELSE -2772589 END +
+        |         CASE WHEN a.balb = b.balb THEN 2129566 ELSE -2189416 END +
+        |         CASE WHEN a.cc = b.cc THEN 4641102 ELSE -1888886 END +
+        |         CASE WHEN a.nm3 = b.nm3 THEN 7364514 ELSE -2302015 END
+        |      AS BIGINT) AS score_micro
+        |  FROM c a JOIN c b ON a.nat = b.nat AND a.id < b.id)
+        |SELECT id_a, id_b, score_micro,
+        |  CASE WHEN score_micro >= 4000000 THEN 'match'
+        |       ELSE 'possible' END AS decision
+        |FROM p WHERE score_micro >= 0
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // planted corpus (d09Ctes) → the same unrolled-Lloyd clustering as
     // s06 (Queries9.kmeansCtes over u) → within-cluster cosine pairs →

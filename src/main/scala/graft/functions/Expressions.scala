@@ -240,6 +240,40 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Occurrence count of tokens from a fixed set — one pass over the
+    * token array. Exists for the same reason as [[WordShingles]]: the
+    * composable form (`filter(tokens, t -> t IN (...))` or repeated
+    * `array_remove` diffs) re-evaluates the tokenization subtree per
+    * element/per term once CollapseProject inlines it into the lambda.
+    */
+  case class StopTokenCount(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(ArrayType(StringType))
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    private val set = new java.util.HashSet[UTF8String](
+      java.util.Arrays.asList(stopwords.map(UTF8String.fromString): _*))
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopcnt", this, classOf[StopTokenCount].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Integer) $ref.compute($a)).intValue();")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      var c = 0
+      var i = 0
+      while (i < n) {
+        if (set.contains(arr.getUTF8String(i))) c += 1
+        i += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Normalized word n-gram shingle set: lowercases, splits on whitespace,
     * emits distinct space-joined n-grams — one pass of Java code per row.
     *
@@ -756,6 +790,8 @@ object Expressions {
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
   def dsir_features(tokens: Column, buckets: Int): Column =
     Bridge.column(DsirFeatures(Bridge.expression(tokens), buckets))
+  def stop_token_count(tokens: Column, stopwords: Seq[String]): Column =
+    Bridge.column(StopTokenCount(Bridge.expression(tokens), stopwords))
   def quantize_int8(vec: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(vec)))
   def top_gram_frac(wordArr: Column, n: Int): Column =

@@ -64,6 +64,27 @@ class Queries56Spec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("stop_token_count: occurrences, not distinct; empty and miss safe") {
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "a", "dog")),
+      (2L, Seq("zebra")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "toks")
+    val got = df.select(col("id"),
+        Expressions.stop_token_count(col("toks"), Queries56.Stopwords))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 0, 3L -> 0))
+  }
+
+  test("quality classifier: all-integer score is deterministic and bucketed") {
+    val q = SparkEntry.queries("t46_quality_classifier")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val decisions = a.map(_.getString(2)).toSet
+    assert(decisions.subsetOf(Set("keep", "review", "drop")))
+  }
+
   test("semdedup shape: identical vectors dedup to min id within cluster") {
     // 12 vectors in 6 well-separated directions, each direction twice
     // (ids i and i+100): every pair is an exact duplicate (cos = 1);
