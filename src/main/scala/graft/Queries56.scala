@@ -88,6 +88,26 @@ object Queries56 {
         .orderBy(col("doc_id"))
     }),
 
+    // token-budget corpus mixing: fill each source's token budget in
+    // deterministic content-hash priority order (the "give me N tokens
+    // per source" mixture-assembly step downstream of t16/t21's ratio
+    // samplers). One running-sum window per source key; a doc is kept
+    // while the cumulative token count stays within budget. All-integer.
+    "t47_token_budget_mix" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 1000L)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+        .orderBy(col("source"), col("cum_tok"))
+    }),
+
     // Fellegi–Sunter record-linkage scoring (1969): candidate pairs from
     // nationkey blocking (the quadratic is bounded per block — the
     // production linkage shape), four field comparisons, each adding its
@@ -190,6 +210,23 @@ object Queries56 {
          |       WHEN z_micro >= 0 THEN 'review'
          |       ELSE 'drop' END AS decision
          |FROM z ORDER BY doc_id""".stripMargin,
+
+    "t47_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(${ExtensionQueries.NormSql},
+         |      '\\S+')) AS BIGINT) AS n_tok,
+         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tok
+         |  FROM t)
+         |SELECT doc_id, source, n_tok, cum_tok
+         |FROM c WHERE cum_tok <= 1000
+         |ORDER BY source, cum_tok""".stripMargin,
 
     "q189_fellegi_sunter" ->
       """WITH c AS (
