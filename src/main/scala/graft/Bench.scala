@@ -77,7 +77,8 @@ object Bench {
     // weight table), SemDeDup cluster-bounded cosine dedup, the linear
     // quality classifier, and blocked Fellegi-Sunter linkage scoring
     "t44_dsir_weights", "d22_semdedup", "t46_quality_classifier",
-    "q189_fellegi_sunter",
+    "q189_fellegi_sunter", "g09_hits", "t48_dataset_manifest",
+    "t47_token_budget_mix",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",
     // round-4 part 9: two-sample tests over the orders×customer join

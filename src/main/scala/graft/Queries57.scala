@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Round-5 queries, part 2: HITS hubs/authorities in the g01 fixed-point
+  * integer regime, and a content-addressable dataset manifest (two-level
+  * hash tree). Oracle conventions follow [[Queries]]' scaladoc.
+  */
+object Queries57 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // HITS over the part→supplier bipartite co-supply graph (directed:
+    // parts point at their suppliers, so suppliers accrue authority and
+    // parts hub-ness), 2 exact integer rounds — see Graph.hits scaladoc.
+    "g09_hits" -> ((s, d) => {
+      val e = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      Graph.hits(e, "src", "dst", iters = 2)
+        .orderBy(col("node"))
+    }),
+
+    // content-addressable corpus manifest: per-source dataset
+    // fingerprint as a TWO-LEVEL hash tree — doc md5s roll up into 256
+    // id-bucketed subhashes (bounded string_agg groups), subhashes roll
+    // up into one source fingerprint. The dataset-versioning primitive:
+    // two corpus versions differ iff their manifests differ, and the
+    // differing bucket localizes the change to ~1/256 of the corpus.
+    // At 100 TB the level-1 groups stay bounded (corpus/256 per source)
+    // and level 2 is 256 rows per source — no unbounded concatenation.
+    "t48_dataset_manifest" -> ((s, d) => {
+      val l1 = Tables.documents(s, d)
+        .select(col("source"), (col("doc_id") % 256).as("bucket"),
+                col("doc_id"), md5(col("text")).as("dh"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             md5(concat_ws(",",
+               array_sort(collect_list(
+                 concat_ws(":", col("doc_id"), col("dh")))))).as("bh"))
+      l1.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+             md5(concat_ws(",",
+               array_sort(collect_list(
+                 concat_ws(":", col("bucket"), col("bh")))))).as("manifest"))
+        .orderBy(col("source"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // unrolled integer HITS rounds: same joins, same integer-division
+    // normalization (x DIV (max DIV 1e12)); BIGINT throughout
+    "g09_hits" -> {
+      val prec = Graph.Prec
+      def round(r: Int): String =
+        s"""ar$r AS (
+           |  SELECT n.node, COALESCE(s.s, 0) AS a
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, SUM(h.h) AS s
+           |    FROM e JOIN h${r - 1} h ON h.node = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node),
+           |amx$r AS (SELECT MAX(a) AS mx FROM ar$r),
+           |a$r AS (SELECT node, CASE WHEN mx <= 0 THEN 0
+           |          ELSE a // (mx // $prec) END AS a
+           |        FROM ar$r, amx$r),
+           |hr$r AS (
+           |  SELECT n.node, COALESCE(s.s, 0) AS h
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.src AS node, SUM(a.a) AS s
+           |    FROM e JOIN a$r a ON a.node = e.dst
+           |    GROUP BY e.src) s ON s.node = n.node),
+           |hmx$r AS (SELECT MAX(h) AS mx FROM hr$r),
+           |h$r AS (SELECT node, CASE WHEN mx <= 0 THEN 0
+           |          ELSE h // (mx // $prec) END AS h
+           |        FROM hr$r, hmx$r)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem),
+         |nodes AS (SELECT src AS node FROM e
+         |          UNION SELECT dst FROM e),
+         |h0 AS (SELECT node, CAST($prec AS BIGINT) AS h FROM nodes),
+         |${round(1)},
+         |${round(2)}
+         |SELECT n.node, CAST(a2.a AS BIGINT) AS auth_pico,
+         |  CAST(h2.h AS BIGINT) AS hub_pico
+         |FROM nodes n JOIN a2 ON a2.node = n.node
+         |JOIN h2 ON h2.node = n.node
+         |ORDER BY n.node""".stripMargin
+    },
+
+    "t48_dataset_manifest" ->
+      """WITH l1 AS (
+        |  SELECT source, doc_id % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text),
+        |                   ',' ORDER BY CAST(doc_id AS VARCHAR) || ':' ||
+        |                               md5(text))) AS bh
+        |  FROM documents GROUP BY source, bucket)
+        |SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  md5(string_agg(CAST(bucket AS VARCHAR) || ':' || bh,
+        |                 ',' ORDER BY CAST(bucket AS VARCHAR) || ':' || bh))
+        |    AS manifest
+        |FROM l1 GROUP BY source ORDER BY source""".stripMargin)
+}

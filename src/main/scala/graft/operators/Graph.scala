@@ -298,4 +298,59 @@ object Graph {
     }
     labels
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in the same fixed-point
+    * integer regime as [[pageRank]]: scores live in pico units and each
+    * round renormalizes the max to `Prec` by integer division, so every
+    * round is exact integer arithmetic — bit-reproducible and
+    * oracle-replayable round by round. Per round: authority = sum of
+    * in-neighbor hubs, normalize; hub = sum of out-neighbor authorities,
+    * normalize — two edge-keyed joins + two map-side-combining aggs +
+    * two 1-row global maxes (broadcast), rank tables localCheckpoint'ed.
+    *
+    * Normalization is `x DIV (max DIV Prec)` (max ≥ Prec always holds:
+    * scores start at Prec and sums only grow), keeping every
+    * intermediate within Long for in-degrees up to ~9e6 — beyond that,
+    * run the same loop in micro units. Nodes with no in-edges keep
+    * authority 0 after round 1 (likewise hubs without out-edges) — the
+    * classic iterate's fixed points, not an error.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"hits: iters $iters < 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .localCheckpoint()
+    var hub = nodes.withColumn("h", lit(Prec))
+    var auth = nodes.withColumn("a", lit(Prec))
+    for (_ <- 0 until iters) {
+      val aRaw = nodes.join(
+          e.join(hub, col("src") === col("node")).drop("node")
+            .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+      auth = normalizeMax(aRaw, "a").localCheckpoint()
+      val hRaw = nodes.join(
+          e.join(auth, col("dst") === col("node")).drop("node")
+            .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+      hub = normalizeMax(hRaw, "h").localCheckpoint()
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), col("a").as("auth_pico"), col("h").as("hub_pico"))
+  }
+
+  /** Rescale an integer score column so its max is `Prec`, by integer
+    * division — exact, deterministic, broadcast 1-row max. */
+  private def normalizeMax(df: DataFrame, c: String): DataFrame =
+    df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
+      .select(col("node"),
+        when(col("mx") <= 0L, lit(0L))
+          .otherwise(expr(s"$c DIV (mx DIV $Prec)")).as(c))
 }

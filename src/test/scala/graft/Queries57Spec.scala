@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Round-5 part 2: HITS semantics on hand graphs (vs an in-test integer
+  * reference fold) and the manifest's change-detection contract.
+  */
+class Queries57Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-test reference: the same fixed-point integer HITS as a driver
+    * fold — integer ops mirror Graph.hits exactly. */
+  private def referenceHits(edges: Seq[(Long, Long)],
+                            iters: Int): Map[Long, (Long, Long)] = {
+    val dedup = edges.distinct
+    val nodes = dedup.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> Graph.Prec).toMap
+    var auth = nodes.map(_ -> Graph.Prec).toMap
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      if (mx <= 0L) m.map { case (k, _) => k -> 0L }
+      else m.map { case (k, v) => k -> v / (mx / Graph.Prec) }
+    }
+    for (_ <- 0 until iters) {
+      auth = norm(nodes.map(v =>
+        v -> dedup.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = norm(nodes.map(v =>
+        v -> dedup.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (auth(v), hub(v))).toMap
+  }
+
+  test("hits matches the integer reference fold exactly") {
+    // two hubs pointing at a shared authority + a chain tail
+    val edges = Seq((1L, 10L), (2L, 10L), (1L, 11L), (3L, 2L))
+    val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == referenceHits(edges, 2))
+    // node 10 (two in-edges from strong hubs) is the top authority;
+    // node 1 (two out-edges) is the top hub
+    assert(got(10L)._1 == got.values.map(_._1).max)
+    assert(got(1L)._2 == got.values.map(_._2).max)
+    // pure-source nodes end with authority 0, pure-sink nodes hub 0
+    assert(got(3L)._1 == 0L && got(10L)._2 == 0L)
+  }
+
+  test("dataset manifest: any single-doc change flips exactly one bucket") {
+    val q = SparkEntry.queries("t48_dataset_manifest")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "manifest must be deterministic")
+    // independent change detection: recompute level-1 by hand for one
+    // source with one doc's text perturbed — the manifest must differ
+    val docs = Tables.documents(spark, sf)
+    val src = docs.select(col("source")).head().getString(0)
+    val orig = docs.filter(col("source") === src)
+    def manifest(df: org.apache.spark.sql.DataFrame): String =
+      df.select(col("source"), (col("doc_id") % 256).as("bucket"),
+          col("doc_id"), md5(col("text")).as("dh"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(md5(concat_ws(",", array_sort(collect_list(
+          concat_ws(":", col("doc_id"), col("dh")))))).as("bh"))
+        .groupBy(col("source"))
+        .agg(md5(concat_ws(",", array_sort(collect_list(
+          concat_ws(":", col("bucket"), col("bh")))))).as("m"))
+        .head().getString(1)
+    val perturbed = orig.withColumn("text",
+      when(col("doc_id") === orig.select(min(col("doc_id"))).head().getLong(0),
+           concat(col("text"), lit("!"))).otherwise(col("text")))
+    assert(manifest(orig) != manifest(perturbed))
+  }
+}
