@@ -24,14 +24,16 @@ object ExtensionQueries {
     * in DuckDB 1.0, hence the byte-wise bridge). Shared by the d04 and
     * t07 oracles.
     */
-  private[graft] def FnvSql(c: String): String =
+  private[graft] def FnvSql(c: String, seed: Long = 0L): String = {
+    val basis = java.lang.Long.toUnsignedString(0xcbf29ce484222325L ^ seed)
     s"""list_reduce(
-       |    list_prepend(14695981039346656037::HUGEINT,
+       |    list_prepend($basis::HUGEINT,
        |      list_transform(range(1, octet_length(encode($c))+1),
        |        i -> CAST(CAST('0x' || substr(hex(encode($c)), 2*i-1, 2)
        |                       AS BIGINT) AS HUGEINT))),
        |    (a, b) -> (xor(a, b) * 1099511628211::HUGEINT)
        |              % 18446744073709551616::HUGEINT)""".stripMargin
+  }
 
   val sparkQueries: Map[String, Q] = Map(
 

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Graph
+import graft.functions.Expressions
+import graft.operators.{Graph, TextAnalysis}
 
 /** Round-5 queries, part 2: HITS hubs/authorities in the g01 fixed-point
   * integer regime, and a content-addressable dataset manifest (two-level
@@ -20,6 +21,42 @@ object Queries57 {
         (col("l_suppkey") * 2 + 1).as("dst"))
       Graph.hits(e, "src", "dst", iters = 2)
         .orderBy(col("node"))
+    }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan 2005) with DETERMINISTIC
+    // seeded-FNV rows, so the sketch itself — not just its error bound —
+    // is oracle-replayable: build the 4×1024 counter table (one
+    // map-side-combining shuffle, ≤4096 rows, broadcastable), then
+    // point-query the exact top-20 tokens and report estimate vs truth
+    // (CMS never undercounts; overcount bounded by collisions). The
+    // mergeable-sketch companion to t14/t20's exact and Misra-Gries
+    // heavy hitters: counter tables from disjoint corpus shards ADD.
+    "t49_count_min" -> ((s, d) => {
+      val D = 4
+      val maskL = 1023L // w = 1024, power of two: mask ≡ unsigned mod
+      def toks = Tables.documents(s, d).select(
+        explode(TextAnalysis.tokens(
+          TextAnalysis.normalize(col("text")))).as("w"))
+      def buckets(c: org.apache.spark.sql.Column) =
+        array((0 until D).map(j => struct(lit(j).as("j"),
+          Expressions.fnv_hash(c, j.toLong).bitwiseAND(lit(maskL))
+            .as("b"))): _*)
+      val counters = toks
+        .select(explode(buckets(col("w"))).as("rb"))
+        .select(col("rb.j").as("j"), col("rb.b").as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(20)
+      exact
+        .select(col("w"), col("exact"), explode(buckets(col("w"))).as("p"))
+        .select(col("w"), col("exact"), col("p.j").as("j"),
+                col("p.b").as("b"))
+        .join(broadcast(counters), Seq("j", "b"))
+        .groupBy(col("w"), col("exact"))
+        .agg(min(col("c")).as("cms_est"))
+        .select(col("w"), col("exact"), col("cms_est"),
+                (col("cms_est") - col("exact")).as("overcount"))
+        .orderBy(col("exact").desc, col("w"))
     }),
 
     // content-addressable corpus manifest: per-source dataset
@@ -86,6 +123,36 @@ object Queries57 {
          |FROM nodes n JOIN a2 ON a2.node = n.node
          |JOIN h2 ON h2.node = n.node
          |ORDER BY n.node""".stripMargin
+    },
+
+    // same sketch replayed: per-seed FNV buckets (masked ≡ unsigned mod,
+    // 1024 = 2^10), counter table, min-over-rows point estimates
+    "t49_count_min" -> {
+      def fnvB(j: Int) = s"CAST(${ExtensionQueries.FnvSql("w", j)} " +
+        s"% 1024 AS BIGINT)"
+      val rowsJ = (0 until 4).map(j =>
+        s"SELECT $j AS j, ${fnvB(j)} AS b FROM tok").mkString(
+        "\n         UNION ALL ")
+      val probesJ = (0 until 4).map(j =>
+        s"SELECT w, exact, $j AS j, ${fnvB(j)} AS b FROM top").mkString(
+        "\n         UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_extract_all(${ExtensionQueries.NormSql},
+         |    '\\S+')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact
+         |        FROM tok GROUP BY w),
+         |top AS (SELECT w, exact FROM cnt
+         |        ORDER BY exact DESC, w LIMIT 20),
+         |rj AS ($rowsJ),
+         |counters AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c
+         |             FROM rj GROUP BY j, b),
+         |probes AS ($probesJ)
+         |SELECT p.w, p.exact, CAST(MIN(c.c) AS BIGINT) AS cms_est,
+         |  CAST(MIN(c.c) - p.exact AS BIGINT) AS overcount
+         |FROM probes p JOIN counters c ON c.j = p.j AND c.b = p.b
+         |GROUP BY p.w, p.exact
+         |ORDER BY p.exact DESC, p.w""".stripMargin
     },
 
     "t48_dataset_manifest" ->

@@ -240,6 +240,27 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Raw seeded FNV-1a64 of a string — the shared base hash
+    * ([[fnv1a64]]) exposed as a scalar, for sketch bucket keys
+    * (Count-Min rows, etc.). Codegen'd static call.
+    */
+  case class FnvHash(child: Expression, seed: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("fnvh", this, classOf[FnvHash].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(fnv1a64(v.asInstanceOf[UTF8String], seed))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Occurrence count of tokens from a fixed set — one pass over the
     * token array. Exists for the same reason as [[WordShingles]]: the
     * composable form (`filter(tokens, t -> t IN (...))` or repeated
@@ -792,6 +813,8 @@ object Expressions {
     Bridge.column(DsirFeatures(Bridge.expression(tokens), buckets))
   def stop_token_count(tokens: Column, stopwords: Seq[String]): Column =
     Bridge.column(StopTokenCount(Bridge.expression(tokens), stopwords))
+  def fnv_hash(s: Column, seed: Long = 0L): Column =
+    Bridge.column(FnvHash(Bridge.expression(s), seed))
   def quantize_int8(vec: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(vec)))
   def top_gram_frac(wordArr: Column, n: Int): Column =

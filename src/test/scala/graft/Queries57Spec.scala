@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Graph
+import graft.operators.{Graph, TextAnalysis}
+import graft.functions.Expressions
 
 /** Round-5 part 2: HITS semantics on hand graphs (vs an in-test integer
   * reference fold) and the manifest's change-detection contract.
@@ -44,6 +45,30 @@ class Queries57Spec extends SparkSpec {
     assert(got(1L)._2 == got.values.map(_._2).max)
     // pure-source nodes end with authority 0, pure-sink nodes hub 0
     assert(got(3L)._1 == 0L && got(10L)._2 == 0L)
+  }
+
+  test("count-min: never undercounts, and shard counter tables add") {
+    val got = SparkEntry.queries("t49_count_min")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(3) >= 0L), "CMS must never undercount")
+    // mergeability: counters built on two disjoint halves, summed, equal
+    // the whole-corpus counters (the sketch's defining property)
+    val D = 4
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(TextAnalysis.tokens(
+          TextAnalysis.normalize(col("text")))).as("w"))
+        .select(explode(array((0 until D).map(j => struct(lit(j).as("j"),
+          Expressions.fnv_hash(col("w"), j.toLong)
+            .bitwiseAND(lit(1023L)).as("b"))): _*)).as("rb"))
+        .select(col("rb.j").as("j"), col("rb.b").as("b"))
+        .groupBy(col("j"), col("b")).agg(count(lit(1)).as("c"))
+    val docs = Tables.documents(spark, sf)
+    val whole = counters(docs).as[(Int, Long, Long)].collect().toSet
+    val merged = counters(docs.filter(col("doc_id") % 2 === 0))
+      .unionByName(counters(docs.filter(col("doc_id") % 2 === 1)))
+      .groupBy(col("j"), col("b")).agg(sum(col("c")).as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
   }
 
   test("dataset manifest: any single-doc change flips exactly one bucket") {
