@@ -108,13 +108,22 @@ object Queries56 {
         .orderBy(col("source"), col("cum_tok"))
     }),
 
-    // Fellegi–Sunter record-linkage scoring (1969): candidate pairs from
-    // nationkey blocking (the quadratic is bounded per block — the
-    // production linkage shape), four field comparisons, each adding its
-    // precomputed agreement/disagreement log-likelihood weight
-    // (ln(m/u), ln((1-m)/(1-u)) in integer micro-nats — constants, so
-    // runtime arithmetic is all-integer and the oracle exact), decisions
-    // by the classic two-threshold rule. Only above-zero pairs emit.
+    // Fellegi–Sunter record-linkage scoring (1969): four field
+    // comparisons, each adding its precomputed agreement/disagreement
+    // log-likelihood weight (ln(m/u), ln((1-m)/(1-u)) in integer
+    // micro-nats — constants, so runtime arithmetic is all-integer and
+    // the oracle exact), decisions by the classic two-threshold rule;
+    // only above-zero pairs emit.
+    //
+    // Candidate generation is LOSSLESS MULTI-PASS BLOCKING (the
+    // production linkage shape): a pair disagreeing on ALL of
+    // balb/cc/nm3 scores at most 1558145 − 2189416 − 1888886 − 2302015
+    // < 0 and can never reach the output, so candidates = union of
+    // three fine equi-joins on (nat, balb), (nat, cc), (nat, nm3) —
+    // each key near-uniform and selective, so pair volume stays
+    // near-linear in |customer| (nation-only blocking measured 19×
+    // per data decade at sf1; this shape is flat). Dedup on the pair id.
+    //
     // The negative-balance bucket uses a +1e8-cent shift so integer
     // division is over positives on both engines (Spark DIV truncates
     // toward zero, DuckDB // floors — they differ below zero).
@@ -127,15 +136,19 @@ object Queries56 {
         expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)" +
              " + 100000000) % 100").as("cc"),
         expr("right(c_name, 3)").as("nm3"))
-      c.as("a").join(c.as("b"),
-          col("a.nat") === col("b.nat") && col("a.id") < col("b.id"))
+        .localCheckpoint() // scanned by all three blocking passes
+      def pass(key: String) = c.as("a").join(c.as("b"),
+          col("a.nat") === col("b.nat") &&
+          col(s"a.$key") === col(s"b.$key") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           (when(col("a.seg") === col("b.seg"), 1558145L).otherwise(-2772589L) +
            when(col("a.balb") === col("b.balb"), 2129566L).otherwise(-2189416L) +
            when(col("a.cc") === col("b.cc"), 4641102L).otherwise(-1888886L) +
            when(col("a.nm3") === col("b.nm3"), 7364514L).otherwise(-2302015L))
             .as("score_micro"))
+      pass("balb").unionByName(pass("cc")).unionByName(pass("nm3"))
         .filter(col("score_micro") >= 0L)
+        .dropDuplicates("id_a", "id_b")
         .select(col("id_a"), col("id_b"), col("score_micro"),
           when(col("score_micro") >= 4000000L, "match")
             .otherwise("possible").as("decision"))
