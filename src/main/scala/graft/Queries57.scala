@@ -23,6 +23,20 @@ object Queries57 {
         .orderBy(col("node"))
     }),
 
+    // REAL streamed budget fill: file source → transformWithState
+    // running per-source budget state → memory sink. Single-file source
+    // = one micro-batch, so the emitted set equals the batch mixer
+    // (t47's oracle shape, same budget); the cross-batch carry (earlier
+    // batches spend the budget first) is pinned in StreamingSpec.
+    "e29_stream_budget_fill" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_e29_").toString
+      graft.streaming.Streams.streamedBudgetFill(
+          s, s"$d/documents.parquet", work,
+          s"graft_e29_sink_${System.nanoTime}", budget = 1000L)
+        .orderBy(col("source"), col("cum_tok"))
+    }),
+
     // Count-Min sketch (Cormode & Muthukrishnan 2005) with DETERMINISTIC
     // seeded-FNV rows, so the sketch itself — not just its error bound —
     // is oracle-replayable: build the 4×1024 counter table (one
@@ -124,6 +138,25 @@ object Queries57 {
          |JOIN h2 ON h2.node = n.node
          |ORDER BY n.node""".stripMargin
     },
+
+    // single micro-batch ⇒ equals the batch mixer: same window SQL as
+    // t47 (priority-hash order, running sum, cut at budget)
+    "e29_stream_budget_fill" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(${ExtensionQueries.NormSql},
+         |      '\\S+')) AS BIGINT) AS n_tok,
+         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tok
+         |  FROM t)
+         |SELECT source, doc_id, n_tok, cum_tok
+         |FROM c WHERE cum_tok <= 1000
+         |ORDER BY source, cum_tok""".stripMargin,
 
     // same sketch replayed: per-seed FNV buckets (masked ≡ unsigned mod,
     // 1024 = 2^10), counter table, min-over-rows point estimates

@@ -496,6 +496,127 @@ object Streams {
     }
   }
 
+  /** One token-budgeted document offer (input to [[BudgetFillProcessor]]):
+    * `h` is the deterministic priority hash. */
+  case class BudgetDoc(source: String, doc_id: Long, n_tok: Long, h: String)
+  /** A kept document with its cumulative token position in the source's
+    * budget. */
+  case class BudgetKept(source: String, doc_id: Long, n_tok: Long,
+                        cum_tok: Long)
+
+  /** Streaming token-budget corpus fill — the stateful cross-batch form
+    * of the t47 batch mixer: each source keeps a running tokens-used
+    * counter in typed state; every micro-batch's offers are sorted by
+    * the deterministic priority hash and admitted while the budget
+    * lasts. Admission is FIRST-BATCH-FIRST (earlier micro-batches spend
+    * the budget first — the streaming-ingestion contract), and within a
+    * batch priority-hash order, so the emitted set is a deterministic
+    * function of the batch partition of the input: on a single batch it
+    * equals the batch mixer exactly (the declared e29 oracle), and the
+    * cross-batch carry is pinned in StreamingSpec.
+    *
+    * Bounded state: ONE long per source, ever. The per-batch sort is
+    * per-key in-memory — at 100 TB the per-(source, batch) offer list is
+    * the unit that must fit an executor, which is the same contract as
+    * any per-key stateful operator; a skewed source splits by salting
+    * the key and pre-aggregating offers.
+    */
+  class BudgetFillProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BudgetDoc, BudgetKept] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var used: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      used = getHandle.getValueState[Long](
+        "used", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BudgetDoc],
+                                 tv: TimerValues): Iterator[BudgetKept] = {
+      // PREFIX semantics, not greedy-skip: the cumulative count advances
+      // on every offer (admitted or not), and a doc is kept iff its
+      // cumulative position fits the budget — exactly the batch mixer's
+      // running-sum-window filter, so the single-batch run equals the
+      // window SQL and the carry across batches stays comparable.
+      var cum = if (used.exists()) used.get() else 0L
+      val kept = Vector.newBuilder[BudgetKept]
+      for (d <- rows.toVector.sortBy(x => (x.h, x.doc_id))) {
+        cum += d.n_tok
+        if (cum <= budget) kept += BudgetKept(key, d.doc_id, d.n_tok, cum)
+      }
+      used.update(cum)
+      kept.result().iterator
+    }
+  }
+
+  /** [[BudgetFillProcessor]] over a document stream (or batch twin). */
+  def budgetFillPerSource(docs: Dataset[BudgetDoc], budget: Long)
+                         (implicit spark: SparkSession): Dataset[BudgetKept] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    if (!docs.isStreaming)
+      org.apache.spark.sql.graftbridge.Bridge.ensureStateStoreCoordinator(spark)
+    docs.groupByKey(_.source)
+      .transformWithState(new BudgetFillProcessor(budget),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** REAL streamed execution of the budget fill: file source over the
+    * documents parquet → transformWithState budget state → memory sink.
+    * `maxFilesPerTrigger` splits multi-file sources into ordered
+    * micro-batches (earlier files spend the budget first).
+    */
+  def streamedBudgetFill(spark: SparkSession, docsPath: String,
+                         workDir: String, sinkName: String,
+                         budget: Long,
+                         maxFilesPerTrigger: Option[Int] = None,
+                         statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    // transformWithState needs multi-column-family state → RocksDB;
+    // scope the provider override to this query's checkpoint creation
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(pKey)
+    spark.conf.set(pKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val f = new java.io.File(docsPath)
+    val srcPath =
+      if (!f.isFile) docsPath
+      else {
+        val dir = new java.io.File(workDir, "src"); dir.mkdirs()
+        java.nio.file.Files.createSymbolicLink(
+          new java.io.File(dir, f.getName).toPath, f.toPath.toAbsolutePath)
+        dir.toString
+      }
+    val schema = spark.read.parquet(docsPath).schema
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger.fold(reader0)(n =>
+      reader0.option("maxFilesPerTrigger", n.toString))
+    val offers = reader.parquet(srcPath)
+      .select(col("source"), col("doc_id"),
+        size(expr("regexp_extract_all(trim(regexp_replace(lower(text)," +
+          " '\\\\s+', ' ')), '\\\\S+', 0)")).cast("long").as("n_tok"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .as[BudgetDoc]
+    val q = budgetFillPerSource(offers, budget)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("cum_tok"))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(pKey, v)
+      case None => spark.conf.unset(pKey)
+    }
+  }
+
   /** [[RunningStatsProcessor]] wired to a stream (or batch twin — the
     * operator runs identically on a batch Dataset, which is how the
     * declared e16 query oracle-checks it).

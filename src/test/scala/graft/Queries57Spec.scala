@@ -71,6 +71,42 @@ class Queries57Spec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("streamed budget fill: earlier batches spend the budget first") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.BudgetDoc]
+      val q = Streams.budgetFillPerSource(input.toDS(), budget = 100L)
+        .toDF().writeStream.format("memory").queryName("e29_spec")
+        .outputMode("update").start()
+      try {
+        def d(id: Long, tok: Long, h: String) =
+          Streams.BudgetDoc("s1", id, tok, h)
+        // batch 1: 70 tokens admitted (hash order c < d < e)
+        input.addData(d(1, 40L, "c"), d(2, 30L, "e"), d(3, 0L, "d"))
+        q.processAllAvailable()
+        // batch 2: only 30 tokens left; first-in-batch-order prefix —
+        // doc 4 (h="a", 20 tok) fits at cum 90, doc 5 (h="b", 20 tok)
+        // would reach 110 > 100 and is cut even though doc 6 (h="z",
+        // 5 tok) after it would fit: PREFIX, not knapsack
+        input.addData(d(4, 20L, "a"), d(5, 20L, "b"), d(6, 5L, "z"))
+        q.processAllAvailable()
+        val got = spark.table("e29_spec")
+          .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+        assert(got == Set((1L, 40L), (3L, 40L), (2L, 70L), (4L, 90L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dataset manifest: any single-doc change flips exactly one bucket") {
     val q = SparkEntry.queries("t48_dataset_manifest")
     val a = q(spark, sf).collect()
