@@ -23,6 +23,23 @@ object Queries57 {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank from a seed set (parts with partkey <= 50):
+    // proximity-to-seeds over the co-supply graph — the related-items /
+    // recommendation primitive; same exact integer rounds as g01.
+    "g10_ppr" -> ((s, d) => {
+      val f = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .select((col("p_partkey") * 2).as("seed"))
+      Graph.personalizedPageRank(
+          f.union(f.select(col("dst").as("src"), col("src").as("dst"))),
+          "src", "dst", seeds, "seed", iters = 3)
+        .filter(col("ppr_pico") > 0)
+        .orderBy(col("node"))
+    }),
+
     // REAL streamed budget fill: file source → transformWithState
     // running per-source budget state → memory sink. Single-file source
     // = one micro-batch, so the emitted set equals the batch mixer
@@ -137,6 +154,41 @@ object Queries57 {
          |FROM nodes n JOIN a2 ON a2.node = n.node
          |JOIN h2 ON h2.node = n.node
          |ORDER BY n.node""".stripMargin
+    },
+
+    // unrolled integer PPR rounds (the g01 oracle with seed-restricted
+    // teleport and a seed-mass start)
+    "g10_ppr" -> {
+      val P = Graph.Prec
+      val rounds = (1 to 3).map { r =>
+        s"""c$r AS (SELECT e.dst AS node, SUM(p.pr // g.d) AS s
+           |  FROM e JOIN p${r - 1} p ON e.src = p.node
+           |         JOIN deg g ON e.src = g.src
+           |  GROUP BY e.dst),
+           |p$r AS (SELECT nodes.node, nodes.is_seed,
+           |    CASE WHEN nodes.is_seed
+           |         THEN (15 * ($P // ns.n)) // 100 ELSE 0 END
+           |      + (85 * coalesce(c$r.s, 0)) // 100 AS pr
+           |  FROM nodes CROSS JOIN ns
+           |  LEFT JOIN c$r ON nodes.node = c$r.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (SELECT DISTINCT l_partkey * 2 AS src,
+         |             l_suppkey * 2 + 1 AS dst
+         |           FROM lineitem),
+         |e AS (SELECT src, dst FROM f UNION SELECT dst, src FROM f),
+         |sd AS (SELECT p_partkey * 2 AS node FROM part
+         |       WHERE p_partkey <= 50),
+         |n0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nodes AS (SELECT n0.node, sd.node IS NOT NULL AS is_seed
+         |          FROM n0 LEFT JOIN sd ON sd.node = n0.node),
+         |ns AS (SELECT COUNT(*) AS n FROM nodes WHERE is_seed),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+         |p0 AS (SELECT node, is_seed,
+         |         CASE WHEN is_seed THEN $P // ns.n ELSE 0 END AS pr
+         |       FROM nodes CROSS JOIN ns),
+         |$rounds
+         |SELECT node, CAST(pr AS BIGINT) AS ppr_pico
+         |FROM p3 WHERE pr > 0 ORDER BY node""".stripMargin
     },
 
     // single micro-batch ⇒ equals the batch mixer: same window SQL as

@@ -72,6 +72,57 @@ object Graph {
     pr.select(col("node"), col("pr").as("pr_pico"))
   }
 
+  /** Personalized PageRank: the [[pageRank]] iterate with teleport mass
+    * restricted to a SEED set — random walks restart at the seeds, so
+    * rank measures proximity/relevance TO the seeds (the
+    * recommendation / related-items / expansion primitive) instead of
+    * global centrality. Same fixed-point integer regime: seeds start
+    * with `Prec / |S|`, non-seeds with 0; each round adds the seed-only
+    * teleport and 85% of in-neighbor mass, all exact integer ops.
+    *
+    * Scale: identical per-round shape to [[pageRank]] (one edge-keyed
+    * join + one map-side-combining agg + a flat localCheckpoint'ed rank
+    * table); the seed set rides as a broadcast-joined flag column.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3): DataFrame = {
+    require(iters >= 0, s"personalizedPageRank: negative iters $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")),
+                    "src")
+      .localCheckpoint()
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst"))).distinct()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
+    // seeds outside the graph's node set carry no mass — drop them so
+    // |S| matches the mass actually injected
+    val flagged = nodes.join(broadcast(seedSet.withColumn("is_seed", lit(true))),
+                             Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint()
+    val nSeeds = flagged.filter(col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    val teleport = (15L * (Prec / nSeeds)) / 100L
+    val seedMass = when(col("is_seed"), lit(Prec / nSeeds)).otherwise(lit(0L))
+    val seedTeleport = when(col("is_seed"), lit(teleport)).otherwise(lit(0L))
+    var pr = flagged.select(col("node"), col("is_seed"), seedMass.as("pr"))
+    for (_ <- 0 until iters) {
+      val contrib = ed.join(pr, col("src") === col("node")).drop("node")
+        .select(col("dst").as("node"), expr("pr DIV d").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = flagged.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (seedTeleport + expr("85 * coalesce(s, 0L) DIV 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), col("pr").as("ppr_pico"))
+  }
+
   /** Multi-source BFS: minimum hop distance from any node in `sources`,
     * over a directed edge list, up to `maxHops` rounds. Output:
     * (node, hops) for every node reached within the horizon — the

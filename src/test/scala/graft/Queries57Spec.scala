@@ -47,6 +47,32 @@ class Queries57Spec extends SparkSpec {
     assert(got(3L)._1 == 0L && got(10L)._2 == 0L)
   }
 
+  test("personalized pagerank: mass localizes around the seed") {
+    // two disjoint triangles, seed = {1} in the first: the other
+    // component must hold EXACTLY zero mass (walks restart only at
+    // seeds), the seed outranks its peers (it alone gets teleport),
+    // and the two symmetric neighbors tie — exact integer equalities,
+    // not an approximate-decay heuristic (on low iteration counts the
+    // iterate alternates sides of bipartite structures, so distance
+    // monotonicity is NOT a property PPR has)
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+                  (10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = (dir ++ dir.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val got = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "seed", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 0L && got(11L) == 0L && got(12L) == 0L,
+      s"unreached component must hold zero mass: $got")
+    assert(got(2L) == got(3L), s"symmetric neighbors must tie: $got")
+    assert(got(1L) > got(2L), s"the seed must outrank its peers: $got")
+    // seeds not present in the graph are rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst",
+        Seq(Tuple1(99L)).toDF("seed"), "seed", 2)
+    }
+  }
+
   test("count-min: never undercounts, and shard counter tables add") {
     val got = SparkEntry.queries("t49_count_min")(spark, sf).collect()
     assert(got.nonEmpty)
