@@ -23,6 +23,37 @@ object Queries57 {
         .orderBy(col("node"))
     }),
 
+    // keyframe selection over sampled "video" frames: per-frame integer
+    // byte energy (codegen'd sum of squares), frame-over-frame delta
+    // (the scene-change signal; a real decoder feeds the same statistic
+    // from pixels), top-2 frames per doc by delta. One per-doc window
+    // pass over k frames — no shuffle beyond the doc key.
+    "m08_keyframes" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      val frames = graft.operators.Multimodal.sampleFrames(
+          graft.operators.Multimodal.attachBinary(
+            Tables.documents(s, d).filter(col("doc_id") < 100),
+            "doc_id", "text"),
+          k = 8, frameBytes = 32)
+        .select(col("id").as("doc_id"),
+                col("frame_no").cast("long").as("frame_no"),
+                Expressions.byte_sum_squares(col("frame_bytes"))
+                  .as("energy"))
+      frames
+        .withColumn("delta",
+          abs(col("energy") - coalesce(lag(col("energy"), 1).over(w),
+                                       lit(0L))))
+        .withColumn("kf_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))
+            .orderBy(col("delta").desc, col("frame_no"))).cast("long"))
+        .filter(col("kf_rank") <= 2)
+        .select(col("doc_id"), col("frame_no"), col("energy"),
+                col("delta"), col("kf_rank"))
+        .orderBy(col("doc_id"), col("kf_rank"))
+    }),
+
     // personalized PageRank from a seed set (parts with partkey <= 50):
     // proximity-to-seeds over the co-supply graph — the related-items /
     // recommendation primitive; same exact integer rounds as g01.
@@ -155,6 +186,37 @@ object Queries57 {
          |JOIN h2 ON h2.node = n.node
          |ORDER BY n.node""".stripMargin
     },
+
+    // frames replayed as in m02 (hex window arithmetic, k=8 × 32 bytes),
+    // per-byte squares summed from hex pairs, lag delta, top-2 ranks
+    "m08_keyframes" ->
+      """WITH b AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (
+        |  SELECT doc_id, i AS frame_no,
+        |    substring(hx, (i * greatest(nb // 8, 1)) * 2 + 1, 64) AS fh
+        |  FROM b, generate_series(0, 7) AS t(i)),
+        |ev AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST('0x' || substr(fh, 2*j + 1, 2) AS BIGINT) AS v
+        |  FROM f, generate_series(0, 31) AS s(j)
+        |  WHERE 2*j + 2 <= length(fh)),
+        |e0 AS (SELECT doc_id, frame_no, CAST(SUM(v*v) AS BIGINT) AS energy
+        |       FROM ev GROUP BY doc_id, frame_no),
+        |e AS (SELECT f.doc_id, f.frame_no,
+        |        CAST(COALESCE(e0.energy, 0) AS BIGINT) AS energy
+        |      FROM f LEFT JOIN e0 USING (doc_id, frame_no)),
+        |dl AS (SELECT doc_id, frame_no, energy,
+        |         abs(energy - COALESCE(lag(energy) OVER (
+        |           PARTITION BY doc_id ORDER BY frame_no), 0)) AS delta
+        |       FROM e),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY delta DESC, frame_no) AS kf_rank FROM dl)
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no, energy,
+        |  CAST(delta AS BIGINT) AS delta, CAST(kf_rank AS BIGINT) AS kf_rank
+        |FROM r WHERE kf_rank <= 2 ORDER BY doc_id, kf_rank""".stripMargin,
 
     // unrolled integer PPR rounds (the g01 oracle with seed-restricted
     // teleport and a seed-mass start)

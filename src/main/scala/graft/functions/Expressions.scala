@@ -240,6 +240,37 @@ object Expressions {
       copy(child = c)
   }
 
+  /** Sum of squared byte values of a binary column — the integer
+    * "energy" of a payload window (keyframe/scene-change detection on
+    * stub frames; a real pixel/PCM decoder feeds the same statistic).
+    * One codegen'd pass, exact in Long for any realistic frame size.
+    */
+  case class ByteSumSquares(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(BinaryType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bse", this, classOf[ByteSumSquares].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      var s = 0L
+      var i = 0
+      while (i < b.length) {
+        val x = (b(i) & 0xff).toLong
+        s += x * x
+        i += 1
+      }
+      java.lang.Long.valueOf(s)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Raw seeded FNV-1a64 of a string — the shared base hash
     * ([[fnv1a64]]) exposed as a scalar, for sketch bucket keys
     * (Count-Min rows, etc.). Codegen'd static call.
@@ -815,6 +846,8 @@ object Expressions {
     Bridge.column(StopTokenCount(Bridge.expression(tokens), stopwords))
   def fnv_hash(s: Column, seed: Long = 0L): Column =
     Bridge.column(FnvHash(Bridge.expression(s), seed))
+  def byte_sum_squares(b: Column): Column =
+    Bridge.column(ByteSumSquares(Bridge.expression(b)))
   def quantize_int8(vec: Column): Column =
     Bridge.column(QuantizeInt8(Bridge.expression(vec)))
   def top_gram_frac(wordArr: Column, n: Int): Column =
