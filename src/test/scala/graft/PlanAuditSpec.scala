@@ -128,4 +128,44 @@ class PlanAuditSpec extends SparkSpec {
       s.contains("PartitionFilters") && s.contains("2024-01-15"))
     assert(pruned, scans.mkString("\n").take(500))
   }
+
+  // ------------------------------------------------------------- round 5
+
+  test("t44 DSIR: weight table broadcasts; the corpus never self-joins") {
+    val p = plan("t44_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "corpus-sized join would SMJ")
+  }
+
+  test("q189 multi-pass blocking extracts fine equi-keys — no nation-only block") {
+    val p = plan("q189_fellegi_sunter")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // each pass must join on (nat, blockfield), not nat alone: the fine
+    // key appears in the join condition of every join node
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty)
+    assert(joins.forall(j => j.contains("balb") || j.contains("cc") ||
+                             j.contains("nm3")),
+      joins.mkString("\n"))
+  }
+
+  test("t49 count-min: counter table broadcasts back for point queries") {
+    val p = plan("t49_count_min")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t47 budget mix is join-free — one window over the source key") {
+    val p = plan("t47_token_budget_mix")
+    assert(!p.toLowerCase.contains("join"))
+    assert(p.contains("Window"))
+  }
+
+  test("m08 keyframes is join-free — windows over the doc key") {
+    val p = plan("m08_keyframes")
+    assert(!p.toLowerCase.contains("join"))
+    assert(p.contains("Window"))
+  }
 }
