@@ -5,9 +5,12 @@ import graft.functions.Expressions
 import graft.operators.{Corpus, Dedup, Similarity, TextAnalysis}
 
 /** Round-5 queries: DSIR importance weighting (hashed n-gram
-  * target/source log-ratio — the pretraining data-selection scorer) and
+  * target/source log-ratio — the pretraining data-selection scorer),
   * SemDeDup-style semantic deduplication (k-means-bounded within-cluster
-  * cosine dedup). Oracle conventions follow [[Queries]]' scaladoc.
+  * cosine dedup), a fixed-weight linear quality classifier, token-budget
+  * corpus mixing, and Fellegi–Sunter record-linkage scoring with
+  * lossless multi-pass blocking. Oracle conventions follow [[Queries]]'
+  * scaladoc.
   */
 object Queries56 {
   import Queries.Q

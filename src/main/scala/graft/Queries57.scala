@@ -4,9 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.Expressions
 import graft.operators.{Graph, TextAnalysis}
 
-/** Round-5 queries, part 2: HITS hubs/authorities in the g01 fixed-point
-  * integer regime, and a content-addressable dataset manifest (two-level
-  * hash tree). Oracle conventions follow [[Queries]]' scaladoc.
+/** Round-5 queries, part 2: HITS hubs/authorities and personalized
+  * PageRank in the g01 fixed-point integer regime, an oracle-replayable
+  * Count-Min sketch, a content-addressable dataset manifest (two-level
+  * hash tree), keyframe selection over sampled frames, and the REAL
+  * streamed token-budget fill (transformWithState). Oracle conventions
+  * follow [[Queries]]' scaladoc.
   */
 object Queries57 {
   import Queries.Q
