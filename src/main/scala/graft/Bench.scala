@@ -78,7 +78,8 @@ object Bench {
     // quality classifier, and blocked Fellegi-Sunter linkage scoring
     "t44_dsir_weights", "d22_semdedup", "t46_quality_classifier",
     "q189_fellegi_sunter", "g09_hits", "t48_dataset_manifest", "t49_count_min",
-    "e29_stream_budget_fill", "g10_ppr", "m08_keyframes",
+    "e29_stream_budget_fill", "g10_ppr", "m08_keyframes", "q190_band_join",
+    "t52_lang_confusion",
     "t47_token_budget_mix",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",

@@ -218,6 +218,29 @@ object ExtensionQueries {
        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
        |WHERE jac >= 0.7 ORDER BY id_a, id_b""".stripMargin
 
+  /** t03's n-gram-heuristic language-ID replay as a reusable CTE chain
+    * ending in `pred (doc_id, lang, lang_pred)` — shared with the t52
+    * confusion-matrix oracle so the heuristic can never drift between
+    * the two.
+    */
+  private[graft] val LangIdCtes: String =
+    """x AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|a)\b')) AS en,
+      |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une?)\b')) AS fr,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+      |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una?)\b')) AS es
+      |  FROM documents),
+      |pred AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN zh > 0 THEN 'zh'
+      |         WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+      |         WHEN fr >= de AND fr >= es THEN 'fr'
+      |         WHEN de >= es THEN 'de'
+      |         ELSE 'es' END AS lang_pred
+      |  FROM x)""".stripMargin
+
   private val cosSql: String =
     "list_dot_product(a.emb, b.emb) / " +
     "(sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))"
@@ -296,21 +319,9 @@ object ExtensionQueries {
         |FROM x ORDER BY doc_id""".stripMargin,
 
     "t03_text_langid" ->
-      """WITH x AS (
-        |  SELECT doc_id, lang,
-        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
-        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|to|a)\b')) AS en,
-        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une?)\b')) AS fr,
-        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
-        |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una?)\b')) AS es
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |  CASE WHEN zh > 0 THEN 'zh'
-        |       WHEN en >= fr AND en >= de AND en >= es THEN 'en'
-        |       WHEN fr >= de AND fr >= es THEN 'fr'
-        |       WHEN de >= es THEN 'de'
-        |       ELSE 'es' END AS lang_pred
-        |FROM x ORDER BY doc_id""".stripMargin,
+      s"""WITH $LangIdCtes
+         |SELECT doc_id, lang, lang_pred
+         |FROM pred ORDER BY doc_id""".stripMargin,
 
     "t04_text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS fp

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Round-5 queries, part 3: numeric band join (bucketed range-join
+  * binning — no cartesian) and the language-ID confusion matrix (the
+  * classifier-evaluation readout over t03's heuristic). Oracle
+  * conventions follow [[Queries]]' scaladoc.
+  */
+object Queries58 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // numeric BAND JOIN via bucketed equi-keys: pairs of parts whose
+    // retail prices sit within 50 cents across different brands. The
+    // range predicate |a−b| <= 50 becomes an equi-join on price buckets
+    // (cents DIV 50) with one side probing its three adjacent buckets —
+    // any qualifying pair differs by at most one bucket, so recall is
+    // total and every candidate is generated exactly once (each probe
+    // hits the other side's single home bucket). Exact filter + cents
+    // diff after the join. This is the standard range-join binning that
+    // keeps the plan equi-keyed at 100 TB — no cartesian, no
+    // BroadcastNestedLoop (pinned in PlanAuditSpec).
+    "q190_band_join" -> ((s, d) => {
+      val band = 50L
+      val p = Tables.part(s, d)
+        .filter(col("p_partkey") <= 500) // parity with the O(n²) oracle
+        .select(col("p_partkey").as("id"), col("p_brand").as("brand"),
+          expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .withColumn("bucket", expr(s"cents DIV $band"))
+      val probes = p.withColumn("probe",
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)))
+      probes.as("a").join(p.as("b"),
+          col("a.probe") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+        .filter(abs(col("a.cents") - col("b.cents")) <= band &&
+                col("a.brand") =!= col("b.brand"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                abs(col("a.cents") - col("b.cents")).as("diff_cents"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // language-ID confusion matrix: actual × predicted counts plus
+    // per-actual-language accuracy in exact ppm — the eval readout that
+    // closes the loop on t03's classifier (which cells leak, which
+    // languages confuse). One doc-scan + one tiny keyed aggregation.
+    "t52_lang_confusion" -> ((s, d) => {
+      val pred = Tables.documents(s, d).select(
+        col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          expr("n * 1000000 DIV lang_total").as("cell_ppm"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // brute-force O(n²) ground truth over the same 500-part subset —
+    // the binned engine plan must produce exactly the exact-range pairs
+    "q190_band_join" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_brand AS brand,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM part WHERE p_partkey <= 500)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  abs(a.cents - b.cents) AS diff_cents
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE abs(a.cents - b.cents) <= 50 AND a.brand <> b.brand
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "t52_lang_confusion" ->
+      s"""WITH ${ExtensionQueries.LangIdCtes},
+         |c AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM pred GROUP BY lang, lang_pred),
+         |t AS (SELECT lang, SUM(n) AS lang_total FROM c GROUP BY lang)
+         |SELECT c.lang, c.lang_pred, c.n,
+         |  CAST(c.n * 1000000 // t.lang_total AS BIGINT) AS cell_ppm
+         |FROM c JOIN t USING (lang)
+         |ORDER BY c.lang, c.lang_pred""".stripMargin)
+}

@@ -168,4 +168,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("join"))
     assert(p.contains("Window"))
   }
+
+  test("q190 band join is equi-keyed on the price bucket — no cartesian") {
+    val p = plan("q190_band_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.nonEmpty && joins.forall(j =>
+      j.contains("probe") && j.contains("bucket")), joins.mkString("\n"))
+  }
 }
