@@ -42,6 +42,23 @@ object Queries58 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // REAL streamed Count-Min maintenance: the t49 sketch kept as LIVE
+    // streaming-aggregation state — file source → per-token (row,
+    // bucket) fan-out (the same seeded-FNV buckets) → Complete-mode
+    // count per cell → memory sink. Counter addition is order- and
+    // batching-free, so the post-stream table equals the batch sketch
+    // exactly (t49's counter CTE is the oracle); state is bounded by
+    // the sketch size (≤ 4×1024 cells), NOT the stream length — the
+    // production shape for a continuously-maintained frequency sketch.
+    "e31_stream_countmin" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_e31_").toString
+      graft.streaming.Streams.streamedCountMin(
+          s, s"$d/documents.parquet", work,
+          s"graft_e31_sink_${System.nanoTime}")
+        .orderBy(col("j"), col("b"))
+    }),
+
     // language-ID confusion matrix: actual × predicted counts plus
     // per-actual-language accuracy in exact ppm — the eval readout that
     // closes the loop on t03's classifier (which cells leak, which
@@ -73,6 +90,22 @@ object Queries58 {
         |FROM p a JOIN p b ON a.id < b.id
         |WHERE abs(a.cents - b.cents) <= 50 AND a.brand <> b.brand
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // batching-free counter addition ⇒ the streamed sketch equals the
+    // batch counter table cell for cell
+    "e31_stream_countmin" -> {
+      val rowsJ = (0 until 4).map(j =>
+        s"SELECT $j AS j, CAST(${ExtensionQueries.FnvSql("w", j)} " +
+        s"% 1024 AS BIGINT) AS b FROM tok").mkString(
+        "\n         UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT unnest(regexp_extract_all(${ExtensionQueries.NormSql},
+         |    '\\S+')) AS w
+         |  FROM documents),
+         |rj AS ($rowsJ)
+         |SELECT CAST(j AS INT) AS j, b, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM rj GROUP BY j, b ORDER BY j, b""".stripMargin
+    },
 
     "t52_lang_confusion" ->
       s"""WITH ${ExtensionQueries.LangIdCtes},

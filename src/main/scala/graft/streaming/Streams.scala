@@ -617,6 +617,51 @@ object Streams {
     }
   }
 
+  /** Count-Min sketch maintained as LIVE streaming-aggregation state:
+    * file source over a documents table → per-token (row, bucket)
+    * fan-out with the same seeded-FNV bucketing as the batch sketch →
+    * Complete-mode count per cell → memory sink. Counter addition is
+    * order- and batching-free, so the post-stream counter table equals
+    * the batch sketch cell for cell; state is bounded by the sketch
+    * dimensions (rows × width cells), not the stream length.
+    */
+  def streamedCountMin(spark: SparkSession, docsPath: String,
+                       workDir: String, sinkName: String,
+                       rows: Int = 4, width: Int = 1024,
+                       statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"streamedCountMin: width must be a power of two, got $width")
+    val f = new java.io.File(docsPath)
+    val srcPath =
+      if (!f.isFile) docsPath
+      else {
+        val dir = new java.io.File(workDir, "src"); dir.mkdirs()
+        java.nio.file.Files.createSymbolicLink(
+          new java.io.File(dir, f.getName).toPath, f.toPath.toAbsolutePath)
+        dir.toString
+      }
+    val schema = spark.read.parquet(docsPath).schema
+    val toks = spark.readStream.schema(schema).parquet(srcPath)
+      .select(explode(expr("regexp_extract_all(trim(regexp_replace(" +
+        "lower(text), '\\\\s+', ' ')), '\\\\S+', 0)")).as("w"))
+    val cells = toks.select(explode(array((0 until rows).map(j =>
+        struct(lit(j).as("j"),
+          graft.functions.Expressions.fnv_hash(col("w"), j.toLong)
+            .bitwiseAND(lit((width - 1).toLong)).as("b"))): _*)).as("rb"))
+      .select(col("rb.j").as("j"), col("rb.b").as("b"))
+    val q = cells.groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).select(col("j"), col("b"), col("c"))
+  }
+
   /** [[RunningStatsProcessor]] wired to a stream (or batch twin — the
     * operator runs identically on a batch Dataset, which is how the
     * declared e16 query oracle-checks it).
