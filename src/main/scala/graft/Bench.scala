@@ -79,7 +79,7 @@ object Bench {
     "t44_dsir_weights", "d22_semdedup", "t46_quality_classifier",
     "q189_fellegi_sunter", "g09_hits", "t48_dataset_manifest", "t49_count_min",
     "e29_stream_budget_fill", "g10_ppr", "m08_keyframes", "q190_band_join",
-    "t52_lang_confusion", "e31_stream_countmin",
+    "t52_lang_confusion", "e31_stream_countmin", "t53_pair_evidence",
     "t47_token_budget_mix",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",

@@ -59,6 +59,41 @@ object Queries58 {
         .orderBy(col("j"), col("b"))
     }),
 
+    // dup-pair EVIDENCE: for every d02-flagged near-dup pair, the
+    // numbers a reviewer audits — shared-shingle count, both set sizes,
+    // union, jaccard. Same inverted-index single pass as
+    // Dedup.ngramJaccardPairs' exact branch, evidence columns kept
+    // instead of projected away; the explainability leg of the dedup
+    // pipeline (why was this pair flagged?).
+    "t53_pair_evidence" -> ((s, d) => {
+      val withSh = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+                graft.operators.Dedup.shingles(col("text"), 5).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+      val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
+      sh.as("a")
+        .join(sh.as("b"),
+              col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+              Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+              Seq("id_b"))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id_a"), col("id_b"), col("inter").cast("long").as("inter"),
+                col("sz_a").cast("long").as("sz_a"),
+                col("sz_b").cast("long").as("sz_b"),
+                (col("sz_a") + col("sz_b") - col("inter")).cast("long")
+                  .as("uni"),
+                round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // language-ID confusion matrix: actual × predicted counts plus
     // per-actual-language accuracy in exact ppm — the eval readout that
     // closes the loop on t03's classifier (which cells leak, which
@@ -106,6 +141,20 @@ object Queries58 {
          |SELECT CAST(j AS INT) AS j, b, CAST(COUNT(*) AS BIGINT) AS c
          |FROM rj GROUP BY j, b ORDER BY j, b""".stripMargin
     },
+
+    // the d02 CTE chain with its evidence columns surfaced
+    "t53_pair_evidence" ->
+      s"""WITH ${ExtensionQueries.jaccardCtes}
+         |SELECT j.id_a, j.id_b, CAST(i.inter AS BIGINT) AS inter,
+         |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+         |  CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS uni,
+         |  round(j.jac, 6) AS jaccard
+         |FROM j
+         |JOIN inter i ON i.id_a = j.id_a AND i.id_b = j.id_b
+         |JOIN sz sa ON sa.doc_id = j.id_a
+         |JOIN sz sb ON sb.doc_id = j.id_b
+         |WHERE j.jac >= 0.7
+         |ORDER BY j.id_a, j.id_b""".stripMargin,
 
     "t52_lang_confusion" ->
       s"""WITH ${ExtensionQueries.LangIdCtes},
