@@ -39,11 +39,17 @@ object Queries24 {
         .select(col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
         .withColumn("b", explode(expr("sequence(CAST(0 AS BIGINT), 31)")))
-        .withColumn("h", md5(concat(lit("boot:"), col("b").cast("string"),
-          lit(":"), col("o_orderkey").cast("string"))))
+        // codegen'd FNV-1a64, not md5: the per-(row, replicate) hash is
+        // the hot loop (~32× the order count) and FNV is an order of
+        // magnitude cheaper at the same determinism; u takes the hash's
+        // top 53 bits — exact in double, replayed by the oracle through
+        // the unsigned HUGEINT fold
+        .withColumn("h", graft.functions.Expressions.fnv_hash(
+          concat(lit("boot:"), col("b").cast("string"),
+                 lit(":"), col("o_orderkey").cast("string"))))
         .withColumn("u",
-          (expr("CAST(conv(substring(h, 1, 13), 16, 10) AS BIGINT)") + 1)
-            .cast("double") / lit(4503599627370496.0))
+          (shiftrightunsigned(col("h"), 11) + 1).cast("double")
+            / lit(9007199254740992.0))
         .withColumn("w", expr(poissonCaseSql("u")).cast("long"))
         .groupBy(col("b"))
         .agg(sum(col("w")).as("n_eff"),
@@ -93,13 +99,13 @@ object Queries24 {
 
   val oracleSql: Map[String, String] = Map(
     "q121_bootstrap" -> {
-      val u = "((CAST('0x' || substr(h, 1, 13) AS BIGINT) + 1) " +
-        "/ 4503599627370496.0)"
+      val u = "((CAST(h // 2048 AS BIGINT) + 1) / 9007199254740992.0)"
       s"""WITH f AS (
          |  SELECT b.b, o.o_orderkey,
          |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
-         |    md5('boot:' || CAST(b.b AS VARCHAR) || ':' ||
-         |        CAST(o.o_orderkey AS VARCHAR)) AS h
+         |    ${ExtensionQueries.FnvSql(
+                 "('boot:' || CAST(b.b AS VARCHAR) || ':' || " +
+                 "CAST(o.o_orderkey AS VARCHAR))")} AS h
          |  FROM orders o
          |  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) b),
          |w AS (SELECT b, cents,
