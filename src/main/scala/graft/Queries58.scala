@@ -59,6 +59,33 @@ object Queries58 {
         .orderBy(col("j"), col("b"))
     }),
 
+    // three-valued-logic contract: NOT IN over a subquery containing a
+    // NULL matches NOTHING (x <> NULL is unknown for every x — the
+    // classic production data-loss trap), while NOT EXISTS and the
+    // null-filtered NOT IN return the true anti-set. One row of counts
+    // pins the engine to ANSI semantics on exactly the shape that
+    // silently empties pipelines.
+    "q191_null_semantics" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("ns_orders")
+      Tables.customer(s, d).createOrReplaceTempView("ns_customer")
+      s.sql("""SELECT a.notin_cnt, b.notexists_cnt, c.notin_filtered_cnt
+              |FROM
+              |(SELECT COUNT(*) AS notin_cnt FROM ns_orders
+              | WHERE o_custkey NOT IN
+              |   (SELECT c_custkey FROM ns_customer WHERE c_custkey <= 100
+              |    UNION ALL SELECT CAST(NULL AS BIGINT))) a,
+              |(SELECT COUNT(*) AS notexists_cnt FROM ns_orders o
+              | WHERE NOT EXISTS
+              |   (SELECT 1 FROM ns_customer s
+              |    WHERE s.c_custkey <= 100
+              |      AND s.c_custkey = o.o_custkey)) b,
+              |(SELECT COUNT(*) AS notin_filtered_cnt FROM ns_orders
+              | WHERE o_custkey NOT IN
+              |   (SELECT c_custkey FROM ns_customer
+              |    WHERE c_custkey <= 100 AND c_custkey IS NOT NULL)) c
+              |""".stripMargin)
+    }),
+
     // dup-pair EVIDENCE: for every d02-flagged near-dup pair, the
     // numbers a reviewer audits — shared-shingle count, both set sizes,
     // union, jaccard. Same inverted-index single pass as
@@ -141,6 +168,22 @@ object Queries58 {
          |SELECT CAST(j AS INT) AS j, b, CAST(COUNT(*) AS BIGINT) AS c
          |FROM rj GROUP BY j, b ORDER BY j, b""".stripMargin
     },
+
+    "q191_null_semantics" ->
+      """SELECT a.notin_cnt, b.notexists_cnt, c.notin_filtered_cnt
+        |FROM
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS notin_cnt FROM orders
+        | WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_custkey <= 100
+        |    UNION ALL SELECT CAST(NULL AS BIGINT))) a,
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS notexists_cnt FROM orders o
+        | WHERE NOT EXISTS
+        |   (SELECT 1 FROM customer s
+        |    WHERE s.c_custkey <= 100 AND s.c_custkey = o.o_custkey)) b,
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS notin_filtered_cnt FROM orders
+        | WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer
+        |    WHERE c_custkey <= 100 AND c_custkey IS NOT NULL)) c""".stripMargin,
 
     // the d02 CTE chain with its evidence columns surfaced
     "t53_pair_evidence" ->
