@@ -80,6 +80,7 @@ object Bench {
     "q189_fellegi_sunter", "g09_hits", "t48_dataset_manifest", "t49_count_min",
     "e29_stream_budget_fill", "g10_ppr", "m08_keyframes", "q190_band_join",
     "t52_lang_confusion", "e31_stream_countmin", "t53_pair_evidence",
+    "q191_null_semantics",
     "t47_token_budget_mix",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",
