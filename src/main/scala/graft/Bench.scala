@@ -80,7 +80,8 @@ object Bench {
     "q189_fellegi_sunter", "g09_hits", "t48_dataset_manifest", "t49_count_min",
     "e29_stream_budget_fill", "g10_ppr", "m08_keyframes", "q190_band_join",
     "t52_lang_confusion", "e31_stream_countmin", "t53_pair_evidence",
-    "q191_null_semantics",
+    "q191_null_semantics", "q192_grouped_mode", "t54_ngram_coverage",
+    "s15_embedding_profile",
     "t47_token_budget_mix",
     // state-store introspection: full streaming run + state-file read-back
     "e25_state_reader",

@@ -128,8 +128,11 @@ object Queries56 {
     // per data decade at sf1; this shape is flat). Dedup on the pair id.
     //
     // The negative-balance bucket uses a +1e8-cent shift so integer
-    // division is over positives on both engines (Spark DIV truncates
-    // toward zero, DuckDB // floors — they differ below zero).
+    // division and modulo run over positives on both engines — both
+    // Spark DIV and DuckDB // truncate toward zero (s15's floor-vs-
+    // truncate probe), but bucketing negatives by truncation folds
+    // -49..49 into one double-width bucket 0; the shift sidesteps the
+    // whole negative-division question.
     "q189_fellegi_sunter" -> ((s, d) => {
       val c = Tables.customer(s, d).select(
         col("c_custkey").as("id"), col("c_nationkey").as("nat"),
