@@ -90,7 +90,13 @@ object Bench {
     // vocabulary blocking, per-user journey window, stream-stream outer
     // join with eviction-gated emission, XML round-trip (write + read)
     "q175_ks_test", "g06_label_prop", "t41_soundex_block",
-    "q181_journeys", "e27_stream_leftouter", "q179_xml_roundtrip")
+    "q181_journeys", "e27_stream_leftouter", "q179_xml_roundtrip",
+    // round-6: scale modes for the global-window family (exact ntile via
+    // range-partitioned rank; rank-join sorted neighborhood), the
+    // warm-quantizer IVF search (s03's amortized production shape), and
+    // real WAV PCM decode
+    "q95s_equidepth_scale", "q84s_rfm_scale", "q134s_deciles_scale",
+    "d23_sorted_neighbors_scale", "s16_ann_ivf_warm", "m09_wav_energy")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,17 +29,25 @@ object Queries39 {
 
     // Exact weighted median: smallest value whose cumulative weight
     // (RANGE frame — ties carry their full peer weight) reaches half
-    // the group total. Integer cents throughout; one shuffle on the
-    // group key, two window passes over it.
+    // the group total. Integer cents throughout. The raw table is first
+    // collapsed to the distinct (group, value) domain with a map-side-
+    // combining groupBy — output-identical because the RANGE frame
+    // already credits each value with its full peer weight — so the two
+    // window passes run over ≤ |groups|×|distinct v| rows (~150 here at
+    // any SF) instead of funnelling the whole table through |groups|
+    // window tasks. The heavy lifting is the hash aggregation, which
+    // scales with cores, not group cardinality.
     "q151_weighted_median" -> ((s, d) => {
       val li = Tables.lineitem(s, d).select(
         col("l_returnflag").as("g"),
         col("l_quantity").cast("long").as("v"),
         (col("l_extendedprice").cast("decimal(18,2)") * 100)
           .cast("long").as("w"))
+      val dom = li.groupBy(col("g"), col("v"))
+        .agg(sum(col("w")).as("w"))
       val byV = Window.partitionBy(col("g")).orderBy(col("v"))
       val all = Window.partitionBy(col("g"))
-      li.withColumn("cw", sum(col("w")).over(byV))
+      dom.withColumn("cw", sum(col("w")).over(byV))
         .withColumn("tw", sum(col("w")).over(all))
         .filter(col("cw") * 2 >= col("tw"))
         .groupBy(col("g"))

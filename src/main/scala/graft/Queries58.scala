@@ -66,22 +66,28 @@ object Queries58 {
     // pins the engine to ANSI semantics on exactly the shape that
     // silently empties pipelines.
     "q191_null_semantics" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("ns_orders")
-      Tables.customer(s, d).createOrReplaceTempView("ns_customer")
-      s.sql("""SELECT a.notin_cnt, b.notexists_cnt, c.notin_filtered_cnt
+      // uniquely-suffixed view names (the memory-sink convention): fixed
+      // names registered as a side effect in the SHARED session would
+      // silently rebind on a collision with another query's views
+      val sfx = java.util.UUID.randomUUID.toString.replace("-", "")
+      val ov = s"ns_orders_$sfx"
+      val cv = s"ns_customer_$sfx"
+      Tables.orders(s, d).createOrReplaceTempView(ov)
+      Tables.customer(s, d).createOrReplaceTempView(cv)
+      s.sql(s"""SELECT a.notin_cnt, b.notexists_cnt, c.notin_filtered_cnt
               |FROM
-              |(SELECT COUNT(*) AS notin_cnt FROM ns_orders
+              |(SELECT COUNT(*) AS notin_cnt FROM $ov
               | WHERE o_custkey NOT IN
-              |   (SELECT c_custkey FROM ns_customer WHERE c_custkey <= 100
+              |   (SELECT c_custkey FROM $cv WHERE c_custkey <= 100
               |    UNION ALL SELECT CAST(NULL AS BIGINT))) a,
-              |(SELECT COUNT(*) AS notexists_cnt FROM ns_orders o
+              |(SELECT COUNT(*) AS notexists_cnt FROM $ov o
               | WHERE NOT EXISTS
-              |   (SELECT 1 FROM ns_customer s
+              |   (SELECT 1 FROM $cv s
               |    WHERE s.c_custkey <= 100
               |      AND s.c_custkey = o.o_custkey)) b,
-              |(SELECT COUNT(*) AS notin_filtered_cnt FROM ns_orders
+              |(SELECT COUNT(*) AS notin_filtered_cnt FROM $ov
               | WHERE o_custkey NOT IN
-              |   (SELECT c_custkey FROM ns_customer
+              |   (SELECT c_custkey FROM $cv
               |    WHERE c_custkey <= 100 AND c_custkey IS NOT NULL)) c
               |""".stripMargin)
     }),

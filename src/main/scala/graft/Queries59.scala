@@ -67,7 +67,12 @@ object Queries59 {
       Tables.embeddings(s, d)
         .select(posexplode(col("embedding")).as(Seq("dim", "x")))
         .select(col("dim"),
-                expr("CAST(round(x * 1000) AS BIGINT)").as("q"))
+                // widen to double BEFORE the multiply — the oracle casts
+                // to DOUBLE[] up front, and a float multiply can land a
+                // half-way case one ulp away from the double one,
+                // flipping the rounded integer key at some SFs
+                expr("CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)")
+                  .as("q"))
         .groupBy(col("dim"))
         .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
              sum(col("q") * col("q")).as("s2"))

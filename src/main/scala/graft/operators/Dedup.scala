@@ -364,12 +364,18 @@ object Dedup {
     * pairs within small Hamming distance; [[simhashPairs]] joins on rotated
     * prefix blocks so only documents agreeing on one of the 4 16-bit blocks
     * pair up (standard SimHash blocking, Manku et al. 2007).
+    *
+    * Token-free documents (empty/whitespace-only text) are EXCLUDED: they
+    * all sketch to 0L, so keeping them would declare every pair of empty
+    * docs a hamming-0 near-dup — a contentless match. This also matches
+    * the d04 oracle, whose per-token CTE naturally drops them.
     */
   def simhashSketch(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
-              Expressions.simhash64(
-                TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
-                .as("simhash"))
+              TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+                .as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("id"), Expressions.simhash64(col("__toks")).as("simhash"))
 
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame =

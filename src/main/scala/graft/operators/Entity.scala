@@ -61,12 +61,10 @@ object Entity {
     * Pair generation is `lead()` over the sort — pair volume is exactly
     * n·window, never n². The declared form uses ONE global sort (the
     * same single-partition bar as q84's quintiles — fine to ~10⁸ rows);
-    * at 100 TB, range-partition on the sort key instead and run the same
-    * lead() within partitions — only pairs straddling a boundary are
-    * lost, and re-running with the window duplicated across boundaries
-    * (or a second pass on boundary slices) recovers them. Recall is
-    * bounded by the sort key either way; production unions several
-    * passes with different keys (same plan each).
+    * [[sortedNeighborPairsScalable]] is the lossless 100 TB form (rank
+    * join on the range-partitioned global index — d23 pins output
+    * equality). Recall is bounded by the sort key either way; production
+    * unions several passes with different keys (same plan each).
     */
   /** Candidate (id, probe, nid, nprobe) rows for sorted-neighbor
     * methods: normalized cmpLen-char probes sorted by their keyLen-char
@@ -109,6 +107,44 @@ object Entity {
       .select(least(col("id"), col("nid")).as("id_a"),
               greatest(col("id"), col("nid")).as("id_b"),
               col("dist"))
+
+  /** [[sortedNeighborPairs]]' 100 TB form — LOSSLESS, same output: the
+    * global-window `lead(i)` pairing is re-expressed as an equi-join on
+    * the range-partitioned global rank ([[Index.withGlobalIndex]] — no
+    * single-task sort anywhere): row at rank j pairs with ranks
+    * j+1..j+window, which is exactly what lead() emits under the same
+    * total order. Boundary pairs are NOT lost (the failure mode of the
+    * naive per-partition-lead cut): the rank join doesn't care which
+    * physical partition a neighbor landed in. Cost: one extra shuffle
+    * (the n·window candidate join on the rank key) in exchange for
+    * removing the single-task stage.
+    */
+  def sortedNeighborPairsScalable(df: DataFrame, textCol: String,
+                                  idCol: String, window: Int = 2,
+                                  maxDist: Int = 15, keyLen: Int = 8,
+                                  cmpLen: Int = 40,
+                                  numPartitions: Int = 32): DataFrame = {
+    require(window >= 1, s"sortedNeighborPairsScalable: window $window < 1")
+    val norm = TextAnalysis.normalize(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+                         substring(norm, 1, cmpLen).as("probe"))
+      .withColumn("skey", substring(col("probe"), 1, keyLen))
+    val ranked = Index.withGlobalIndex(
+        base, Seq(col("skey"), col("id")), "idx", numPartitions)
+      .select(col("id"), col("probe"), col("idx"))
+    val right = ranked.select(col("idx").as("ridx"),
+                              col("id").as("nid"),
+                              col("probe").as("nprobe"))
+    ranked
+      .withColumn("ridx", explode(array(
+        (1 to window).map(i => col("idx") + i): _*)))
+      .join(right, Seq("ridx")) // inner: ranks past the end simply miss
+      .withColumn("dist", levenshtein(col("probe"), col("nprobe")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id"), col("nid")).as("id_a"),
+              greatest(col("id"), col("nid")).as("id_b"),
+              col("dist"))
+  }
 
   /** Sorted-neighbor pairing verified with Jaro-Winkler instead of
     * Levenshtein — the right metric when transposed words/typos should

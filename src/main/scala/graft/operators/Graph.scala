@@ -20,6 +20,25 @@ object Graph {
 
   val Prec: Long = 1000000000000L // pico-probability fixed point
 
+  /** Per-round lineage truncation for the iterative ops. `None` (the
+    * test/default mode) uses `localCheckpoint` — executor-memory blocks,
+    * fast, but an executor loss mid-iteration kills the job. Passing a
+    * `checkpointDir` switches every round to RELIABLE `checkpoint()`
+    * into that directory (HDFS/S3 on a real cluster) — the production
+    * mode for long iterative jobs, where losing one of 1000 executors
+    * must cost a task retry, not the whole computation. Results are
+    * identical either way (both truncate lineage, neither changes data);
+    * GraphCheckpointSpec pins that.
+    */
+  private def persistRound(df: DataFrame,
+                           checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   /** PageRank with damping 0.85 over a directed edge list, `iters`
     * synchronous rounds from a uniform start. Nodes = src ∪ dst;
     * callers wanting undirected semantics pass both edge directions.
@@ -39,7 +58,8 @@ object Graph {
     * anywhere.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3,
+               checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"pageRank: negative iters $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
@@ -49,12 +69,13 @@ object Graph {
     // round is then ONE join + ONE aggregation instead of two joins
     // (the same shuffle-per-round cut as connectedComponents' self-loop
     // fold); checkpointed so no round recomputes the upstream distinct
-    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")),
-                    "src")
-      .localCheckpoint()
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst"))).distinct()
-      .localCheckpoint()
+    val ed = persistRound(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), "src"),
+      checkpointDir)
+    val nodes = persistRound(
+      ed.select(col("src").as("node")).union(ed.select(col("dst")))
+        .distinct(),
+      checkpointDir)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val teleport = (15L * (Prec / n)) / 100L
@@ -63,11 +84,12 @@ object Graph {
       val contrib = ed.join(pr, col("src") === col("node")).drop("node")
         .select(col("dst").as("node"), expr("pr DIV d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      pr = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr("85 * coalesce(s, 0L) DIV 100")).as("pr"))
-        .localCheckpoint()
+      pr = persistRound(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr("85 * coalesce(s, 0L) DIV 100")).as("pr")),
+        checkpointDir)
     }
     pr.select(col("node"), col("pr").as("pr_pico"))
   }
@@ -86,39 +108,41 @@ object Graph {
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String,
-                           iters: Int = 3): DataFrame = {
+                           iters: Int = 3,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"personalizedPageRank: negative iters $iters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val ed = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")),
-                    "src")
-      .localCheckpoint()
+    val ed = persistRound(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("d")), "src"),
+      checkpointDir)
     val nodes = ed.select(col("src").as("node"))
       .union(ed.select(col("dst"))).distinct()
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .filter(col("node").isNotNull).distinct()
     // seeds outside the graph's node set carry no mass — drop them so
     // |S| matches the mass actually injected
-    val flagged = nodes.join(broadcast(seedSet.withColumn("is_seed", lit(true))),
+    val flagged0 = nodes.join(broadcast(seedSet.withColumn("is_seed", lit(true))),
                              Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint()
-    val nSeeds = flagged.filter(col("is_seed")).count()
+    val flagged2 = persistRound(flagged0, checkpointDir)
+    val nSeeds = flagged2.filter(col("is_seed")).count()
     require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
     val teleport = (15L * (Prec / nSeeds)) / 100L
     val seedMass = when(col("is_seed"), lit(Prec / nSeeds)).otherwise(lit(0L))
     val seedTeleport = when(col("is_seed"), lit(teleport)).otherwise(lit(0L))
-    var pr = flagged.select(col("node"), col("is_seed"), seedMass.as("pr"))
+    var pr = flagged2.select(col("node"), col("is_seed"), seedMass.as("pr"))
     for (_ <- 0 until iters) {
       val contrib = ed.join(pr, col("src") === col("node")).drop("node")
         .select(col("dst").as("node"), expr("pr DIV d").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      pr = flagged.join(contrib, Seq("node"), "left")
-        .select(col("node"), col("is_seed"),
-          (seedTeleport + expr("85 * coalesce(s, 0L) DIV 100")).as("pr"))
-        .localCheckpoint()
+      pr = persistRound(
+        flagged2.join(contrib, Seq("node"), "left")
+          .select(col("node"), col("is_seed"),
+            (seedTeleport + expr("85 * coalesce(s, 0L) DIV 100")).as("pr")),
+        checkpointDir)
     }
     pr.select(col("node"), col("pr").as("ppr_pico"))
   }
@@ -144,25 +168,27 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               sources: DataFrame, sourceCol: String,
-              maxHops: Int): DataFrame = {
+              maxHops: Int,
+              checkpointDir: Option[String] = None): DataFrame = {
     require(maxHops >= 0, s"bfsHops: negative maxHops $maxHops")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint(true)
-    var dist = sources
-      .select(col(sourceCol).cast("long").as("node"))
-      .filter(col("node").isNotNull).distinct()
-      .withColumn("hops", lit(0L))
-      .localCheckpoint(true)
+    val ec = persistRound(e, checkpointDir)
+    var dist = persistRound(
+      sources.select(col(sourceCol).cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .withColumn("hops", lit(0L)),
+      checkpointDir)
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1).toLong)
-      val next = frontier.join(e, col("node") === col("src"))
+      val next = frontier.join(ec, col("node") === col("src"))
         .select(col("dst").as("node"), lit(h.toLong).as("hops"))
-      dist = dist.union(next)
-        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint(true)
+      dist = persistRound(
+        dist.union(next)
+          .groupBy(col("node")).agg(min(col("hops")).as("hops")),
+        checkpointDir)
     }
     dist
   }
@@ -203,7 +229,8 @@ object Graph {
     * real graphs: each round must delete ≥ 1 node to continue).
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxIter: Int = 30): DataFrame = {
+            maxIter: Int = 30,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"kCore: k $k < 1")
     val sym = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
@@ -212,19 +239,20 @@ object Graph {
       .filter(col("u").isNotNull && col("v").isNotNull &&
               col("u") =!= col("v"))
       .distinct()
-    var adj = sym.localCheckpoint(true)
+    var adj = persistRound(sym, checkpointDir)
     var nEdges = adj.count()
     var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val survivors = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("u"))
-        .localCheckpoint(true)
-      val next = adj
-        .join(survivors, Seq("u"), "left_semi")
-        .join(survivors.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint(true)
+      val survivors = persistRound(
+        adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("u")),
+        checkpointDir)
+      val next = persistRound(
+        adj.join(survivors, Seq("u"), "left_semi")
+          .join(survivors.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")),
+        checkpointDir)
       val m = next.count()
       converged = m == nEdges
       adj = next
@@ -276,7 +304,8 @@ object Graph {
   def boundedShortestPaths(edges: DataFrame, srcCol: String,
                            dstCol: String, weightCol: String,
                            sources: DataFrame, sourceCol: String,
-                           maxEdges: Int): DataFrame = {
+                           maxEdges: Int,
+                           checkpointDir: Option[String] = None): DataFrame = {
     require(maxEdges >= 0, s"boundedShortestPaths: negative maxEdges $maxEdges")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"),
@@ -284,18 +313,19 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
               col("w").isNotNull)
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
-    var dist = sources
-      .select(col(sourceCol).cast("long").as("node"))
-      .filter(col("node").isNotNull).distinct()
-      .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+    val ec = persistRound(e, checkpointDir)
+    var dist = persistRound(
+      sources.select(col(sourceCol).cast("long").as("node"))
+        .filter(col("node").isNotNull).distinct()
+        .withColumn("dist", lit(0L)),
+      checkpointDir)
     for (_ <- 1 to maxEdges) {
-      val cand = dist.join(e, col("node") === col("src"))
+      val cand = dist.join(ec, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.union(cand)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+      dist = persistRound(
+        dist.union(cand)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist")),
+        checkpointDir)
     }
     dist
   }
@@ -320,32 +350,35 @@ object Graph {
     * once, labels are checkpointed per round so the plan stays flat.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds $rounds < 1")
-    val sym = edges
+    val sym0 = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"),
                           col(srcCol).cast("long").as("v")))
       .filter(col("u").isNotNull && col("v").isNotNull &&
               col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
-    val tooBig = sym.filter(col("u") >= 100000000L).limit(1).count()
+    val symc = persistRound(sym0, checkpointDir)
+    val tooBig = symc.filter(col("u") >= 100000000L).limit(1).count()
     require(tooBig == 0L,
       "labelPropagation: node ids must be < 1e8 for the integer tie-break")
-    var labels = sym.select(col("u").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+    var labels = persistRound(
+      symc.select(col("u").as("node")).distinct()
+        .withColumn("lbl", col("node")),
+      checkpointDir)
     for (_ <- 1 to rounds) {
-      labels = sym
-        .join(labels.withColumnRenamed("node", "v"), Seq("v"))
-        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-        .groupBy(col("u"))
-        .agg(max(col("c") * 100000000L + (lit(99999999L) - col("lbl")))
-          .as("score"))
-        .select(col("u").as("node"),
-                (lit(99999999L) - col("score") % 100000000L).as("lbl"))
-        .localCheckpoint(true)
+      labels = persistRound(
+        symc
+          .join(labels.withColumnRenamed("node", "v"), Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(max(col("c") * 100000000L + (lit(99999999L) - col("lbl")))
+            .as("score"))
+          .select(col("u").as("node"),
+                  (lit(99999999L) - col("score") % 100000000L).as("lbl")),
+        checkpointDir)
     }
     labels
   }
@@ -367,31 +400,33 @@ object Graph {
     * classic iterate's fixed points, not an error.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 2): DataFrame = {
+           iters: Int = 2,
+           checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"hits: iters $iters < 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst"))).distinct()
-      .localCheckpoint()
+    val ec = persistRound(e, checkpointDir)
+    val nodes = persistRound(
+      ec.select(col("src").as("node")).union(ec.select(col("dst")))
+        .distinct(),
+      checkpointDir)
     var hub = nodes.withColumn("h", lit(Prec))
     var auth = nodes.withColumn("a", lit(Prec))
     for (_ <- 0 until iters) {
       val aRaw = nodes.join(
-          e.join(hub, col("src") === col("node")).drop("node")
+          ec.join(hub, col("src") === col("node")).drop("node")
             .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-      auth = normalizeMax(aRaw, "a").localCheckpoint()
+      auth = persistRound(normalizeMax(aRaw, "a"), checkpointDir)
       val hRaw = nodes.join(
-          e.join(auth, col("dst") === col("node")).drop("node")
+          ec.join(auth, col("dst") === col("node")).drop("node")
             .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-      hub = normalizeMax(hRaw, "h").localCheckpoint()
+      hub = persistRound(normalizeMax(hRaw, "h"), checkpointDir)
     }
     auth.join(hub, Seq("node"))
       .select(col("node"), col("a").as("auth_pico"), col("h").as("hub_pico"))
@@ -403,5 +438,14 @@ object Graph {
     df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
       .select(col("node"),
         when(col("mx") <= 0L, lit(0L))
+          // 0 < mx < Prec would make `mx DIV Prec` zero and the division
+          // below blow up deep inside a plan; the invariant (scores start
+          // at Prec and sums only grow) holds for every current caller,
+          // but a future one breaking it must fail LOUDLY, not with a
+          // nonsense rank
+          .when(col("mx") < Prec, raise_error(lit(
+            s"normalizeMax: max score below Prec=$Prec — " +
+            "caller broke the scores-start-at-Prec invariant"))
+            .cast("long"))
           .otherwise(expr(s"$c DIV (mx DIV $Prec)")).as(c))
 }

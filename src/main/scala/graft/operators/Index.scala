@@ -49,4 +49,35 @@ object Index {
       .withColumn(indexCol, offsetCol + row_number().over(w) - 1)
       .drop(pid)
   }
+
+  /** EXACT `ntile(k)` under a total order WITHOUT a global window — the
+    * scale mode for the equi-depth family (q95 histograms, q84 RFM
+    * scores, q134 spend deciles), whose declared forms use
+    * `Window.orderBy` and therefore funnel through one task.
+    *
+    * ntile's bucket sizes depend only on (row index, total count): with
+    * n rows, the first n mod k buckets hold ceil(n/k) rows and the rest
+    * floor(n/k). Both inputs come cheaply from [[withGlobalIndex]]'s
+    * range-partitioned rank (n is the sum of the same per-partition
+    * counts), so the bucket is pure column arithmetic on the index —
+    * bit-identical to `ntile(k).over(Window.orderBy(sortCols))` by
+    * construction, with no single-task stage anywhere.
+    */
+  def withNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
+                bucketCol: String = "bucket",
+                numPartitions: Int = 32): DataFrame = {
+    require(k >= 1, s"withNtile: k $k < 1")
+    val idxCol = "__graft_ntile_idx"
+    val indexed = withGlobalIndex(df, sortCols, idxCol, numPartitions)
+      .localCheckpoint() // one count job + one downstream read
+    val n = indexed.count()
+    val q = n / k // rows per small bucket
+    val r = n % k // number of large (q+1-row) buckets
+    val idx = col(idxCol)
+    val bucket = // integer DIV throughout — `/` on longs is double math
+      if (q == 0L) idx + 1 // fewer rows than buckets: one row per bucket
+      else when(idx < lit(r * (q + 1)), expr(s"$idxCol DIV ${q + 1}"))
+        .otherwise(lit(r) + expr(s"($idxCol - ${r * (q + 1)}) DIV $q")) + 1
+    indexed.withColumn(bucketCol, bucket.cast("int")).drop(idxCol)
+  }
 }

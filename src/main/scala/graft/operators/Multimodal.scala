@@ -157,6 +157,92 @@ object Multimodal {
     }
   }
 
+  /** REAL audio PCM decode via `javax.sound.sampled` (in the JDK — same
+    * zero-dependency rule as [[PixelCodec]]'s imageio fix): RIFF/WAVE
+    * payloads decode to their true interleaved PCM samples, so
+    * [[frameEnergy]] measures actual audio content when given real WAV
+    * bytes. Attempted only when the payload carries the RIFF/WAVE magic —
+    * text/binary payloads skip straight to the deterministic stub path
+    * without paying a reader probe per row, keeping the text-derived
+    * oracle fixtures (m06) checkable.
+    *
+    * Supports the canonical WAV sample layouts: 16-bit signed and 8-bit
+    * (signed or unsigned, the latter re-centred to -128..127), either
+    * endianness, any channel count (channels stay interleaved — frame
+    * energy over interleaved samples equals the sum of per-channel
+    * energies for whole frames). Exotic encodings (float, μ-law, 24-bit)
+    * decline to None rather than guessing.
+    */
+  object WavCodec {
+    def looksLikeWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(content: Array[Byte]): Option[Array[Long]] =
+      if (!looksLikeWav(content)) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+          val f = in.getFormat
+          val bits = f.getSampleSizeInBits
+          val enc = f.getEncoding
+          if ((bits != 8 && bits != 16) ||
+              (enc != PCM_SIGNED && enc != PCM_UNSIGNED)) None
+          else {
+            val bytes = in.readAllBytes()
+            if (bits == 8) {
+              Some(bytes.map(b =>
+                if (enc == PCM_UNSIGNED) ((b & 0xff) - 128).toLong
+                else b.toLong))
+            } else {
+              val big = f.isBigEndian
+              val n = bytes.length / 2
+              val out = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+                val hi = bytes(2 * i + (if (big) 0 else 1)) & 0xff
+                val v = ((hi << 8) | lo).toShort.toLong
+                out(i) = if (enc == PCM_UNSIGNED) v - 32768L else v
+                i += 1
+              }
+              Some(out)
+            }
+          }
+        } finally in.close()
+      } catch { case _: Throwable => None }
+  }
+
+  /** Serialize 16-bit signed PCM samples as a canonical 44-byte-header
+    * RIFF/WAVE payload (mono by default) — the fixture-builder dual of
+    * [[WavCodec.decode]]: `decode(pcm16Wav(xs)) == xs` losslessly, which
+    * is what lets a SQL oracle that regenerates `xs` from a formula
+    * cross-check a REAL `javax.sound.sampled` decode (m09).
+    */
+  def pcm16Wav(samples: Array[Short], sampleRate: Int = 8000,
+               channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && samples.length % channels == 0,
+            s"pcm16Wav: ${samples.length} samples not a multiple of $channels channels")
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1)                                   // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)             // byte rate
+      .putShort((channels * 2).toShort)              // block align
+      .putShort(16)                                  // bits per sample
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),
@@ -353,13 +439,17 @@ object Multimodal {
   /** Audio frame energy: batched decode of the binary payload into PCM
     * samples, then per-frame sum-of-squares energy — the loudness/
     * silence-detection primitive of an audio preprocessing pipeline
-    * (VAD, silence trimming, clipping detection all start here). The
-    * "PCM decode" is the usual deterministic STUB: samples are the
-    * UTF-8 code points of the payload (a real libsndfile/FFmpeg decode
-    * swaps into the same mapPartitions loop with no plan change), which
-    * keeps the declared query (m06) fully oracle-checkable. All
-    * arithmetic is exact integers. Null or empty content yields no
-    * frames — mirrored by the oracle's empty generate_series.
+    * (VAD, silence trimming, clipping detection all start here).
+    *
+    * RIFF/WAVE payloads get a REAL PCM decode via `javax.sound.sampled`
+    * ([[WavCodec]]) — true interleaved sample values (m09 cross-checks
+    * this against an oracle that regenerates the samples from their
+    * deterministic formula). Non-WAV payloads fall back to the
+    * deterministic stub (samples = UTF-8 code points of the payload),
+    * which keeps the text-derived m06 fixtures oracle-checkable. All
+    * arithmetic is exact integers. Null or empty content (or an
+    * undecodable WAV whose data chunk is empty) yields no frames —
+    * mirrored by the oracle's empty generate_series.
     *
     * Scale: pure per-row fan-out inside mapPartitions (no shuffle); a
     * payload's frames never leave its partition until the caller
@@ -374,12 +464,16 @@ object Multimodal {
             if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           if (content == null || content.isEmpty) Iterator.empty
           else {
-            val s = new String(content,
-              java.nio.charset.StandardCharsets.UTF_8)
-            val cps = s.codePoints().toArray
-            cps.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+            val samples: Array[Long] = WavCodec.decode(content) match {
+              case Some(pcm) => pcm
+              case None =>
+                val s = new String(content,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                s.codePoints().toArray.map(_.toLong)
+            }
+            samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
               Row(r.getLong(0), i.toLong, fr.length.toLong,
-                  fr.map(c => c.toLong * c).sum)
+                  fr.map(c => c * c).sum)
             }
           }
         }

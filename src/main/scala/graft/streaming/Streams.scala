@@ -585,9 +585,8 @@ object Streams {
     val srcPath =
       if (!f.isFile) docsPath
       else {
-        val dir = new java.io.File(workDir, "src"); dir.mkdirs()
-        java.nio.file.Files.createSymbolicLink(
-          new java.io.File(dir, f.getName).toPath, f.toPath.toAbsolutePath)
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
         dir.toString
       }
     val schema = spark.read.parquet(docsPath).schema
@@ -636,9 +635,8 @@ object Streams {
     val srcPath =
       if (!f.isFile) docsPath
       else {
-        val dir = new java.io.File(workDir, "src"); dir.mkdirs()
-        java.nio.file.Files.createSymbolicLink(
-          new java.io.File(dir, f.getName).toPath, f.toPath.toAbsolutePath)
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
         dir.toString
       }
     val schema = spark.read.parquet(docsPath).schema
@@ -722,7 +720,25 @@ object Streams {
     * e27 going 32 → 8 partitions over ~2000 rows/batch. At large state
     * (the 100 TB deployment) callers raise `statePartitions` when
     * creating the checkpoint; it cannot change across restarts.
+    *
+    * NOTE this (like the per-query state-store provider override in
+    * streamedBudgetFill) mutates SHARED session conf for the duration of
+    * the query — safe under this repo's one-query-at-a-time sessions
+    * (Verify/Bench/specs are all sequential), NOT safe for concurrent
+    * streaming queries in one session; concurrent callers must clone the
+    * session (`spark.newSession()`) so conf scoping is per-query.
     */
+  /** Symlink `target` as `dir/name`, replacing any existing entry — a
+    * reused workDir must not throw FileAlreadyExistsException on the
+    * second run. */
+  private def linkInto(dir: java.io.File, name: String,
+                       target: java.io.File): Unit = {
+    dir.mkdirs()
+    val link = new java.io.File(dir, name).toPath
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, target.toPath.toAbsolutePath)
+  }
+
   private def withStatePartitions[T](spark: SparkSession, n: Int)
                                     (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -746,9 +762,8 @@ object Streams {
     val srcPath =
       if (!f.isFile) eventsPath
       else {
-        val d = new java.io.File(workDir, "src"); d.mkdirs()
-        java.nio.file.Files.createSymbolicLink(
-          new java.io.File(d, f.getName).toPath, f.toPath.toAbsolutePath)
+        val d = new java.io.File(workDir, "src")
+        linkInto(d, f.getName, f)
         d.toString
       }
     val reader0 = spark.readStream.schema(batchSchema)
@@ -857,10 +872,9 @@ object Streams {
       withStatePartitions(spark, statePartitions) {
     val f = new java.io.File(eventsPath)
     require(f.isFile, s"streamedDedup: expected a single parquet file, got $eventsPath")
-    val d = new java.io.File(workDir, "dup"); d.mkdirs()
+    val d = new java.io.File(workDir, "dup")
     for (n <- Seq("events_a.parquet", "events_b.parquet"))
-      java.nio.file.Files.createSymbolicLink(
-        new java.io.File(d, n).toPath, f.toPath.toAbsolutePath)
+      linkInto(d, n, f)
     val batchSchema = spark.read.parquet(eventsPath).schema
     val raw = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(d.toString)
@@ -999,10 +1013,9 @@ object Streams {
     val f = new java.io.File(eventsPath)
     require(f.isFile,
       s"streamedDedupWithinWatermark: expected a single parquet file, got $eventsPath")
-    val d = new java.io.File(workDir, "dup"); d.mkdirs()
+    val d = new java.io.File(workDir, "dup")
     for (n <- Seq("events_a.parquet", "events_b.parquet"))
-      java.nio.file.Files.createSymbolicLink(
-        new java.io.File(d, n).toPath, f.toPath.toAbsolutePath)
+      linkInto(d, n, f)
     val batchSchema = spark.read.parquet(eventsPath).schema
     val raw = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(d.toString)

@@ -163,6 +163,52 @@ class MultimodalSpec extends SparkSpec {
     assert((meta2.getInt(4), meta2.getInt(5)) == (sw, sh))
   }
 
+  test("WavCodec: lossless 16-bit round trip, stereo, 8-bit, and rejects") {
+    // pcm16Wav -> AudioSystem decode must be the identity on samples
+    val xs = Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 7, -7)
+    assert(Multimodal.WavCodec.decode(Multimodal.pcm16Wav(xs))
+      .get.toSeq == xs.map(_.toLong).toSeq)
+    // stereo stays interleaved in declaration order
+    val st = Array[Short](10, -20, 30, -40)
+    assert(Multimodal.WavCodec.decode(
+        Multimodal.pcm16Wav(st, channels = 2))
+      .get.toSeq == Seq(10L, -20L, 30L, -40L))
+    // 8-bit unsigned WAV (canonical 8-bit layout), written by the JDK
+    // itself: decoded samples re-centre to signed -128..127
+    val fmt8 = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val raw8 = Array[Byte](0, 127, -128, -1) // unsigned 0,127,128,255
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, raw8.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    assert(Multimodal.WavCodec.decode(baos.toByteArray)
+      .get.toSeq == Seq(-128L, -1L, 0L, 127L))
+    // non-WAV payloads decline (stub path stays reachable)
+    assert(Multimodal.WavCodec.decode("RIFFxxxxJUNK".getBytes).isEmpty)
+    assert(Multimodal.WavCodec.decode("plain text".getBytes).isEmpty)
+  }
+
+  test("frameEnergy decodes real WAV payloads to true PCM energies") {
+    val xs = Array.tabulate(70)(k => ((k * 7) % 2003 - 1001).toShort)
+    val media = Seq((5L, "audio", Multimodal.pcm16Wav(xs)))
+      .toDF("id", "modality", "content")
+    val got = Multimodal.frameEnergy(media, frameLen = 32)
+      .orderBy("frame_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = xs.map(_.toLong).grouped(32).zipWithIndex.map {
+      case (fr, i) => (i.toLong, fr.length.toLong, fr.map(v => v * v).sum)
+    }.toSeq
+    assert(got.toSeq == expected)
+    // non-WAV payloads keep the code-point stub semantics (m06 parity)
+    val text = Seq((6L, "audio", "abcd".getBytes("UTF-8")))
+      .toDF("id", "modality", "content")
+    val r = Multimodal.frameEnergy(text, frameLen = 32).collect().head
+    assert(r.getLong(3) == "abcd".map(c => c.toLong * c).sum)
+  }
+
   test("sampleFrames: k frames per row with frame_no index") {
     val media = Multimodal.attachBinary(
       Seq((1L, "0123456789abcdef0123456789abcdef")).toDF("doc_id", "text"),

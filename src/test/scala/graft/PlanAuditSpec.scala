@@ -169,6 +169,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  // ------------------------------------------------------------- round 6
+
+  test("q151 windows consume the pre-aggregated (g,v) domain, not raw lineitem") {
+    val p = plan("q151_weighted_median")
+    // plan trees print top-down, so the domain pre-aggregation (the
+    // groupBy(g,v).sum(w) that bounds the window input to ~150 rows)
+    // must appear BELOW the last Window operator
+    val lastWindow = p.lastIndexOf("Window")
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    assert(lastWindow >= 0, "expected window operators in the plan")
+    assert(lastAgg > lastWindow,
+      "expected a HashAggregate beneath the windows (distinct-domain pre-agg)\n" + p)
+  }
+
+  test("scale-mode ntile queries have no single-task stage anywhere") {
+    // the exact forms deliberately use a global window (Exchange
+    // SinglePartition below the Window); the scale modes' entire point
+    // is that no stage funnels through one task
+    for (n <- Seq("q95s_equidepth_scale", "q134s_deciles_scale",
+                  "q84s_rfm_scale")) {
+      val p = plan(n)
+      assert(!p.contains("SinglePartition"),
+        s"$n funnels through one task:\n" + p.take(800))
+    }
+  }
+
+  test("d23 scale sorted-neighborhood: rank equi-join, no single-task sort") {
+    val p = plan("d23_sorted_neighbors_scale")
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))

@@ -68,6 +68,35 @@ class Queries13Spec extends SparkSpec {
     assert(est.size <= k - 1, "sketch must stay within k-1 entries")
   }
 
+  test("MisraGries: EXACT counter state on a pinned 4-shard split") {
+    // t20 is declared rows-only because the sketch contents depend on
+    // partitioning — but given a FIXED shard assignment and merge order
+    // the algorithm is fully deterministic, so this replay upgrades the
+    // check from bounds-only to exact: reduce each shard in element
+    // order, merge shards left-to-right, compare the whole counter
+    // state against hand-computed values (k=4 ⇒ ≤3 counters).
+    val agg = new MisraGries.SketchAgg(4)
+    val shards = Seq(
+      Seq("a", "a", "a", "b", "b", "c", "d"),
+      Seq("b", "b", "b", "e"),
+      Seq("a", "c", "c", "c"),
+      Seq("f", "f"))
+    val partials = shards.map(_.foldLeft(agg.zero)(agg.reduce))
+    // shard0: a3 b2 c1 full, then d triggers decrement-all (c drops,
+    // d itself discarded — the classic MG step)
+    assert(partials(0) == Map("a" -> 2L, "b" -> 1L))
+    assert(partials(1) == Map("b" -> 3L, "e" -> 1L))
+    assert(partials(2) == Map("a" -> 1L, "c" -> 3L))
+    assert(partials(3) == Map("f" -> 2L))
+    // merge left-to-right (the pinned order):
+    //   {a2,b1}+{b3,e1}        = {a2,b4,e1}           (fits, no spill)
+    //   +{a1,c3} -> {a3,b4,e1,c3}: 4th-largest=1, subtract -> {b3,a2,c2}
+    //   +{f2}    -> {b3,a2,c2,f2}: 4th-largest=2, subtract -> {b1}
+    val merged = partials.reduceLeft(agg.merge)
+    assert(merged == Map("b" -> 1L))
+    assert(agg.finish(merged) == Seq(("b", 1L)))
+  }
+
   test("bm25Scores ranks by term density and excludes term-free docs") {
     val df = Seq(
       (1L, "spark spark spark filler filler"),

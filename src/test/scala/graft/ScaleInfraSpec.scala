@@ -216,4 +216,33 @@ class ScaleInfraSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("withNtile equals the global-window ntile bit-for-bit, all k") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(spark, sf).select($"o_orderkey",
+      ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    for (k <- Seq(1, 3, 10, 1000000)) { // incl. k > n (one row per bucket)
+      val exact = base.withColumn("bucket",
+          ntile(k).over(Window.orderBy($"cents", $"o_orderkey")))
+        .orderBy($"o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      val scale = graft.operators.Index.withNtile(
+          base, k, Seq($"cents", $"o_orderkey"), numPartitions = 7)
+        .orderBy($"o_orderkey")
+        .collect().map(r => (r.getLong(0), r.getInt(2))).toSeq
+      assert(scale == exact, s"ntile($k) diverged")
+    }
+  }
+
+  test("sortedNeighborPairsScalable equals the global-window form exactly") {
+    val docs = Tables.documents(spark, sf)
+    val exact = graft.operators.Entity
+      .sortedNeighborPairs(docs, "text", "doc_id", window = 2, maxDist = 15)
+      .orderBy($"id_a", $"id_b").collect().map(_.toSeq).toSeq
+    val scale = graft.operators.Entity
+      .sortedNeighborPairsScalable(docs, "text", "doc_id",
+        window = 2, maxDist = 15, numPartitions = 5)
+      .orderBy($"id_a", $"id_b").collect().map(_.toSeq).toSeq
+    assert(scale == exact)
+  }
 }
