@@ -96,7 +96,9 @@ object Bench {
     // warm-quantizer IVF search (s03's amortized production shape), and
     // real WAV PCM decode
     "q95s_equidepth_scale", "q84s_rfm_scale", "q134s_deciles_scale",
-    "d23_sorted_neighbors_scale", "s16_ann_ivf_warm", "m09_wav_energy")
+    "d23_sorted_neighbors_scale", "s16_ann_ivf_warm", "m09_wav_energy",
+    // hybrid RRF retrieval fusion + deterministic 64-register HLL
+    "s17_hybrid_rrf", "q193_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

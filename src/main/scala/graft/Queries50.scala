@@ -19,9 +19,15 @@ object Queries50 {
     "e27_stream_leftouter" -> ((s, d) => {
       val work = java.nio.file.Files
         .createTempDirectory("graft_stream_lo_").toString
+      // statePartitions sized to THIS fixture's state volume (~20k rows
+      // of join state): the r6 sweep measured 8→2 partitions as
+      // 3.0→2.5 s — each stream-stream-join partition pays 4 state
+      // store opens + delta commits per micro-batch, so idle partitions
+      // are pure overhead. A real deployment creating a checkpoint for
+      // bigger streams passes a bigger value (frozen per checkpoint).
       graft.streaming.Streams.streamedLeftOuterJoin(
           s, s"$d/events.parquet", work,
-          s"graft_e27_sink_${System.nanoTime}")
+          s"graft_e27_sink_${System.nanoTime}", statePartitions = 2)
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
