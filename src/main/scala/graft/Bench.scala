@@ -97,8 +97,9 @@ object Bench {
     // real WAV PCM decode
     "q95s_equidepth_scale", "q84s_rfm_scale", "q134s_deciles_scale",
     "d23_sorted_neighbors_scale", "s16_ann_ivf_warm", "m09_wav_energy",
-    // hybrid RRF retrieval fusion + deterministic 64-register HLL
-    "s17_hybrid_rrf", "q193_hll_distinct")
+    // hybrid RRF retrieval fusion, deterministic 64-register HLL, and
+    // exact global quantiles with no single-task sort
+    "s17_hybrid_rrf", "q193_hll_distinct", "q194_quantiles_scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

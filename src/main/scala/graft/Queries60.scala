@@ -111,6 +111,23 @@ object Queries60 {
         .withColumn("dist", col("dist").cast("long"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Exact discrete quantiles of order totals WITHOUT a global sort:
+    // type-1 quantile = value at rank ceil(p*n) under the total order
+    // (cents, orderkey), rank from the range-partitioned global index,
+    // p and the ceil in exact ppm integer arithmetic (no double ever
+    // touches a rank). The scale form of "exact p50/p90/p99" — the
+    // answer approx_percentile can only approximate, with no
+    // single-task stage (PlanAuditSpec pins it).
+    "q194_quantiles_scale" -> ((s, d) =>
+      operators.Index.exactQuantiles(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents")),
+          valueCol = col("cents"), tieCols = Seq(col("o_orderkey")),
+          pPpm = Seq(250000L, 500000L, 750000L, 900000L, 990000L))
+        .select(col("p_ppm"), col("v").as("cents"))
+        .orderBy(col("p_ppm"))),
+
     // Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009):
     // fuse the lexical BM25 top-50 (t19's scoring) with the semantic
     // cosine top-50 (s01's brute-force leg, query = embedding 0; the
@@ -224,6 +241,22 @@ object Queries60 {
     "q134s_deciles_scale" -> Queries32.oracleSql("q134_spend_deciles"),
     "d23_sorted_neighbors_scale" ->
       Queries12.oracleSql("d17_sorted_neighbors"),
+
+    // same type-1 rank definition, same integer ceil-div in ppm
+    "q194_quantiles_scale" ->
+      """WITH c AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderkey FROM orders),
+        |rk AS (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS r FROM c),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |p AS (SELECT unnest([250000, 500000, 750000, 900000, 990000])
+        |        AS p_ppm)
+        |SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm, rk.cents
+        |FROM p CROSS JOIN n JOIN rk
+        |  ON rk.r = GREATEST(1, (n.n * p.p_ppm + 999999) // 1000000)
+        |ORDER BY p_ppm""".stripMargin,
 
     // lexical leg = t19's exact BM25 replay (same literal arithmetic,
     // round(.,6)); semantic leg = s01's cosine replay; fusion = the same

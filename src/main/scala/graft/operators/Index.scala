@@ -80,4 +80,38 @@ object Index {
         .otherwise(lit(r) + expr(s"($idxCol - ${r * (q + 1)}) DIV $q")) + 1
     indexed.withColumn(bucketCol, bucket.cast("int")).drop(idxCol)
   }
+
+  /** EXACT discrete quantiles under a total order WITHOUT a global sort —
+    * the scale companion to approx_percentile when the answer must be
+    * exact AND reproducible: quantile p is the value at 1-based rank
+    * ceil(p·n) (the classic type-1 / percentile_disc definition), and
+    * the rank comes from [[withGlobalIndex]]'s range-partitioned index.
+    *
+    * Probabilities ride as EXACT ppm integers and the target rank is
+    * computed with integer ceil-division — no double ever touches a
+    * rank, so an oracle replaying `(n·p_ppm + 999999) DIV 1000000`
+    * agrees bit-for-bit (a float p·n landing an ulp above an integer
+    * would flip ceil). Output: one row per requested ppm,
+    * (p_ppm, quantile value); the rank lookup is a broadcast equi-join
+    * against a |ps|-row table — nothing funnels through one task.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: Column, tieCols: Seq[Column],
+                     pPpm: Seq[Long], numPartitions: Int = 32): DataFrame = {
+    require(pPpm.nonEmpty && pPpm.forall(p => p > 0L && p <= 1000000L),
+      s"exactQuantiles: probabilities must be ppm in (0, 1000000], got $pPpm")
+    val base = df.select(valueCol.as("v") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
+    val indexed = withGlobalIndex(
+        base, col("v") +: tieCols.indices.map(i => col(s"t$i")),
+        "idx", numPartitions)
+      .localCheckpoint() // one count job + one filtered read
+    val n = indexed.count()
+    require(n > 0, "exactQuantiles: empty input")
+    val ss = df.sparkSession
+    import ss.implicits._
+    val ranks = pPpm.map(p => (p, math.max(1L, (n * p + 999999L) / 1000000L)))
+    indexed.join(broadcast(ranks.toDF("p_ppm", "r")),
+                 col("idx") + 1 === col("r"))
+      .select(col("p_ppm"), col("v"))
+  }
 }
