@@ -99,7 +99,12 @@ object Bench {
     "d23_sorted_neighbors_scale", "s16_ann_ivf_warm", "m09_wav_energy",
     // hybrid RRF retrieval fusion, deterministic 64-register HLL, and
     // exact global quantiles with no single-task sort
-    "s17_hybrid_rrf", "q193_hll_distinct", "q194_quantiles_scale")
+    "s17_hybrid_rrf", "q193_hll_distinct", "q194_quantiles_scale",
+    // round-6 part 3: substring-span dedup (gram-keyed shuffles + per-doc
+    // interval union), distributed BPE training (6 rounds over the
+    // vocabulary), MAD outliers (two exact-quantile passes)
+    "d24_dup_substring", "d25_dup_span_coverage", "t56_bpe_merges",
+    "q195_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bpe, Dedup, Index}
+
+/** Round-6 queries, part 3: exact substring-span dedup (Lee et al. 2022 —
+  * duplicated k-token windows and their merged-span token coverage),
+  * distributed BPE merge training (Sennrich et al. 2016), and robust
+  * MAD outlier detection built on the range-partitioned exact-quantile
+  * path (no global sort anywhere). Oracle-parity conventions follow
+  * [[Queries]]' scaladoc; every query here is integer-valued end to end,
+  * so the DuckDB hash compare has no float-formatting hazard.
+  */
+object Queries61 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // Per-doc duplicated-window stats: a k-token window is duplicated
+    // when the identical window occurs in >= 2 distinct docs. The
+    // declared form shuffles gram STRINGS (SQL-replayable); the hashed
+    // production twin (xxhash64 keys, ~10x narrower shuffle) is pinned
+    // equal on real data by DedupSpanSpec.
+    "d24_dup_substring" -> ((s, d) =>
+      Dedup.duplicatedWindowStats(Tables.documents(s, d), "text", "doc_id",
+                                  k = 8)
+        .orderBy(col("doc_id"))),
+
+    // Merged maximal spans of duplicated windows -> per-doc duplicated-
+    // token coverage (the statistic Lee et al. cut on). Interval union
+    // via a per-document window (bounded by doc length); coverage ppm by
+    // integer DIV.
+    "d25_dup_span_coverage" -> ((s, d) =>
+      Dedup.duplicatedSpanCoverage(Tables.documents(s, d), "text", "doc_id",
+                                   k = 8)
+        .orderBy(col("doc_id"))),
+
+    // Six rounds of BPE merge training over the corpus vocabulary.
+    // Every round is one map-side-combined pair-count aggregate + a
+    // 1-row argmax collect; the merge table replays round-for-round in
+    // the oracle (see Bpe scaladoc for the #-wrapping determinism
+    // contract).
+    "t56_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 6)
+        .orderBy(col("round"))),
+
+    // Robust outliers: global median and MAD of order totals (cents)
+    // via TWO exact-quantile passes on the range-partitioned global
+    // rank (Index.exactQuantiles — no single-task sort), then per-
+    // priority outlier counts where |x - med| > 3*MAD. All integers.
+    "q195_mad_outliers" -> ((s, d) => {
+      val c = Tables.orders(s, d).select(
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("v"),
+        col("o_orderkey"), col("o_orderpriority"))
+      val med = Index.exactQuantiles(c, col("v"), Seq(col("o_orderkey")),
+                                     Seq(500000L))
+        .select(col("v").as("med_cents"))
+      val dev = c.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med_cents")).as("dv"), col("o_orderkey"))
+      val mad = Index.exactQuantiles(dev, col("dv"), Seq(col("o_orderkey")),
+                                     Seq(500000L))
+        .select(col("v").as("mad_cents"))
+      c.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(abs(col("v") - col("med_cents")) >
+                        lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+               .as("n_outliers"),
+             max(col("med_cents")).as("med_cents"),
+             max(col("mad_cents")).as("mad_cents"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  // words CTE shared by the substring-dedup oracles: identical
+  // tokenization to Expressions.WordWindows (lowercase, whitespace split)
+  private val wordsCte =
+    """w AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+', ' ',
+      |      'g')), '\S+') AS words
+      |  FROM documents)""".stripMargin
+
+  /** One oracle CTE chain per BPE round r: pair counts over round r-1's
+    * representations, the argmax (ORDER BY cnt DESC, pr — same
+    * tie-break), and the rewritten representations.
+    */
+  private def bpeRound(r: Int): String = {
+    val prev = s"w${r - 1}"
+    s"""p$r AS (
+       |  SELECT pr, SUM(f) AS cnt FROM (
+       |    SELECT unnest(list_transform(
+       |        generate_series(1, len(string_split(repr, ' ')) - 1),
+       |        i -> string_split(repr, ' ')[i] || ' ' ||
+       |             string_split(repr, ' ')[i + 1])) AS pr, f
+       |    FROM $prev) GROUP BY pr),
+       |b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
+       |w$r AS (
+       |  SELECT regexp_replace(repr, (SELECT pr FROM b$r),
+       |           (SELECT replace(pr, '# #', '') FROM b$r), 'g') AS repr, f
+       |  FROM $prev)""".stripMargin
+  }
+
+  private val bpeSql: String = {
+    val head =
+      """words AS (
+        |  SELECT w AS word, COUNT(*) AS f FROM (
+        |    SELECT unnest(regexp_extract_all(trim(regexp_replace(
+        |      lower(text), '\s+', ' ', 'g')), '\S+')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
+        |w0 AS (
+        |  SELECT array_to_string(list_transform(generate_series(1,
+        |      len(word)), i -> '#' || word[i:i] || '#'), ' ') AS repr, f
+        |  FROM words)""".stripMargin
+    "WITH " + (head +: (1 to 6).map(bpeRound)).mkString(",\n") +
+      "\nSELECT CAST(round AS BIGINT) AS round, replace(pr, '#', '') AS pair," +
+      "\n  replace(replace(pr, '# #', ''), '#', '') AS merged," +
+      "\n  CAST(cnt AS BIGINT) AS cnt\nFROM (" +
+      (1 to 6).map(r => s"SELECT $r AS round, pr, cnt FROM b$r")
+        .mkString(" UNION ALL ") +
+      ")\nORDER BY round"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "d24_dup_substring" ->
+      s"""WITH $wordsCte,
+         |win AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(words) - 7, 0)),
+         |      i -> array_to_string(words[i:i+7], ' '))) AS gram
+         |  FROM w),
+         |dup AS (SELECT gram FROM win GROUP BY gram
+         |        HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT win.doc_id, COUNT(*) AS n_windows,
+         |  COUNT(dup.gram) AS dup_windows
+         |FROM win LEFT JOIN dup ON win.gram = dup.gram
+         |GROUP BY win.doc_id ORDER BY doc_id""".stripMargin,
+
+    "d25_dup_span_coverage" ->
+      s"""WITH $wordsCte,
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(words) - 7, 0)),
+         |                   i -> i - 1) AS ss,
+         |    list_transform(generate_series(1, greatest(len(words) - 7, 0)),
+         |                   i -> array_to_string(words[i:i+7], ' ')) AS grams
+         |  FROM w),
+         |win AS (SELECT doc_id, unnest(ss) AS s, unnest(grams) AS gram FROM g),
+         |dup AS (SELECT gram FROM win GROUP BY gram
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |dw AS (SELECT win.doc_id, win.s, win.s + 8 AS e
+         |       FROM win JOIN dup ON win.gram = dup.gram),
+         |m AS (SELECT doc_id, s, e,
+         |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+         |      FROM dw),
+         |f AS (SELECT doc_id, s, e,
+         |        CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ns
+         |      FROM m),
+         |gr AS (SELECT doc_id, s, e,
+         |         SUM(ns) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |       FROM f),
+         |sp AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM gr
+         |       GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, SUM(e - s) AS covered, COUNT(*) AS n_spans
+         |        FROM sp GROUP BY doc_id),
+         |tok AS (SELECT doc_id, len(words) AS n_tokens FROM w)
+         |SELECT tok.doc_id, CAST(tok.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CAST(COALESCE(cov.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(CASE WHEN tok.n_tokens = 0 THEN 0
+         |       ELSE (COALESCE(cov.covered, 0) * 1000000) // tok.n_tokens
+         |       END AS BIGINT) AS covered_ppm
+         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+         |ORDER BY tok.doc_id""".stripMargin,
+
+    "t56_bpe_merges" -> bpeSql,
+
+    "q195_mad_outliers" ->
+      """WITH c AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey, o_orderpriority FROM orders),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, o_orderkey) AS r
+        |       FROM c),
+        |med AS (SELECT rk.v AS med FROM rk, n
+        |        WHERE rk.r = GREATEST(1, (n.n * 500000 + 999999) // 1000000)),
+        |dev AS (SELECT ABS(c.v - med.med) AS d, c.o_orderkey FROM c, med),
+        |rk2 AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, o_orderkey) AS r
+        |        FROM dev),
+        |mad AS (SELECT rk2.d AS mad FROM rk2, n
+        |        WHERE rk2.r = GREATEST(1, (n.n * 500000 + 999999) // 1000000))
+        |SELECT c.o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ABS(c.v - med.med) > 3 * mad.mad
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(med.med AS BIGINT) AS med_cents,
+        |  CAST(mad.mad AS BIGINT) AS mad_cents
+        |FROM c, med, mad
+        |GROUP BY c.o_orderpriority, med.med, mad.mad
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+}

@@ -367,6 +367,48 @@ object Expressions {
       copy(child = c)
   }
 
+  /** ALL k-token windows of normalized text, IN POSITION ORDER and WITH
+    * multiplicity — the positional sibling of [[WordShingles]] (which
+    * dedups). Feeds substring-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": a span duplicated
+    * across documents is found by matching exact k-token windows), where
+    * the window POSITION must survive so overlapping duplicated windows
+    * can later be merged into maximal spans. `posexplode` over this array
+    * yields (pos, window) with pos 0-based. Same one-pass rationale as
+    * [[WordShingles]].
+    */
+  case class WordWindows(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(StringType)
+    require(n >= 1, "window size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("winds", this, classOf[WordWindows].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($a);")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val words = splitLowerWords(v.asInstanceOf[UTF8String])
+      if (words.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](words.length - n + 1)
+        var i = 0
+        while (i + n <= words.length) {
+          val sb = new java.lang.StringBuilder(words(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Lowercased whitespace-split words (matches
     * `regexp_extract_all(lower(text), '\S+')` for ASCII + Unicode
     * whitespace handled by Character.isWhitespace).
@@ -831,6 +873,8 @@ object Expressions {
     Bridge.column(SentenceSplit(Bridge.expression(text)))
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+  def word_windows(text: Column, n: Int): Column =
+    Bridge.column(WordWindows(Bridge.expression(text), n))
   def minhash_band_keys(shingles: Column, bands: Int, rowsPerBand: Int,
                         seed: Long = 42L): Column =
     Bridge.column(

@@ -642,6 +642,119 @@ object Dedup {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Positional k-token windows: one row per window occurrence,
+    * `(id, pos, gram)` with pos 0-based. Shared front end of the
+    * substring-span dedup family below.
+    */
+  private def windowed(df: DataFrame, textCol: String, idCol: String,
+                       k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+              posexplode(Expressions.word_windows(col(textCol), k))
+                .as(Seq("pos", "gram")))
+
+  /** Exact substring-duplication statistics per document (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a window
+    * of `k` consecutive tokens is *duplicated* when the identical window
+    * occurs in ≥ 2 distinct documents. Returns one row per document with
+    * `n_windows` (total k-token positions) and `dup_windows` (positions
+    * whose window is cross-document duplicated) — all integers, so the
+    * result is bit-stable cross-engine.
+    *
+    * Scale shape: windows shuffle on the gram; the duplicated-gram set is
+    * a two-phase `count(distinct id)` aggregate (map-side partial on
+    * (gram, id)); the join back to positions is an equi-join on gram; the
+    * per-doc rollup shuffles on id. No step is quadratic and nothing
+    * funnels to one task. At 100 TB the gram strings dominate shuffle
+    * bytes — [[duplicatedWindowStatsHashed]] swaps them for a 64-bit
+    * xxhash key (same plan, ~10× narrower shuffle, collision odds
+    * |windows|²/2⁶⁵); the string form is the declared oracle query.
+    */
+  def duplicatedWindowStats(df: DataFrame, textCol: String, idCol: String,
+                            k: Int): DataFrame = {
+    val w = windowed(df, textCol, idCol, k)
+    val dup = w.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    w.join(dup.withColumn("__dup", lit(1)), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+           count(col("__dup")).as("dup_windows"))
+      .select(col("id").as(idCol), col("n_windows"), col("dup_windows"))
+  }
+
+  /** Shuffle-compacted twin of [[duplicatedWindowStats]]: grams travel as
+    * xxhash64 keys instead of k-token strings. Answer-identical absent a
+    * 64-bit collision (DedupSpanSpec pins equality on real data); the
+    * production default at corpus scale.
+    */
+  def duplicatedWindowStatsHashed(df: DataFrame, textCol: String,
+                                  idCol: String, k: Int): DataFrame = {
+    val w = windowed(df, textCol, idCol, k)
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gram"))
+    val dup = w.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    w.join(dup.withColumn("__dup", lit(1)), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+           count(col("__dup")).as("dup_windows"))
+      .select(col("id").as(idCol), col("n_windows"), col("dup_windows"))
+  }
+
+  /** Maximal duplicated-span coverage per document: overlapping duplicated
+    * k-token windows are merged into maximal spans (interval union), and
+    * the result counts the token positions covered by any such span —
+    * i.e. how many of the document's tokens sit inside text that also
+    * appears verbatim elsewhere. This is the statistic Lee et al. actually
+    * cut on (duplicated-token fraction), not the window count.
+    *
+    * Interval union without a per-doc UDF: sort each document's duplicated
+    * windows by position; a window opens a NEW span when its start exceeds
+    * the running max end (exclusive) of all earlier windows; spans are then
+    * `sum(end) - sum(start)` over span boundaries. The only window spec is
+    * partitioned BY DOCUMENT (bounded by doc length) — no global sort.
+    * `covered_ppm` = covered·10⁶ DIV tokens is an exact integer, so the
+    * output hash-matches cross-engine with no float formatting hazard.
+    */
+  def duplicatedSpanCoverage(df: DataFrame, textCol: String, idCol: String,
+                             k: Int): DataFrame = {
+    val w = windowed(df, textCol, idCol, k)
+    val dup = w.groupBy(col("gram"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("gram"))
+    val dupw = w.join(dup, Seq("gram"), "left_semi")
+      .select(col("id"), col("pos").as("s"), (col("pos") + k).as("e"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prior = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val spans = dupw
+      .withColumn("maxe", max(col("e")).over(prior))
+      .withColumn("new_span",
+        when(col("maxe").isNull.or(col("s") > col("maxe")), 1).otherwise(0))
+      .withColumn("grp", sum(col("new_span")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val covered = spans.groupBy(col("id"))
+      .agg(sum(col("e") - col("s")).as("covered"),
+           count(lit(1)).as("n_spans"))
+    // token count via word_windows(k=1): 0 for empty/whitespace-only text
+    // (a split-based size would report 1); ppm by integer DIV, not a
+    // double divide + cast, so no rounding can cross an integer boundary.
+    val toks = df.select(col(idCol).as("id"),
+      size(Expressions.word_windows(col(textCol), 1)).cast("long")
+        .as("n_tokens"))
+    toks.join(covered, Seq("id"), "left")
+      .withColumn("covered_tokens", coalesce(col("covered"), lit(0L)))
+      .select(col("id").as(idCol), col("n_tokens"), col("covered_tokens"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              when(col("n_tokens") === 0L, lit(0L))
+                .otherwise(expr("(covered_tokens * 1000000L) DIV n_tokens"))
+                .as("covered_ppm"))
+  }
+
   /** Embedding cosine near-duplicate pairs (brute force — the exact
     * baseline; see Similarity.lshNearDupPairs for the scale path).
     */
