@@ -104,7 +104,10 @@ object Bench {
     // interval union), distributed BPE training (6 rounds over the
     // vocabulary), MAD outliers (two exact-quantile passes)
     "d24_dup_substring", "d25_dup_span_coverage", "t56_bpe_merges",
-    "q195_mad_outliers")
+    "q195_mad_outliers",
+    // MMR diverse retrieval (k sequential argmax scans) and per-group
+    // exact quantiles on the grouped range-partitioned rank
+    "s18_mmr_select", "q196_group_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Index}
+import graft.operators.{Bpe, Dedup, Index, Similarity}
 
 /** Round-6 queries, part 3: exact substring-span dedup (Lee et al. 2022 —
   * duplicated k-token windows and their merged-span token coverage),
@@ -44,6 +44,14 @@ object Queries61 {
       Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 6)
         .orderBy(col("round"))),
 
+    // The encode side: segmentation the six learned merges induce on the
+    // 20 most frequent words — the final training round's representation
+    // IS the segmentation, so train/encode cannot drift.
+    "t57_bpe_segments" -> ((s, d) =>
+      Bpe.segmentWords(Tables.documents(s, d), "text", nMerges = 6,
+                       topN = 20)
+        .orderBy(desc("f"), asc("word"))),
+
     // Robust outliers: global median and MAD of order totals (cents)
     // via TWO exact-quantile passes on the range-partitioned global
     // rank (Index.exactQuantiles — no single-task sort), then per-
@@ -70,7 +78,33 @@ object Queries61 {
              max(col("med_cents")).as("med_cents"),
              max(col("mad_cents")).as("mad_cents"))
         .orderBy(col("o_orderpriority"))
-    })
+    }),
+
+    // Diversity-aware retrieval: MMR top-8 for query vector 0 with
+    // integer-quantized dot products — the greedy argmax chain is exact
+    // integer arithmetic end to end, so all 8 rounds hash-match the
+    // unrolled oracle (see Similarity.mmrSelect).
+    "s18_mmr_select" -> ((s, d) =>
+      Similarity.mmrSelect(Tables.embeddings(s, d), "vec_id", "embedding",
+                           queryId = 0L, k = 8)
+        .orderBy(col("rank"))),
+
+    // PER-GROUP exact quantiles (median + p90 of order cents per
+    // priority) via the grouped range-partitioned rank — the shape where
+    // Window.partitionBy(group) would funnel each group through one
+    // task. Same type-1 rank definition as q194/q195.
+    "q196_group_quantiles" -> ((s, d) =>
+      Index.exactGroupQuantiles(
+          Tables.orders(s, d),
+          groupCol = col("o_orderpriority"),
+          valueCol = (col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long"),
+          tieCols = Seq(col("o_orderkey")),
+          pPpm = Seq(500000L, 900000L),
+          groupName = "o_orderpriority")
+        .select(col("o_orderpriority"), col("p_ppm"),
+                col("v").as("cents"))
+        .orderBy(col("o_orderpriority"), col("p_ppm")))
   )
 
   // words CTE shared by the substring-dedup oracles: identical
@@ -97,12 +131,14 @@ object Queries61 {
        |    FROM $prev) GROUP BY pr),
        |b$r AS (SELECT pr, cnt FROM p$r ORDER BY cnt DESC, pr LIMIT 1),
        |w$r AS (
-       |  SELECT regexp_replace(repr, (SELECT pr FROM b$r),
+       |  SELECT word, regexp_replace(repr, (SELECT pr FROM b$r),
        |           (SELECT replace(pr, '# #', '') FROM b$r), 'g') AS repr, f
        |  FROM $prev)""".stripMargin
   }
 
-  private val bpeSql: String = {
+  // shared CTE prefix of the t56 (train) and t57 (encode) oracles: the
+  // vocabulary, the initial #-wrapped representations, and six rounds
+  private val bpeCtePrefix: String = {
     val head =
       """words AS (
         |  SELECT w AS word, COUNT(*) AS f FROM (
@@ -111,17 +147,68 @@ object Queries61 {
         |    FROM documents)
         |  WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),
         |w0 AS (
-        |  SELECT array_to_string(list_transform(generate_series(1,
+        |  SELECT word, array_to_string(list_transform(generate_series(1,
         |      len(word)), i -> '#' || word[i:i] || '#'), ' ') AS repr, f
         |  FROM words)""".stripMargin
-    "WITH " + (head +: (1 to 6).map(bpeRound)).mkString(",\n") +
+    "WITH " + (head +: (1 to 6).map(bpeRound)).mkString(",\n")
+  }
+
+  private val bpeSql: String =
+    bpeCtePrefix +
       "\nSELECT CAST(round AS BIGINT) AS round, replace(pr, '#', '') AS pair," +
       "\n  replace(replace(pr, '# #', ''), '#', '') AS merged," +
       "\n  CAST(cnt AS BIGINT) AS cnt\nFROM (" +
       (1 to 6).map(r => s"SELECT $r AS round, pr, cnt FROM b$r")
         .mkString(" UNION ALL ") +
       ")\nORDER BY round"
+
+  /** s18 oracle: the same greedy MMR chain, unrolled — round 1 is pure
+    * relevance; rounds 2..8 subtract 3× the max integer dot against the
+    * already-selected set. Identical quantization (double-widen, round,
+    * milli-units) and tie-break (score DESC, vec_id).
+    */
+  private val mmrSql: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    // round n references all rounds < n — inlining would re-expand the
+    // chain exponentially (2^8 copies of the dot-product scan)
+    val head =
+      """e AS MATERIALIZED (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |q AS MATERIALIZED (SELECT qv FROM e WHERE vec_id = 0),
+        |r AS MATERIALIZED (SELECT e.vec_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(e.qv)),
+        |      i -> e.qv[i] * q.qv[i])) AS BIGINT) AS rel, e.qv
+        |  FROM e, q WHERE e.vec_id <> 0),
+        |b1 AS MATERIALIZED (SELECT vec_id, qv, 7 * rel AS score FROM r
+        |       ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to 8).map { n =>
+      val sel = (1 until n).map(j => s"SELECT vec_id, qv FROM b$j")
+        .mkString(" UNION ALL ")
+      s"""sel$n AS MATERIALIZED ($sel),
+         |m$n AS MATERIALIZED (SELECT r.vec_id,
+         |    MAX(CAST(list_sum(list_transform(generate_series(1, len(r.qv)),
+         |      i -> r.qv[i] * s.qv[i])) AS BIGINT)) AS ms
+         |  FROM r CROSS JOIN sel$n s
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM sel$n)
+         |  GROUP BY r.vec_id),
+         |b$n AS MATERIALIZED (SELECT r.vec_id, r.qv, 7 * r.rel - 3 * m.ms AS score
+         |  FROM r JOIN m$n m ON r.vec_id = m.vec_id
+         |  ORDER BY score DESC, r.vec_id LIMIT 1)""".stripMargin
+    }
+    "WITH " + (head +: rounds).mkString(",\n") +
+      "\nSELECT CAST(rank AS BIGINT) AS rank, vec_id," +
+      " CAST(score AS BIGINT) AS score\nFROM (" +
+      (1 to 8).map(n => s"SELECT $n AS rank, vec_id, score FROM b$n")
+        .mkString(" UNION ALL ") +
+      ")\nORDER BY rank"
   }
+
+  private val bpeSegmentSql: String =
+    bpeCtePrefix +
+      "\nSELECT word, CAST(f AS BIGINT) AS f, replace(repr, '#', '') AS segments" +
+      "\nFROM w6 ORDER BY f DESC, word LIMIT 20"
 
   val oracleSql: Map[String, String] = Map(
     "d24_dup_substring" ->
@@ -178,6 +265,8 @@ object Queries61 {
          |ORDER BY tok.doc_id""".stripMargin,
 
     "t56_bpe_merges" -> bpeSql,
+    "t57_bpe_segments" -> bpeSegmentSql,
+    "s18_mmr_select" -> mmrSql,
 
     "q195_mad_outliers" ->
       """WITH c AS (SELECT
@@ -200,6 +289,22 @@ object Queries61 {
         |  CAST(mad.mad AS BIGINT) AS mad_cents
         |FROM c, med, mad
         |GROUP BY c.o_orderpriority, med.med, mad.mad
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q196_group_quantiles" ->
+      """WITH c AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+        |    o_orderkey FROM orders),
+        |rk AS (SELECT g, v,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, o_orderkey) AS r
+        |  FROM c),
+        |n AS (SELECT g, COUNT(*) AS n FROM c GROUP BY g),
+        |p AS (SELECT unnest([500000, 900000]) AS p_ppm)
+        |SELECT rk.g AS o_orderpriority, CAST(p.p_ppm AS BIGINT) AS p_ppm,
+        |  rk.v AS cents
+        |FROM p CROSS JOIN n
+        |JOIN rk ON rk.g = n.g
+        |  AND rk.r = GREATEST(1, (n.n * p.p_ppm + 999999) // 1000000)
+        |ORDER BY o_orderpriority, p_ppm""".stripMargin
   )
 }

@@ -40,15 +40,45 @@ object Bpe {
     * weighted adjacent occurrences at the time of the merge).
     */
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, s"learnMerges: nMerges $nMerges < 1")
-    val ss = df.sparkSession
+    val (merges, last, ss) = train(df, textCol, nMerges)
+    last.unpersist()
     import ss.implicits._
+    merges.toDF("round", "pair", "merged", "cnt")
+  }
+
+  /** The ENCODE side of the tokenizer: train `nMerges` merges, then
+    * return the segmentation the learned merges induce on the `topN`
+    * most frequent words — (word, f, segments), segments space-joined.
+    * The final round's representation IS the segmentation (strip the
+    * `#` wrapping), so train and encode cannot drift apart.
+    */
+  def segmentWords(df: DataFrame, textCol: String, nMerges: Int,
+                   topN: Int): DataFrame = {
+    val (_, last, _) = train(df, textCol, nMerges)
+    val out = last
+      .select(col("word"), col("f"),
+              translate(col("repr"), "#", "").as("segments"))
+      .orderBy(desc("f"), asc("word")).limit(topN)
+    val rows = out.collect() // bounded: topN rows; frees the persist below
+    last.unpersist()
+    val ss = df.sparkSession
+    ss.createDataFrame(ss.sparkContext.parallelize(rows.toSeq, 1), out.schema)
+  }
+
+  /** Shared training loop: returns the merge table, the PERSISTED final
+    * (word, repr, f) vocabulary (caller unpersists), and the session.
+    */
+  private def train(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame,
+         org.apache.spark.sql.SparkSession) = {
+    require(nMerges >= 1, s"train: nMerges $nMerges < 1")
+    val ss = df.sparkSession
     val words = df
       .select(explode(Expressions.word_windows(col(textCol), 1)).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("f"))
     // initial symbol sequence: one wrapped symbol per character
-    var cur = words.select(expr(
+    var cur = words.select(col("word"), expr(
         "array_join(transform(sequence(1, length(word)), " +
           "i -> concat('#', substring(word, i, 1), '#')), ' ')").as("repr"),
         col("f"))
@@ -85,7 +115,6 @@ object Bpe {
       }
       r += 1
     }
-    cur.unpersist()
-    merges.toSeq.toDF("round", "pair", "merged", "cnt")
+    (merges.toSeq, cur, ss)
   }
 }

@@ -114,4 +114,72 @@ object Index {
                  col("idx") + 1 === col("r"))
       .select(col("p_ppm"), col("v"))
   }
+
+  /** PER-GROUP exact discrete quantiles without a per-group global sort —
+    * the grouped companion to [[exactQuantiles]] for the common shape
+    * "few groups × continuous values" where `Window.partitionBy(group)`
+    * would funnel each group's entire value set through one task (the
+    * q151 scale-killer class, but for quantiles the distinct-value
+    * pre-aggregation trick does not bound the window input).
+    *
+    * Same two-phase range-partitioned rank as [[withGlobalIndex]], with
+    * the per-partition counts kept PER GROUP: range-partition on
+    * (group, value, ties), fetch the bounded (partition × group) count
+    * table to the driver, turn it into per-group cumulative offsets, and
+    * number rows with a window partitioned by (physical partition,
+    * group) — partition-local, never group-global. The rank lookup is a
+    * broadcast join against a |groups|·|ps|-row target table.
+    *
+    * Driver-side state is #partitions × #groups rows — the caller's
+    * contract is that the group count is bounded (priorities, flags,
+    * languages), the same bounded-side pattern as IVF centroids.
+    */
+  def exactGroupQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+                          tieCols: Seq[Column], pPpm: Seq[Long],
+                          groupName: String = "g",
+                          numPartitions: Int = 32): DataFrame = {
+    require(pPpm.nonEmpty && pPpm.forall(p => p > 0L && p <= 1000000L),
+      s"exactGroupQuantiles: probabilities must be ppm in (0, 1000000], got $pPpm")
+    val base = df.select(groupCol.as("g") +: valueCol.as("v") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
+    val sortCols = col("g") +: col("v") +:
+      tieCols.indices.map(i => col(s"t$i"))
+    val pid = "__graft_pid"
+    val parted = base
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint() // counted once, numbered once
+    val counts = parted.groupBy(col(pid), col("g")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    val ss = df.sparkSession
+    // per-group cumulative offsets over ascending physical partition id
+    val offRows = counts.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case ((p, g, _), off) => org.apache.spark.sql.Row(p, g, off) }
+    }
+    val gType = base.schema("g").dataType
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType}
+    val offDf = ss.createDataFrame(
+      ss.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(StructField(pid, IntegerType), StructField("g", gType),
+                     StructField("__off", LongType))))
+    val targets = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      val n = rows.map(_._3).sum
+      pPpm.map(p => org.apache.spark.sql.Row(
+        g, p, math.max(1L, (n * p + 999999L) / 1000000L)))
+    }
+    val tgtDf = ss.createDataFrame(
+      ss.sparkContext.parallelize(targets, 1),
+      StructType(Seq(StructField("g", gType), StructField("p_ppm", LongType),
+                     StructField("__r", LongType))))
+    val w = Window.partitionBy(col(pid), col("g"))
+      .orderBy((col("v") +: tieCols.indices.map(i => col(s"t$i"))).map(_.asc): _*)
+    parted
+      .join(broadcast(offDf), Seq(pid, "g"))
+      .withColumn("__rk", col("__off") + row_number().over(w))
+      .join(broadcast(tgtDf), Seq("g"))
+      .filter(col("__rk") === col("__r"))
+      .select(col("g").as(groupName), col("p_ppm"), col("v"))
+  }
 }

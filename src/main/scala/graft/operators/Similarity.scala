@@ -495,4 +495,65 @@ object Similarity {
       .select(col("vid").as("vec_id"), col("j").cast("long").as("j"),
               col("cid").as("code"))
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    * pick `k` results that balance relevance to the query against
+    * redundancy with what is already selected — the diversity-aware
+    * retrieval / training-example selection primitive. Round r picks
+    * `argmax 7·rel(d) − 3·max_{s∈selected} sim(d, s)` (λ = 0.7 scaled
+    * ×10 into integers).
+    *
+    * Exactness contract: vectors are quantized to integer milli-units
+    * with the established double-widen-then-round bridge (see s15), and
+    * every score is an INTEGER dot product — so the greedy argmax chain
+    * replays bit-for-bit in SQL with no float-tie hazard anywhere.
+    * Ties break on the smaller id.
+    *
+    * Scale shape: MMR is inherently sequential in k; each round is ONE
+    * distributed scan scoring all candidates against the ≤ k selected
+    * vectors (a broadcast-sized set) plus a 1-row argmax collect — the
+    * same bounded-driver pattern as IVF training. Cost O(k·|corpus|·d).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val ss = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> " +
+          "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .persist()
+    def dotLit(vec: Seq[Long]): Column = {
+      val arr = typedLit(vec)
+      aggregate(zip_with(col("qv"), arr, (a, b) => a * b),
+                lit(0L), (acc, x) => acc + x)
+    }
+    val qvec = base.filter(col("id") === queryId).select(col("qv"))
+      .collect() match {
+        case Array(r) => r.getSeq[Long](0)
+        case _ => throw new IllegalArgumentException(
+          s"mmrSelect: query id $queryId not found (or not unique)")
+      }
+    val cands = base.filter(col("id") =!= queryId)
+      .withColumn("rel", dotLit(qvec))
+      .persist()
+    cands.count()
+    base.unpersist()
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var selected = List.empty[(Long, Seq[Long])] // (id, qv)
+    for (r <- 1 to k) {
+      val remaining = selected.map(_._1).foldLeft(cands)(
+        (d, sid) => d.filter(col("id") =!= sid))
+      val score =
+        if (selected.isEmpty) lit(7L) * col("rel")
+        else lit(7L) * col("rel") - lit(3L) *
+          selected.map(s => dotLit(s._2)).reduce((a, b) => greatest(a, b))
+      val row = remaining.withColumn("score", score)
+        .orderBy(desc("score"), asc("id"))
+        .limit(1).select(col("id"), col("qv"), col("score")).collect()(0)
+      selected ::= (row.getLong(0), row.getSeq[Long](1))
+      picked += ((r.toLong, row.getLong(0), row.getLong(2)))
+    }
+    cands.unpersist()
+    import ss.implicits._
+    picked.toSeq.toDF("rank", idCol, "score")
+  }
 }

@@ -39,6 +39,28 @@ class Queries60Spec extends SparkSpec {
     assert(got(1000000L) == sortedVals.last)
   }
 
+  test("exactGroupQuantiles equals the per-group sorted-rank definition") {
+    val base = Tables.orders(spark, sf).select($"o_orderpriority",
+      $"o_orderkey",
+      ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val ps = Seq(1L, 500000L, 900000L, 1000000L)
+    val got = graft.operators.Index.exactGroupQuantiles(
+        base, $"o_orderpriority", $"cents", Seq($"o_orderkey"), ps,
+        groupName = "prio", numPartitions = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byGroup = base.orderBy($"cents", $"o_orderkey").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toSeq
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2) }
+    assert(byGroup.size >= 2, "fixture should have several groups")
+    for ((g, vals) <- byGroup; p <- ps) {
+      val rank = math.max(1L, (vals.length.toLong * p + 999999L) / 1000000L)
+      assert(got((g, p)) == vals((rank - 1).toInt),
+        s"group $g p_ppm=$p: got ${got((g, p))}")
+    }
+    assert(got.size == byGroup.size * ps.size)
+  }
+
   test("s17 RRF: fused score is the sum of the integer-div leg scores") {
     val rows = SparkEntry.queries("s17_hybrid_rrf")(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
