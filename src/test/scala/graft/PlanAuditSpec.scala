@@ -202,6 +202,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("substring-span dedup joins windows on the gram key — no cartesian") {
+    for (n <- Seq("d24_dup_substring", "d25_dup_span_coverage")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), n)
+      assert(!p.contains("BroadcastNestedLoopJoin"), n)
+      assert(!p.contains("Exchange SinglePartition"), n)
+    }
+  }
+
+  test("quantile-rank queries never funnel through one task") {
+    // q195 carries two BroadcastNestedLoopJoin Cross against broadcast
+    // 1-ROW aggregates (the med/mad attach — the accepted bounded-side
+    // pattern), so only the single-task marker is pinned there
+    for (n <- Seq("q195_mad_outliers", "q196_group_quantiles")) {
+      val p = plan(n)
+      assert(!p.contains("Exchange SinglePartition"), n)
+      assert(!p.contains("CartesianProduct"), n)
+    }
+    assert(!plan("q196_group_quantiles").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))
