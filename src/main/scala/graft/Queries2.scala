@@ -153,10 +153,10 @@ object Queries2 {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
-    // LSH-bucketed approximate ANN — the scale path of s01 (not
-    // SQL-expressible: seeded hyperplane signatures; rows-only check, the
-    // recall contract is pinned by DedupSimilaritySpec against s01's exact
-    // top-k on the same data)
+    // LSH-bucketed approximate ANN — the scale path of s01. Hash-matched
+    // against a full SQL replay (Queries61 inlines the seeded planes as
+    // literals); the recall contract is additionally pinned by
+    // DedupSimilaritySpec against s01's exact top-k on the same data
     "s02_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(
@@ -288,8 +288,10 @@ object Queries2 {
         |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
 
-    // s02_ann_lsh, t05_approx_sketches: no SQL oracle (seeded LSH planes /
-    // sketch internals) — rows-only check; bounds pinned in ScalaTest.
+    // s02_ann_lsh: oracled in Queries61 (the seeded planes are inlined
+    // as SQL literals). t05_approx_sketches: no SQL oracle (engine-
+    // opaque sketch internals) — rows-only check; bounds pinned in
+    // ScalaTest.
 
     // byte slicing expressed over the hex encoding (DuckDB's substring
     // does not operate on BLOBs): hex position (start-1)*2+1, 16 bytes =

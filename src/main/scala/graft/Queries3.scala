@@ -199,9 +199,10 @@ object Queries3 {
 
     // IVF-probed approximate ANN — the cell-probing scale path with a
     // deterministic 2-round spherical-k-means coarse quantizer (Lloyd
-    // rounds as codegen'd assign + decimal-mean agg; recall lift on
-    // clustered data pinned in Queries3Spec). Not SQL-expressible (argmax
-    // cell assignment over trained literals) — rows-only check.
+    // rounds as codegen'd assign + quantized-integer-mean agg; recall
+    // lift on clustered data pinned in Queries3Spec). Hash-matched
+    // against a full SQL replay (Queries61's ivfSql on the shared
+    // unrolled-Lloyd chain).
     "s03_ann_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.operators.Similarity.ivfTopK(
@@ -535,8 +536,8 @@ object Queries3 {
         |  round(list_sum(CAST(embedding[1:3] AS DOUBLE[])), 4) AS first3_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    // s03_ann_ivf: no SQL oracle (argmax cell assignment over literal
-    // centroids) — rows-only check; recall pinned in Queries3Spec.
+    // s03_ann_ivf: oracled in Queries61 (full IVF replay on the shared
+    // unrolled-Lloyd chain); recall also pinned in Queries3Spec.
 
     // sliding windows: each event belongs to the 4 15-min-grid starts in
     // (ts-1h, ts]; generated arithmetically on epoch microseconds

@@ -210,7 +210,99 @@ object Queries61 {
       "\nSELECT word, CAST(f AS BIGINT) AS f, replace(repr, '#', '') AS segments" +
       "\nFROM w6 ORDER BY f DESC, word LIMIT 20"
 
+  /** Full IVF-search replay: the s06 unrolled-Lloyd chain (now the SAME
+    * quantized-integer mean rule trainIvfCentroids uses) yields the
+    * trained centroids `c2` and the per-vector cell assignment `fin`;
+    * on top of that, per-query probe selection (top-nprobe cells by
+    * centroid cosine, ties to the smaller cell) and per-probed-cell
+    * candidate scoring with exact cosine top-k. Upgrades s03/s16 from
+    * rows-only checks to hash-match.
+    */
+  private def ivfSql(k: Int, nprobe: Int, nQueries: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    s"""WITH ${Queries9.kmeansCtes(k = 16, dim = 64, iters = 2,
+          "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings")},
+       |prq AS (SELECT vec_id AS query_id, v AS qv FROM ke
+       |        WHERE vec_id < $nQueries),
+       |csc AS (SELECT q.query_id, q.qv, c.cell,
+       |          ${cos("q.qv", "c.c")} AS score
+       |        FROM prq q, c2 c),
+       |prb AS (SELECT query_id, qv, cell FROM (
+       |          SELECT query_id, qv, cell, row_number() OVER (
+       |            PARTITION BY query_id ORDER BY score DESC, cell ASC)
+       |            AS rn
+       |          FROM csc) WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, f.vec_id AS neighbor_id,
+       |           ${cos("p.qv", "e.v")} AS cos
+       |         FROM prb p JOIN fin f ON f.cell = p.cell
+       |         JOIN ke e ON e.vec_id = f.vec_id
+       |         WHERE f.vec_id <> p.query_id),
+       |top AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+       |          AS rank
+       |        FROM cand)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(cos, 4) AS cos
+       |FROM top WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s02 oracle: the hyperplanes are seeded `java.util.Random` gaussians
+    * (Expressions.HyperplaneSigs) — not derivable IN SQL, but perfectly
+    * inlinable AS SQL: regenerate the identical doubles here (same seed,
+    * same fill order) and emit them as literals. `Double.toString` is
+    * round-trip exact in Java and DuckDB's parser is correctly rounded,
+    * so both engines hash the SAME planes; signatures, bucket joins, and
+    * the cosine top-k then replay exactly.
+    */
+  private val lshSql: String = {
+    val planeRows = (for {
+      t <- 0 until 8
+      planes = {
+        val rnd = new java.util.Random(7L + t)
+        Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      }
+      b <- 0 until 8
+    } yield s"($t, $b, [${planes(b).mkString(", ")}])").mkString(", ")
+    val cos = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    s"""WITH pl(tbl, bit, p) AS (VALUES $planeRows),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |     FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.tbl, pl.bit,
+       |          list_dot_product(e.v, pl.p) AS dot
+       |        FROM e CROSS JOIN pl),
+       |sig AS MATERIALIZED (SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << bit)
+       |              ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM dots GROUP BY vec_id, tbl),
+       |q AS (SELECT vec_id AS query_id, tbl, bucket FROM sig
+       |      WHERE vec_id < 10),
+       |cpair AS (SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+       |          FROM q JOIN sig s ON s.tbl = q.tbl AND s.bucket = q.bucket
+       |          WHERE s.vec_id <> q.query_id),
+       |sc AS (SELECT cp.query_id, cp.neighbor_id,
+       |         ${cos("qe.v", "ne.v")} AS cos
+       |       FROM cpair cp
+       |       JOIN e qe ON qe.vec_id = cp.query_id
+       |       JOIN e ne ON ne.vec_id = cp.neighbor_id),
+       |top AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |          PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)
+       |          AS rank
+       |        FROM sc)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |  round(cos, 4) AS cos
+       |FROM top WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // warm and cold IVF share one oracle: identical centroids by
+    // construction (deterministic training), so identical output
+    "s03_ann_ivf" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
+    "s16_ann_ivf_warm" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
+    "s02_ann_lsh" -> lshSql,
     "d24_dup_substring" ->
       s"""WITH $wordsCte,
          |win AS (

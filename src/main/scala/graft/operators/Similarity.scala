@@ -193,10 +193,12 @@ object Similarity {
     * literals — the corpus is never joined or re-shuffled for assignment),
     * explode to (cell, idx, value) and take the per-(cell, idx) mean. The
     * only driver-side data is the nlist×dim mean table per round — the
-    * bounded faiss-`train()` analogue. Means are accumulated as
-    * decimal(38,12) so the result is independent of partition order
-    * (double partial-aggregation would be order-sensitive and make the
-    * trained index nondeterministic across runs).
+    * bounded faiss-`train()` analogue. Means use [[kmeansTrain]]'s
+    * quantized-INTEGER rule (sum of round(x·10⁶) longs, divided once at
+    * the end): independent of partition order (a double partial-agg
+    * would be order-sensitive) AND replayable in SQL — the same rule
+    * the s06 oracle unrolls, which is what lets s03/s16 carry full
+    * DuckDB oracles instead of rows-only checks.
     *
     * Centroid means are NOT re-normalized: cell assignment is by cosine,
     * which is scale-invariant, so normalization would change nothing.
@@ -217,16 +219,17 @@ object Similarity {
         corpus.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
       else corpus
     for (_ <- 0 until iters) {
-      val means = sample
+      val sums = sample
         .select(centroidCell(centroids, col(vecCol)).as("cell"),
                 posexplode(col(vecCol)).as(Seq("idx", "x")))
         .groupBy(col("cell"), col("idx"))
-        .agg(avg(col("x").cast("decimal(38,12)")).as("m"))
+        .agg(sum(round(col("x") * lit(1000000.0), 0).cast("long")).as("q"),
+             count(lit(1)).as("n"))
         .collect() // bounded: ≤ nlist × dim rows
       val next = centroids.map(_.clone())
-      means.foreach { r =>
+      sums.foreach { r =>
         next(r.getInt(0) - 1)(r.getInt(1)) =
-          r.getDecimal(2).doubleValue().toFloat
+          (r.getLong(2).toDouble / r.getLong(3).toDouble / 1000000.0).toFloat
       }
       centroids = next
     }
