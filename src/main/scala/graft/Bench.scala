@@ -105,9 +105,10 @@ object Bench {
     // vocabulary), MAD outliers (two exact-quantile passes)
     "d24_dup_substring", "d25_dup_span_coverage", "t56_bpe_merges",
     "q195_mad_outliers",
-    // MMR diverse retrieval (k sequential argmax scans) and per-group
-    // exact quantiles on the grouped range-partitioned rank
-    "s18_mmr_select", "q196_group_quantiles")
+    // MMR diverse retrieval (k sequential argmax scans), per-group
+    // exact quantiles on the grouped range-partitioned rank, and the
+    // streamed bucketed median (2 forced micro-batches of grid state)
+    "s18_mmr_select", "q196_group_quantiles", "e32_stream_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -210,6 +210,11 @@ object Queries32 {
     // health-check that catches boilerplate floods (slope → 0) and
     // truncated vocabularies (slope ≪ −1).
     "t32_zipf_slope" -> ((s, d) => {
+      // top-200 via orderBy().limit() — TakeOrderedAndProject, a
+      // DISTRIBUTED partial top-k — instead of ranking the full
+      // vocabulary through one window task; the 200-row rank window
+      // after the cut is bounded by construction. Output identical:
+      // same (c DESC, tok) total order decides both the cut and r.
       val w = Window.orderBy(col("c").desc, col("tok"))
       Tables.documents(s, d)
         .select(explode(split(
@@ -217,8 +222,9 @@ object Queries32 {
           .as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok"))
+        .limit(200)
         .withColumn("r", row_number().over(w))
-        .filter(col("r") <= 200)
         .agg(round(expr("regr_slope(ln(c), ln(r))"), 4).as("zipf_slope"),
              round(expr("regr_r2(ln(c), ln(r))"), 4).as("r2"),
              count(lit(1)).as("n_tokens"))

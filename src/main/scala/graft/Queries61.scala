@@ -80,6 +80,19 @@ object Queries61 {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Streaming exact bucketed median: a Complete-mode streaming agg
+    // holds one state row per (event_type, cents bucket) across two
+    // forced micro-batches; the median is recovered from the final
+    // grid by cumulative rank (see Streams.streamedBucketMedian).
+    "e32_stream_median" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_e32_").toString
+      graft.streaming.Streams.streamedBucketMedian(
+          s, s"$d/events.parquet", work,
+          s"graft_e32_sink_${System.nanoTime}")
+        .orderBy(col("event_type"))
+    }),
+
     // Diversity-aware retrieval: MMR top-8 for query vector 0 with
     // integer-quantized dot products — the greedy argmax chain is exact
     // integer arithmetic end to end, so all 8 rounds hash-match the
@@ -303,6 +316,26 @@ object Queries61 {
     "s03_ann_ivf" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
     "s16_ann_ivf_warm" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
     "s02_ann_lsh" -> lshSql,
+
+    // the batch replay of the streamed count grid: same cents
+    // quantization, same type-1 rank (n+1) DIV 2 over the cumulative
+    // bucket counts
+    "e32_stream_median" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS b
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, COUNT(*) AS n FROM c GROUP BY event_type),
+        |bc AS (SELECT event_type, b, COUNT(*) AS cnt FROM c
+        |       GROUP BY event_type, b),
+        |cum AS (SELECT event_type, b,
+        |          SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum
+        |        FROM bc)
+        |SELECT n.event_type, CAST(n.n AS BIGINT) AS n_events,
+        |  CAST(MIN(cum.b) AS BIGINT) AS med_cents
+        |FROM n JOIN cum ON cum.event_type = n.event_type
+        |WHERE cum.cum >= (n.n + 1) // 2
+        |GROUP BY n.event_type, n.n
+        |ORDER BY n.event_type""".stripMargin,
     "d24_dup_substring" ->
       s"""WITH $wordsCte,
          |win AS (

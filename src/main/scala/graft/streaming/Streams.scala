@@ -728,6 +728,68 @@ object Streams {
     * streaming queries in one session; concurrent callers must clone the
     * session (`spark.newSession()`) so conf scoping is per-query.
     */
+  /** Streaming per-key EXACT bucketed median — the q151 distinct-value
+    * trick, streamed: a Complete-mode streaming aggregation maintains one
+    * state row per (key, value bucket), and the median is recovered from
+    * the final count grid by cumulative rank — exact type-1 median of the
+    * bucketed distribution, all integers.
+    *
+    * The fixture is split into TWO parquet files and streamed with
+    * `maxFilesPerTrigger = 1`, so the counts MUST accumulate across ≥ 2
+    * real micro-batches in the state store (asserted on the query
+    * progress) — a single-batch run would be a batch job in disguise.
+    *
+    * Scale contract: state is bounded by |keys| × |bucket grid|, NOT by
+    * stream length — the grid coarseness (cents here; dollars, $10 bins
+    * at higher cardinality) is the knob that trades median resolution
+    * for state size. The final cumulative window runs per key over that
+    * same bounded grid, never over the stream.
+    */
+  def streamedBucketMedian(spark: SparkSession, eventsPath: String,
+                           workDir: String, sinkName: String,
+                           statePartitions: Int = 4): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    val src = new java.io.File(workDir, "src")
+    val batch = spark.read.parquet(eventsPath)
+    for (half <- 0 to 1) {
+      val tmp = new java.io.File(workDir, s"half$half")
+      batch.filter(pmod(xxhash64(col("event_id")), lit(2)) === half)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1, s"streamedBucketMedian: ${part.length} parts")
+      linkInto(src, s"half$half.parquet", part(0))
+    }
+    val ev = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val counts = ev.filter(col("value").isNotNull)
+      .select(col("event_type"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 2,
+      s"streamedBucketMedian: expected >= 2 data micro-batches, got $dataBatches")
+    val bc = spark.table(sinkName)
+    // cum + total as two windows over ONE partitioning (no self-join —
+    // a memory-sink self-join trips conflicting-attribute analysis, and
+    // the join would be a second shuffle anyway); both windows span the
+    // bounded bucket grid per key, never the stream
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    bc.withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bucket"))))
+      .withColumn("n", sum(col("cnt")).over(byKey))
+      .filter(col("cum") >= expr("(n + 1) DIV 2"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), min(col("bucket")).as("med_cents"))
+  }
+
   /** Symlink `target` as `dir/name`, replacing any existing entry — a
     * reused workDir must not throw FileAlreadyExistsException on the
     * second run. */
