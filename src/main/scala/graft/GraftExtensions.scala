@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => { arity("graft_word_shingles", args, 2, 2)
         WordShingles(args(0), intArg(args(1), "graft_word_shingles", 2)) })
 
+    register("graft_word_windows",
+      "graft_word_windows(text, n) - positional word n-gram windows " +
+        "(in order, with multiplicity)",
+      args => { arity("graft_word_windows", args, 2, 2)
+        WordWindows(args(0), intArg(args(1), "graft_word_windows", 2)) })
+
     register("graft_simhash64",
       "graft_simhash64(tokens) - 64-bit SimHash of a token array",
       args => { arity("graft_simhash64", args, 1, 1); SimHash64(args(0)) })

@@ -80,6 +80,14 @@ object Queries61 {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Tokenize the corpus under the trained merges: per-doc subword
+    // budget (the "how many tokens is my corpus" question) + OOV words;
+    // vocabulary broadcast, corpus never shuffles on the word.
+    "t58_bpe_token_counts" -> ((s, d) =>
+      Bpe.tokenCounts(Tables.documents(s, d), "text", "doc_id",
+                      nMerges = 6)
+        .orderBy(col("doc_id"))),
+
     // Streaming exact bucketed median: a Complete-mode streaming agg
     // holds one state row per (event_type, cents bucket) across two
     // forced micro-batches; the median is recovered from the final
@@ -391,6 +399,22 @@ object Queries61 {
 
     "t56_bpe_merges" -> bpeSql,
     "t57_bpe_segments" -> bpeSegmentSql,
+
+    // per-doc subtoken budget from the same trained chain: w6's
+    // representation length per word, summed over each doc's words
+    "t58_bpe_token_counts" -> (bpeCtePrefix +
+      """,
+        |voc AS (SELECT word, len(string_split(repr, ' ')) AS st FROM w6),
+        |dw AS (SELECT doc_id, unnest(regexp_extract_all(trim(
+        |         regexp_replace(lower(text), '\s+', ' ', 'g')), '\S+'))
+        |         AS word
+        |       FROM documents)
+        |SELECT dw.doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(COALESCE(voc.st, 0)) AS BIGINT) AS n_subtokens,
+        |  CAST(SUM(CASE WHEN voc.word IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_oov
+        |FROM dw LEFT JOIN voc ON dw.word = voc.word
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin),
     "s18_mmr_select" -> mmrSql,
 
     "q195_mad_outliers" ->

@@ -65,6 +65,32 @@ object Bpe {
     ss.createDataFrame(ss.sparkContext.parallelize(rows.toSeq, 1), out.schema)
   }
 
+  /** Tokenize the corpus with the trained merges: per document, the
+    * number of BPE subword tokens its in-alphabet words segment into
+    * (the "how many tokens is my corpus under this tokenizer" budget
+    * question), plus the count of out-of-alphabet words. The vocabulary
+    * rides a broadcast join — Heaps-sublinear in corpus bytes — so the
+    * corpus itself never shuffles on the word.
+    */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String,
+                  nMerges: Int): DataFrame = {
+    val (_, last, _) = train(df, textCol, nMerges)
+    val vocab = last
+      .select(col("word"),
+              expr("size(split(repr, ' '))").cast("long").as("subtoks"))
+      .localCheckpoint() // materialize the bounded vocab, then free the
+    last.unpersist()     // training chain
+    val words = df.select(col(idCol).as("id"),
+      explode(Expressions.word_windows(col(textCol), 1)).as("word"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+           sum(coalesce(col("subtoks"), lit(0L))).as("n_subtokens"),
+           sum(when(col("subtoks").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("id").as(idCol), col("n_words"), col("n_subtokens"),
+              col("n_oov"))
+  }
+
   /** Shared training loop: returns the merge table, the PERSISTED final
     * (word, repr, f) vocabulary (caller unpersists), and the session.
     */

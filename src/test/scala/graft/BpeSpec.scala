@@ -44,4 +44,18 @@ class BpeSpec extends SparkSpec {
     val got = run(Seq("a-b a-b A-B aa aa"), 1)
     assert(got == Seq((1L, "a a", "aa", 2L)))
   }
+
+  test("tokenCounts: per-doc subword budget under the trained merges") {
+    // nMerges=2 learns (l,o) then (lo,w): low -> 1 token, lower -> 3
+    // ("low","e","r"); "a-b" is outside the training alphabet -> OOV
+    val df = Seq((1L, "low low lower"), (2L, "a-b low"))
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenCounts(df, "text", "doc_id", nMerges = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, 5L, 0L),  // low(1) + low(1) + lower(3)
+      (2L, 2L, 1L, 1L))) // a-b OOV + low(1)
+  }
 }
