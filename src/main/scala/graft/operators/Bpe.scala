@@ -40,8 +40,9 @@ object Bpe {
     * weighted adjacent occurrences at the time of the merge).
     */
   def learnMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    val (merges, last, ss) = train(df, textCol, nMerges)
-    last.unpersist()
+    val (merges, _, cleanup) = train(df, textCol, nMerges)
+    cleanup()
+    val ss = df.sparkSession
     import ss.implicits._
     merges.toDF("round", "pair", "merged", "cnt")
   }
@@ -54,13 +55,13 @@ object Bpe {
     */
   def segmentWords(df: DataFrame, textCol: String, nMerges: Int,
                    topN: Int): DataFrame = {
-    val (_, last, _) = train(df, textCol, nMerges)
+    val (_, last, cleanup) = train(df, textCol, nMerges)
     val out = last
       .select(col("word"), col("f"),
               translate(col("repr"), "#", "").as("segments"))
       .orderBy(desc("f"), asc("word")).limit(topN)
-    val rows = out.collect() // bounded: topN rows; frees the persist below
-    last.unpersist()
+    val rows = out.collect() // bounded: topN rows; frees the persists below
+    cleanup()
     val ss = df.sparkSession
     ss.createDataFrame(ss.sparkContext.parallelize(rows.toSeq, 1), out.schema)
   }
@@ -74,12 +75,12 @@ object Bpe {
     */
   def tokenCounts(df: DataFrame, textCol: String, idCol: String,
                   nMerges: Int): DataFrame = {
-    val (_, last, _) = train(df, textCol, nMerges)
+    val (_, last, cleanup) = train(df, textCol, nMerges)
     val vocab = last
       .select(col("word"),
               expr("size(split(repr, ' '))").cast("long").as("subtoks"))
       .localCheckpoint() // materialize the bounded vocab, then free the
-    last.unpersist()     // training chain
+    cleanup()            // training chain
     val words = df.select(col(idCol).as("id"),
       explode(Expressions.word_windows(col(textCol), 1)).as("word"))
     words.join(broadcast(vocab), Seq("word"), "left")
@@ -92,13 +93,19 @@ object Bpe {
   }
 
   /** Shared training loop: returns the merge table, the PERSISTED final
-    * (word, repr, f) vocabulary (caller unpersists), and the session.
+    * (word, repr, f) vocabulary, and a cleanup thunk releasing every
+    * persist still held (call it once the result is consumed).
+    *
+    * One Spark job per round: the argmax collect of round r materializes
+    * round r's persisted representation as a side effect, so no explicit
+    * count() jobs are needed — round r-1's cache is released only AFTER
+    * round r is materialized (unpersisting earlier would force the next
+    * evaluation to replay the whole regex chain from the un-persisted
+    * vocabulary scan).
     */
   private def train(df: DataFrame, textCol: String, nMerges: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame,
-         org.apache.spark.sql.SparkSession) = {
+      : (Seq[(Long, String, String, Long)], DataFrame, () => Unit) = {
     require(nMerges >= 1, s"train: nMerges $nMerges < 1")
-    val ss = df.sparkSession
     val words = df
       .select(explode(Expressions.word_windows(col(textCol), 1)).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
@@ -109,7 +116,7 @@ object Bpe {
           "i -> concat('#', substring(word, i, 1), '#')), ' ')").as("repr"),
         col("f"))
       .persist()
-    cur.count()
+    var prev: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -122,8 +129,12 @@ object Bpe {
           "i -> concat(element_at(split(repr, ' '), i), ' ', " +
           "element_at(split(repr, ' '), i + 1))) END")).as("pr"),
         col("f"))
+      // this collect materializes `cur`'s persist — only now is it safe
+      // to release the PREVIOUS round's cache
       val best = pairs.groupBy(col("pr")).agg(sum(col("f")).as("cnt"))
         .orderBy(desc("cnt"), asc("pr")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = None
       if (best.isEmpty) exhausted = true
       else {
         val pr = best(0).getString(0)
@@ -135,12 +146,13 @@ object Bpe {
             regexp_replace(col("repr"),
               lit(java.util.regex.Pattern.quote(pr)), lit(mergedWrapped)))
           .persist()
-        next.count()
-        cur.unpersist()
+        prev = Some(cur)
         cur = next
       }
       r += 1
     }
-    (merges.toSeq, cur, ss)
+    val last = cur
+    val held = prev
+    (merges.toSeq, last, () => { held.foreach(_.unpersist()); last.unpersist() })
   }
 }
