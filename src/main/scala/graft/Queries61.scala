@@ -35,6 +35,26 @@ object Queries61 {
                                    k = 8)
         .orderBy(col("doc_id"))),
 
+    // Incremental near-dup: the MinHash band index of the "existing"
+    // corpus (doc_id < 400) is WRITTEN TO PARQUET and read back — the
+    // persisted-index production shape — then only the "new" batch
+    // (doc_id >= 400) is banded and joined against it. d03's 64x4 band
+    // geometry, exact-Jaccard verification, exact SQL oracle.
+    "d26_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") < 400)
+      val nw = docs.filter(col("doc_id") >= 400)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_d26_idx_").toString
+      Dedup.minhashBandIndex(old, "text", "doc_id", n = 5,
+                             bands = 64, rowsPerBand = 4)
+        .write.mode("overwrite").parquet(idxDir)
+      Dedup.incrementalNearDupPairs(
+          old, s.read.parquet(idxDir), nw, "text", "doc_id",
+          n = 5, threshold = 0.7, bands = 64, rowsPerBand = 4)
+        .orderBy(col("old_id"), col("new_id"))
+    }),
+
     // Six rounds of BPE merge training over the corpus vocabulary.
     // Every round is one map-side-combined pair-count aggregate + a
     // 1-row argmax collect; the merge table replays round-for-round in
@@ -399,6 +419,15 @@ object Queries61 {
 
     "t56_bpe_merges" -> bpeSql,
     "t57_bpe_segments" -> bpeSegmentSql,
+
+    // exact-Jaccard truth restricted to (old < 400) x (new >= 400) pairs
+    // — old ids sort below new ids, so jaccardCtes' id_a < id_b pair
+    // orientation already matches (old_id, new_id)
+    "d26_incremental_neardup" ->
+      s"""WITH ${ExtensionQueries.jaccardCtes}
+         |SELECT id_a AS old_id, id_b AS new_id, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.7 AND id_a < 400 AND id_b >= 400
+         |ORDER BY old_id, new_id""".stripMargin,
 
     // per-doc subtoken budget from the same trained chain: w6's
     // representation length per word, summed over each doc's words

@@ -360,6 +360,68 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Persistable MinHash band index of a corpus: one row per (id, band,
+    * bucket) — the artifact a production dedup pipeline writes to parquet
+    * ONCE and then joins every incoming batch against, instead of
+    * re-banding the full corpus per batch. Feed to
+    * [[incrementalNearDupPairs]].
+    */
+  def minhashBandIndex(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, bands: Int = 16,
+                       rowsPerBand: Int = 8): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+              posexplode(
+                Expressions.minhash_band_keys(col("sh"), bands, rowsPerBand))
+                .as(Seq("band", "bucket")))
+
+  /** INCREMENTAL near-dup detection: find τ-similar (new, old) pairs by
+    * banding ONLY the new batch and joining its band keys against a
+    * prebuilt [[minhashBandIndex]] — the index-reuse production shape
+    * (the corpus is touched just to fetch shingles for the few verified
+    * candidates, never re-banded). Output and guarantees match
+    * [[minhashLshPairs]] restricted to new×old pairs: candidates from
+    * band-bucket collisions, then EXACT Jaccard verification, so the
+    * oracle is the plain exact-Jaccard SQL (a τ ≥ 0.7 pair escapes
+    * 16×8 banding with probability (1−0.7⁸)^16 ≈ 0.38 — use the d03
+    * geometry (64×4: miss 2e-8) when recall matters more than band
+    * count; the declared d26 query does).
+    */
+  def incrementalNearDupPairs(corpus: DataFrame, index: DataFrame,
+                              newDocs: DataFrame, textCol: String,
+                              idCol: String, n: Int, threshold: Double,
+                              bands: Int = 16,
+                              rowsPerBand: Int = 8): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+        .filter(size(col("sh")) > 0)
+    val newSh = shingled(newDocs).persist()
+    val newBanded = newSh.select(col("id"),
+      posexplode(
+        Expressions.minhash_band_keys(col("sh"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val candidates = newBanded.as("a")
+      .join(index.withColumnRenamed("id", "old_id").as("b"),
+            col("a.band") === col("b.band") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") =!= col("old_id"))
+      .select(col("old_id"), col("a.id").as("new_id"))
+      .dropDuplicates("old_id", "new_id")
+    candidates
+      .join(shingled(corpus).select(col("id").as("old_id"),
+                                    col("sh").as("sh_a")), Seq("old_id"))
+      .join(newSh.select(col("id").as("new_id"), col("sh").as("sh_b")),
+            Seq("new_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("old_id"), col("new_id"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** SimHash sketch per document: (id, simhash). Near-dup candidates are
     * pairs within small Hamming distance; [[simhashPairs]] joins on rotated
     * prefix blocks so only documents agreeing on one of the 4 16-bit blocks

@@ -133,6 +133,9 @@ object Index {
     * Driver-side state is #partitions × #groups rows — the caller's
     * contract is that the group count is bounded (priorities, flags,
     * languages), the same bounded-side pattern as IVF centroids.
+    * Group values must be NON-NULL: the offset/target lookups are
+    * equi-joins, and SQL null-equality would silently drop a null
+    * group's rows (enforced below).
     */
   def exactGroupQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
                           tieCols: Seq[Column], pPpm: Seq[Long],
@@ -151,6 +154,9 @@ object Index {
       .localCheckpoint() // counted once, numbered once
     val counts = parted.groupBy(col(pid), col("g")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(counts.forall(_._2 != null),
+      "exactGroupQuantiles: null group values are not supported " +
+        "(the rank lookup is an equi-join — null groups would be dropped)")
     val ss = df.sparkSession
     // per-group cumulative offsets over ascending physical partition id
     val offRows = counts.groupBy(_._2).toSeq.flatMap { case (_, rows) =>

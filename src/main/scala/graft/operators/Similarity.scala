@@ -542,18 +542,24 @@ object Similarity {
     base.unpersist()
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var selected = List.empty[(Long, Seq[Long])] // (id, qv)
-    for (r <- 1 to k) {
+    var r = 1
+    var drained = false
+    while (r <= k && !drained) {
       val remaining = selected.map(_._1).foldLeft(cands)(
         (d, sid) => d.filter(col("id") =!= sid))
       val score =
         if (selected.isEmpty) lit(7L) * col("rel")
         else lit(7L) * col("rel") - lit(3L) *
           selected.map(s => dotLit(s._2)).reduce((a, b) => greatest(a, b))
-      val row = remaining.withColumn("score", score)
+      val rows = remaining.withColumn("score", score)
         .orderBy(desc("score"), asc("id"))
-        .limit(1).select(col("id"), col("qv"), col("score")).collect()(0)
-      selected ::= (row.getLong(0), row.getSeq[Long](1))
-      picked += ((r.toLong, row.getLong(0), row.getLong(2)))
+        .limit(1).select(col("id"), col("qv"), col("score")).collect()
+      if (rows.isEmpty) drained = true // k > |candidates|: stop early
+      else {
+        selected ::= (rows(0).getLong(0), rows(0).getSeq[Long](1))
+        picked += ((r.toLong, rows(0).getLong(0), rows(0).getLong(2)))
+      }
+      r += 1
     }
     cands.unpersist()
     import ss.implicits._

@@ -55,6 +55,22 @@ class DedupSpanSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("incremental near-dup equals the full LSH pass restricted to new x old") {
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter($"doc_id" < 400)
+    val nw = docs.filter($"doc_id" >= 400)
+    val idx = Dedup.minhashBandIndex(old, "text", "doc_id", n = 5,
+                                     bands = 64, rowsPerBand = 4)
+    val inc = Dedup.incrementalNearDupPairs(old, idx, nw, "text", "doc_id",
+        n = 5, threshold = 0.7, bands = 64, rowsPerBand = 4)
+      .orderBy($"old_id", $"new_id").collect().map(_.toSeq).toSeq
+    val full = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        n = 5, threshold = 0.7, bands = 64, rowsPerBand = 4)
+      .filter($"id_a" < 400 && $"id_b" >= 400)
+      .orderBy($"id_a", $"id_b").collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty && inc == full)
+  }
+
   test("word_windows: positional, with multiplicity, empty below k") {
     val w = fixture.select($"doc_id",
         graft.functions.Expressions.word_windows($"text", 8).as("w"))
