@@ -121,6 +121,19 @@ object Queries61 {
         .orderBy(col("event_type"))
     }),
 
+    // PQ asymmetric-distance search: per-query distance tables over the
+    // s13 codebook, ADC = exact integer sum of micro-unit entries
+    // selected by the stored codes — the search half of PQ, completing
+    // s13 the way ivfSql completed s03 (Similarity.pqAdcTopK).
+    "s19_pq_adc" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(
+          corpus = e, queries = e.filter(col("vec_id") < 10),
+          idCol = "vec_id", vecCol = "embedding",
+          dim = 64, numSub = 8, k = 16, topK = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Diversity-aware retrieval: MMR top-8 for query vector 0 with
     // integer-quantized dot products — the greedy argmax chain is exact
     // integer arithmetic end to end, so all 8 rounds hash-match the
@@ -344,6 +357,49 @@ object Queries61 {
     "s03_ann_ivf" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
     "s16_ann_ivf_warm" -> ivfSql(k = 5, nprobe = 4, nQueries = 10),
     "s02_ann_lsh" -> lshSql,
+
+    // s13's code-assignment CTEs + per-query integer distance tables +
+    // the ADC sum — SELECTed codes via equi-join on (j, code)
+    "s19_pq_adc" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |sub AS MATERIALIZED (
+        |  SELECT vec_id, j, emb[j*8+1 : j*8+8] AS s
+        |  FROM e, (SELECT unnest(generate_series(0, 7)) AS j) js),
+        |cent AS MATERIALIZED (SELECT vec_id AS cid, j, s AS cs
+        |       FROM sub WHERE vec_id < 16),
+        |dq AS (SELECT v.vec_id, v.j, c.cid,
+        |        ROUND(list_sum(list_transform(generate_series(1, 8),
+        |          i -> (v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]))), 6)
+        |          AS dist
+        |      FROM sub v JOIN cent c USING (j)),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+        |                         ORDER BY dist, cid) AS rn
+        |    FROM dq) WHERE rn = 1),
+        |dt AS MATERIALIZED (
+        |  SELECT q.vec_id AS query_id, q.j, c.cid,
+        |    CAST(ROUND(list_sum(list_transform(generate_series(1, 8),
+        |      i -> (q.s[i] - c.cs[i]) * (q.s[i] - c.cs[i]))) * 1000000.0)
+        |      AS BIGINT) AS d
+        |  FROM sub q JOIN cent c USING (j)
+        |  WHERE q.vec_id < 10),
+        |adc AS (
+        |  SELECT dt.query_id, codes.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+        |  FROM codes JOIN dt ON codes.j = dt.j AND codes.code = dt.cid
+        |  WHERE codes.vec_id <> dt.query_id
+        |  GROUP BY dt.query_id, codes.vec_id)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+        |  vec_id AS neighbor_id, adc
+        |FROM (SELECT query_id, vec_id, adc,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |                           ORDER BY adc, vec_id) AS rank
+        |      FROM adc)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // the batch replay of the streamed count grid: same cents
     // quantization, same type-1 rank (n+1) DIV 2 over the cumulative

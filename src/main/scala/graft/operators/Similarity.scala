@@ -499,6 +499,60 @@ object Similarity {
               col("cid").as("code"))
   }
 
+  /** PQ asymmetric-distance search (the ADC half of Jégou et al. 2011):
+    * per query, one L2² distance-table row per (subspace, codebook
+    * entry) — numSub × k values, the classic ADC lookup table — and the
+    * approximate distance of a corpus vector is the SUM of table entries
+    * selected by its stored PQ codes. The corpus is touched only through
+    * its code table ([[pqCodes]] — at scale a stored artifact ~numSub
+    * bytes/vector); the distance tables ride a broadcast.
+    *
+    * Distance-table entries are quantized to integer micro-units, so the
+    * ADC sum is EXACT integer arithmetic — partial-aggregation order
+    * cannot flip a ranking tie (a double sum across 8 partitions would),
+    * and the whole search replays in SQL.
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, dim: Int, numSub: Int,
+                k: Int, topK: Int): DataFrame = {
+    val subLen = dim / numSub
+    val codes = pqCodes(corpus, idCol, vecCol, dim, numSub, k)
+    val e = corpus.select(col(idCol).cast("long").as("vid"),
+                          col(vecCol).cast("array<double>").as("emb"))
+    val cents = e.filter(col("vid") < k)
+      .select(col("vid").as("cid"), explode(expr(
+          s"transform(sequence(0, ${numSub - 1}), " +
+          s"j -> struct(j AS j, slice(emb, j * $subLen + 1, $subLen) AS sub))"))
+        .as("x"))
+      .select(col("cid"), col("x.j").as("j"), col("x.sub").as("csub"))
+    val qsubs = queries
+      .select(col(idCol).cast("long").as("query_id"),
+              col(vecCol).cast("array<double>").as("emb"))
+      .select(col("query_id"), explode(expr(
+          s"transform(sequence(0, ${numSub - 1}), " +
+          s"j -> struct(j AS j, slice(emb, j * $subLen + 1, $subLen) AS sub))"))
+        .as("x"))
+      .select(col("query_id"), col("x.j").as("j"), col("x.sub").as("qsub"))
+    val dt = qsubs.join(cents, Seq("j"))
+      .withColumn("d", expr(
+        "CAST(round(aggregate(zip_with(qsub, csub, " +
+          "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) * 1000000.0)" +
+          " AS BIGINT)"))
+      .select(col("query_id"), col("j"), col("cid"), col("d"))
+    val adc = codes
+      .join(broadcast(dt),
+            codes("j") === dt("j") && codes("code") === dt("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+              col("vec_id").as("neighbor_id"), col("adc"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     * pick `k` results that balance relevance to the query against
     * redundancy with what is already selected — the diversity-aware
