@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, Index, Similarity}
+import graft.operators.{Bpe, Corpus, Dedup, Index, Similarity}
 
 /** Round-6 queries, part 3: exact substring-span dedup (Lee et al. 2022 —
   * duplicated k-token windows and their merged-span token coverage),
@@ -120,6 +120,15 @@ object Queries61 {
           s"graft_e32_sink_${System.nanoTime}")
         .orderBy(col("event_type"))
     }),
+
+    // Stupid Backoff LM scoring under a HELD-OUT model (trained on the
+    // lang='en' slice, scoring every doc) — unseen bigrams genuinely
+    // exercise the alpha-weighted smoothed-unigram backoff, unlike
+    // t36's in-corpus self-scoring (Corpus.stupidBackoff).
+    "t59_stupid_backoff" -> ((s, d) =>
+      Corpus.stupidBackoff(Tables.documents(s, d), "text", "doc_id",
+                           trainFilter = col("lang") === "en")
+        .orderBy(col("doc_id"))),
 
     // PQ asymmetric-distance search: per-query distance tables over the
     // s13 codebook, ADC = exact integer sum of micro-unit entries
@@ -475,6 +484,47 @@ object Queries61 {
 
     "t56_bpe_merges" -> bpeSql,
     "t57_bpe_segments" -> bpeSegmentSql,
+
+    // the trained slice is lang='en'; scored set is everything. Same
+    // decimal-exact micro-mean aggregation as the t36 oracle.
+    "t59_stupid_backoff" ->
+      """WITH w AS (SELECT doc_id, lang,
+        |    regexp_extract_all(trim(regexp_replace(lower(text), '\s+',
+        |      ' ', 'g')), '\S+') AS words
+        |  FROM documents),
+        |st AS (SELECT doc_id, words,
+        |         unnest(generate_series(1, len(words) - 1)) AS i
+        |       FROM w WHERE len(words) >= 2),
+        |b AS (SELECT doc_id, words[i] AS w_prev, words[i+1] AS w FROM st),
+        |tt AS (SELECT unnest(words) AS w FROM w WHERE lang = 'en'),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tt GROUP BY w),
+        |tv AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+        |tst AS (SELECT words, unnest(generate_series(1, len(words) - 1))
+        |          AS i
+        |        FROM w WHERE lang = 'en' AND len(words) >= 2),
+        |tb AS (SELECT words[i] AS w_prev, words[i+1] AS w FROM tst),
+        |vb AS (SELECT w_prev, w, CAST(COUNT(*) AS BIGINT) AS cb
+        |       FROM tb GROUP BY 1, 2),
+        |ctx AS (SELECT w_prev, CAST(SUM(cb) AS BIGINT) AS cctx
+        |        FROM vb GROUP BY 1),
+        |sc AS (SELECT b.doc_id,
+        |        CASE WHEN vb.cb IS NOT NULL
+        |             THEN CAST(vb.cb AS DOUBLE) / CAST(ctx.cctx AS DOUBLE)
+        |             ELSE 0.4 * CAST(COALESCE(uni.c, 0) + 1 AS DOUBLE) /
+        |                  CAST(tv.tot + tv.v AS DOUBLE) END AS score,
+        |        CASE WHEN vb.cb IS NULL THEN 1 ELSE 0 END AS bo
+        |       FROM b
+        |       LEFT JOIN vb ON b.w_prev = vb.w_prev AND b.w = vb.w
+        |       LEFT JOIN ctx ON b.w_prev = ctx.w_prev
+        |       LEFT JOIN uni ON b.w = uni.w
+        |       CROSS JOIN tv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        |  CAST(CAST(SUM(CAST(round(-ln(score), 6) AS DECIMAL(38,6)))
+        |    * 1000000 AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_neg_logp_micro
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // exact-Jaccard truth restricted to (old < 400) x (new >= 400) pairs
     // — old ids sort below new ids, so jaccardCtes' id_a < id_b pair

@@ -412,6 +412,65 @@ object Corpus {
         expr("micro DIV n_bigrams").as("mean_neg_logp_micro"))
   }
 
+  /** Stupid Backoff LM scoring against a HELD-OUT training slice
+    * (Brants et al. 2007, "Large Language Models in Machine
+    * Translation") — the shape CCNet-style pipelines use a KenLM for:
+    * train the n-gram model on a reference corpus, score EVERY document
+    * under it, and cut on the score. Unlike [[bigramLogProb]] (in-corpus
+    * self-scoring, every bigram seen), the trained-on slice here is
+    * `trainFilter`, so scored documents genuinely hit unseen bigrams
+    * and exercise the backoff: S(w|prev) = cb/cctx when the training
+    * corpus saw the bigram, else α·(c+1)/(tot+V) (add-one-smoothed
+    * unigram — keeps OOV words scoreable). Per doc: integer-micro mean
+    * of round(−ln S, 6), the same decimal-exact aggregation contract
+    * as t36.
+    *
+    * Scale: the trained model tables (vocab-sized, Heaps-sublinear)
+    * broadcast; the scored corpus never self-joins and shuffles only
+    * its (prev, w) stream.
+    */
+  def stupidBackoff(df: DataFrame, textCol: String, idCol: String,
+                    trainFilter: Column,
+                    alpha: Double = 0.4): DataFrame = {
+    val pos = df.select(col(idCol), posexplode(words(col(textCol)))
+      .as(Seq("i", "w")))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bi = pos.withColumn("w_prev", lag(col("w"), 1).over(wd))
+      .filter(col("w_prev").isNotNull)
+      .select(col(idCol), col("w_prev"), col("w"))
+      .localCheckpoint()
+    val tpos = df.filter(trainFilter)
+      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("i", "w")))
+    val tbi = tpos.withColumn("w_prev", lag(col("w"), 1).over(wd))
+      .filter(col("w_prev").isNotNull)
+      .select(col("w_prev"), col("w"))
+    val uni = tpos.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tv = uni.agg(sum(col("c")).as("tot"),
+                     count(lit(1)).as("v"))
+    val vb = tbi.groupBy(col("w_prev"), col("w")).agg(count(lit(1)).as("cb"))
+    val ctx = vb.groupBy(col("w_prev")).agg(sum(col("cb")).as("cctx"))
+    bi.join(broadcast(vb), Seq("w_prev", "w"), "left")
+      .join(broadcast(ctx), Seq("w_prev"), "left")
+      .join(broadcast(uni), Seq("w"), "left")
+      .crossJoin(broadcast(tv))
+      .withColumn("score",
+        when(col("cb").isNotNull,
+             col("cb").cast("double") / col("cctx").cast("double"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+            (col("tot") + col("v")).cast("double")))
+      .withColumn("neg_logp",
+        round(-log(col("score")), 6).cast("decimal(38,6)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("neg_logp")).as("sum_nlp"),
+           sum(when(col("cb").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .withColumn("micro", (col("sum_nlp") * 1000000).cast("long"))
+      .select(col(idCol), col("n_bigrams"), col("n_backoff"),
+        expr("micro DIV n_bigrams").as("mean_neg_logp_micro"))
+  }
+
   /** ROUGE-n recall of every corpus document against every document of
     * a (small) evaluation set: |ngrams(doc) ∩ ngrams(ref)| / |ngrams(ref)|
     * over DISTINCT n-grams, in exact integer ppm — the quantitative

@@ -116,6 +116,20 @@ class CorpusSpec extends SparkSpec {
     assert(top(2)._5 == 0.0) // all-ubiquitous doc: top tfidf is zero
   }
 
+  test("stupidBackoff: training-slice docs never back off; held-out do") {
+    val docs = Tables.documents(spark, sf)
+    val out = Corpus.stupidBackoff(docs, "text", "doc_id",
+                                   trainFilter = col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("n_backoff"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // every bigram of a training doc is in the trained table by
+    // construction — backoff can never fire on the training slice
+    assert(out.filter(_._1 == "en").forall(_._2 == 0L))
+    // the held-out slices must actually exercise the backoff branch
+    assert(out.filter(_._1 != "en").exists(_._2 > 0L))
+  }
+
   test("unigramLogProb scores rare-word docs higher than common-word docs") {
     val df = docsDf(
       1L -> "the the the the",       // only common words
