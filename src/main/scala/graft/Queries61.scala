@@ -121,6 +121,29 @@ object Queries61 {
         .orderBy(col("event_type"))
     }),
 
+    // Deterministic curriculum interleave: within each source, docs
+    // ordered easy->hard (length curriculum) via the grouped range-
+    // partitioned rank (Index.withGroupIndex — no per-source window
+    // funnel); sources strided round-robin so every training prefix is
+    // source-balanced. pos = idx * |sources| + source_rank is pure
+    // column arithmetic — a total order with no global sort anywhere.
+    "q197_curriculum_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sources = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).sorted // bounded: source catalog
+      val sidx = sources.zipWithIndex
+        .foldLeft(lit(null).cast("long")) { case (acc, (src, i)) =>
+          when(col("source") === src, lit(i.toLong)).otherwise(acc)
+        }
+      Index.withGroupIndex(docs, col("source"),
+                           Seq(col("n_chars"), col("doc_id")))
+        .withColumn("pos",
+          col("idx") * lit(sources.length.toLong) + sidx)
+        .select(col("doc_id"), col("source"),
+                col("n_chars").cast("long").as("n_chars"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
     // Stupid Backoff LM scoring under a HELD-OUT model (trained on the
     // lang='en' slice, scoring every doc) — unseen bigrams genuinely
     // exercise the alpha-weighted smoothed-unigram backoff, unlike
@@ -484,6 +507,23 @@ object Queries61 {
 
     "t56_bpe_merges" -> bpeSql,
     "t57_bpe_segments" -> bpeSegmentSql,
+
+    // replay: per-source row_number under the same (n_chars, doc_id)
+    // order, dense source ranks, the same stride arithmetic
+    "q197_curriculum_interleave" ->
+      """WITH s AS (SELECT source,
+        |    CAST(DENSE_RANK() OVER (ORDER BY source) - 1 AS BIGINT)
+        |      AS sidx
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS idx
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.n_chars AS BIGINT) AS n_chars,
+        |  CAST(r.idx * ns.n + s.sidx AS BIGINT) AS pos
+        |FROM r JOIN s USING (source), ns
+        |ORDER BY pos""".stripMargin,
 
     // the trained slice is lang='en'; scored set is everything. Same
     // decimal-exact micro-mean aggregation as the t36 oracle.

@@ -115,6 +115,49 @@ object Index {
       .select(col("p_ppm"), col("v"))
   }
 
+  /** PER-GROUP stable 0-based ordinal — the grouped [[withGlobalIndex]]:
+    * every row gets its rank within its group under `sortCols`, with no
+    * group-global window (a `Window.partitionBy(group)` would funnel
+    * each group through one task). Same two-phase shape as
+    * [[exactGroupQuantiles]]: range-partition on (group, sort key),
+    * bounded per-(partition, group) count fetch, partition-local
+    * numbering plus per-group offsets. Groups must be bounded in count
+    * and NON-NULL (the offset lookup is an equi-join).
+    */
+  def withGroupIndex(df: DataFrame, groupCol: Column, sortCols: Seq[Column],
+                     indexCol: String = "idx",
+                     numPartitions: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withGroupIndex: empty sort key")
+    val g = "__graft_gidx_g"
+    val pid = "__graft_pid"
+    val parted = df.withColumn(g, groupCol)
+      .repartitionByRange(numPartitions, (col(g) +: sortCols): _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint() // counted once, numbered once
+    val counts = parted.groupBy(col(pid), col(g)).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+    require(counts.forall(_._2 != null),
+      "withGroupIndex: null group values are not supported")
+    val ss = df.sparkSession
+    val offRows = counts.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case ((p, gv, _), off) => org.apache.spark.sql.Row(p, gv, off) }
+    }
+    val gType = parted.schema(g).dataType
+    import org.apache.spark.sql.types.{StructType, StructField, IntegerType, LongType}
+    val offDf = ss.createDataFrame(
+      ss.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(StructField(pid, IntegerType), StructField(g, gType),
+                     StructField("__off", LongType))))
+    val w = Window.partitionBy(col(pid), col(g))
+      .orderBy(sortCols.map(_.asc): _*)
+    parted
+      .join(broadcast(offDf), Seq(pid, g))
+      .withColumn(indexCol, col("__off") + row_number().over(w) - 1)
+      .drop(pid, g, "__off")
+  }
+
   /** PER-GROUP exact discrete quantiles without a per-group global sort —
     * the grouped companion to [[exactQuantiles]] for the common shape
     * "few groups × continuous values" where `Window.partitionBy(group)`

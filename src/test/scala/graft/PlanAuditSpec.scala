@@ -223,6 +223,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q196_group_quantiles").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("curriculum interleave has no per-source window funnel") {
+    val p = plan("q197_curriculum_interleave")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))
