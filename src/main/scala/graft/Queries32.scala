@@ -186,22 +186,25 @@ object Queries32 {
               |ORDER BY d.l_returnflag""".stripMargin)
     }),
 
-    // Customer spend deciles: exact decimal spend totals, ntile(10)
-    // under a total order, per-decile profile — the marketing decile
-    // report. The global ntile is a single-partition window HERE; the
-    // 100 TB path range-partitions on precomputed spend boundaries
-    // (q95's equi-depth histogram provides exactly those).
+    // Customer spend deciles: EXACT integer-cents spend totals (a raw
+    // double SUM is partial-aggregation-order-dependent — at sf0.1 the
+    // cross-engine drift reached 6e-6 and, worse, the decile sort key
+    // itself would ride the unstable double), ntile(10) under a total
+    // order, per-decile profile — the marketing decile report. The
+    // global ntile is a single-partition window HERE; q134s is the
+    // range-partitioned scale twin.
     "q134_spend_deciles" -> ((s, d) => {
-      val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+      val w = Window.orderBy(col("spend_cents").desc, col("o_custkey"))
       Tables.orders(s, d)
         .groupBy(col("o_custkey"))
-        .agg(sum(col("o_totalprice")).as("spend"))
+        .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+               .cast("long")).as("spend_cents"))
         .withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
-             sum(col("spend")).as("total_spend"),
-             min(col("spend")).as("min_spend"),
-             max(col("spend")).as("max_spend"))
+             sum(col("spend_cents")).as("total_spend_cents"),
+             min(col("spend_cents")).as("min_spend_cents"),
+             max(col("spend_cents")).as("max_spend_cents"))
         .orderBy(col("decile"))
     }),
 
@@ -370,15 +373,18 @@ object Queries32 {
 
     "q134_spend_deciles" ->
       """WITH s AS (
-        |  SELECT o_custkey, SUM(o_totalprice) AS spend
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+        |      AS spend_cents
         |  FROM orders GROUP BY o_custkey),
         |t AS (
-        |  SELECT spend, CAST(ntile(10) OVER (
-        |      ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+        |  SELECT spend_cents, CAST(ntile(10) OVER (
+        |      ORDER BY spend_cents DESC, o_custkey) AS BIGINT) AS decile
         |  FROM s)
         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
-        |  SUM(spend) AS total_spend, MIN(spend) AS min_spend,
-        |  MAX(spend) AS max_spend
+        |  CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents,
+        |  CAST(MIN(spend_cents) AS BIGINT) AS min_spend_cents,
+        |  CAST(MAX(spend_cents) AS BIGINT) AS max_spend_cents
         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
 
     "t32_zipf_slope" -> {

@@ -89,16 +89,17 @@ object Queries60 {
     "q134s_deciles_scale" -> ((s, d) =>
       operators.Index.withNtile(
           Tables.orders(s, d).groupBy(col("o_custkey"))
-            .agg(sum(col("o_totalprice")).as("spend")),
+            .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+                   .cast("long")).as("spend_cents")),
           k = 10,
-          sortCols = Seq(negate(col("spend")), col("o_custkey")),
+          sortCols = Seq(negate(col("spend_cents")), col("o_custkey")),
           bucketCol = "decile")
         .withColumn("decile", col("decile").cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
-             sum(col("spend")).as("total_spend"),
-             min(col("spend")).as("min_spend"),
-             max(col("spend")).as("max_spend"))
+             sum(col("spend_cents")).as("total_spend_cents"),
+             min(col("spend_cents")).as("min_spend_cents"),
+             max(col("spend_cents")).as("max_spend_cents"))
         .orderBy(col("decile"))),
 
     // d17's sorted-neighborhood dedup through the scale path: the
