@@ -109,8 +109,9 @@ object Bench {
     // exact quantiles on the grouped range-partitioned rank, and the
     // streamed bucketed median (2 forced micro-batches of grid state)
     "s18_mmr_select", "q196_group_quantiles", "e32_stream_median",
-    // index-reuse incremental near-dup and PQ-ADC search
-    "d26_incremental_neardup", "s19_pq_adc")
+    // index-reuse incremental near-dup (batch + its stream-static twin)
+    // and PQ-ADC search
+    "d26_incremental_neardup", "s19_pq_adc", "e33_stream_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

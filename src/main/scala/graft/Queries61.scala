@@ -108,6 +108,18 @@ object Queries61 {
                       nMerges = 6)
         .orderBy(col("doc_id"))),
 
+    // REAL stream-static join: incoming docs banded in the streaming
+    // DAG against the static parquet band index, candidates to a
+    // parquet sink across 2 forced micro-batches, exact-Jaccard verify
+    // in batch — output identical to d26, by the same oracle.
+    "e33_stream_neardup" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_e33_").toString
+      graft.streaming.Streams.streamedIncrementalNearDup(
+          s, s"$d/documents.parquet", work)
+        .orderBy(col("old_id"), col("new_id"))
+    }),
+
     // Streaming exact bucketed median: a Complete-mode streaming agg
     // holds one state row per (event_type, cents bucket) across two
     // forced micro-batches; the median is recovered from the final
@@ -570,6 +582,13 @@ object Queries61 {
     // — old ids sort below new ids, so jaccardCtes' id_a < id_b pair
     // orientation already matches (old_id, new_id)
     "d26_incremental_neardup" ->
+      s"""WITH ${ExtensionQueries.jaccardCtes}
+         |SELECT id_a AS old_id, id_b AS new_id, round(jac, 6) AS jaccard
+         |FROM j WHERE jac >= 0.7 AND id_a < 400 AND id_b >= 400
+         |ORDER BY old_id, new_id""".stripMargin,
+
+    // the streamed path must land on the SAME truth as the batch path
+    "e33_stream_neardup" ->
       s"""WITH ${ExtensionQueries.jaccardCtes}
          |SELECT id_a AS old_id, id_b AS new_id, round(jac, 6) AS jaccard
          |FROM j WHERE jac >= 0.7 AND id_a < 400 AND id_b >= 400

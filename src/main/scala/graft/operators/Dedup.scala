@@ -408,9 +408,20 @@ object Dedup {
             col("a.id") =!= col("old_id"))
       .select(col("old_id"), col("a.id").as("new_id"))
       .dropDuplicates("old_id", "new_id")
+    verifyCandidatePairs(shingled(corpus), newSh, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification of (old_id, new_id) candidate pairs
+    * against shingled sides `(id, sh)` — the shared tail of the batch
+    * ([[incrementalNearDupPairs]]) and streamed (e33) incremental paths,
+    * so their verified-pair semantics cannot drift.
+    */
+  def verifyCandidatePairs(oldSh: DataFrame, newSh: DataFrame,
+                           candidates: DataFrame,
+                           threshold: Double): DataFrame =
     candidates
-      .join(shingled(corpus).select(col("id").as("old_id"),
-                                    col("sh").as("sh_a")), Seq("old_id"))
+      .join(oldSh.select(col("id").as("old_id"), col("sh").as("sh_a")),
+            Seq("old_id"))
       .join(newSh.select(col("id").as("new_id"), col("sh").as("sh_b")),
             Seq("new_id"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -420,7 +431,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("old_id"), col("new_id"),
               round(col("jaccard"), 6).as("jaccard"))
-  }
+
+  /** Word-shingled (id, sh) side for [[verifyCandidatePairs]]. */
+  def shingledSide(df: DataFrame, textCol: String, idCol: String,
+                   n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** SimHash sketch per document: (id, simhash). Near-dup candidates are
     * pairs within small Hamming distance; [[simhashPairs]] joins on rotated

@@ -790,6 +790,76 @@ object Streams {
       .agg(max(col("n")).as("n_events"), min(col("bucket")).as("med_cents"))
   }
 
+  /** STREAM-STATIC incremental near-dup — the genuinely-streaming twin
+    * of d26: incoming documents arrive as a file stream (two files,
+    * `maxFilesPerTrigger = 1`, so ≥ 2 real micro-batches), each batch is
+    * MinHash-banded IN the streaming DAG and inner-joined against the
+    * STATIC parquet band index of the existing corpus — a stateless
+    * stream-static join, so Append mode needs no watermark and no state
+    * store — with candidate pairs landing in a parquet sink. Exact
+    * Jaccard verification then runs once in batch over the collected
+    * candidates (the same [[graft.operators.Dedup.verifyCandidatePairs]]
+    * tail as d26, so the two paths cannot drift). Output = d26's.
+    *
+    * Scale: per micro-batch cost is |batch bands| joined against the
+    * index — the index is the big side and is NEVER re-banded or
+    * re-shuffled per batch (broadcast of the small streaming side);
+    * candidates accumulate in the sink, verification is one batch job
+    * over them.
+    */
+  def streamedIncrementalNearDup(spark: SparkSession, docsPath: String,
+                                 workDir: String,
+                                 splitId: Long = 400L,
+                                 n: Int = 5, threshold: Double = 0.7,
+                                 bands: Int = 64,
+                                 rowsPerBand: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(docsPath)
+    val old = docs.filter(col("doc_id") < splitId)
+    val nw = docs.filter(col("doc_id") >= splitId)
+    val idxPath = new java.io.File(workDir, "index").toString
+    Dedup.minhashBandIndex(old, "text", "doc_id", n, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+      .withColumnRenamed("id", "old_id")
+    // the incoming batch, split into two files -> two real micro-batches
+    val src = new java.io.File(workDir, "src")
+    for (half <- 0 to 1) {
+      val tmp = new java.io.File(workDir, s"half$half")
+      nw.filter(pmod(xxhash64(col("doc_id")), lit(2)) === half)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"streamedIncrementalNearDup: ${part.length} parts")
+      linkInto(src, s"half$half.parquet", part(0))
+    }
+    val ev = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val cand = Dedup.minhashBandIndex(ev, "text", "doc_id",
+                                      n, bands, rowsPerBand)
+      .join(index, Seq("band", "bucket"))
+      .filter(col("id") =!= col("old_id"))
+      .select(col("old_id"), col("id").as("new_id"))
+    val outPath = new java.io.File(workDir, "cands").toString
+    val q = cand.writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 2,
+      s"streamedIncrementalNearDup: expected >= 2 data micro-batches, " +
+        s"got $dataBatches")
+    val candidates = spark.read.parquet(outPath)
+      .dropDuplicates("old_id", "new_id")
+    Dedup.verifyCandidatePairs(
+      Dedup.shingledSide(old, "text", "doc_id", n),
+      Dedup.shingledSide(nw, "text", "doc_id", n),
+      candidates, threshold)
+  }
+
   /** Symlink `target` as `dir/name`, replacing any existing entry — a
     * reused workDir must not throw FileAlreadyExistsException on the
     * second run. */
