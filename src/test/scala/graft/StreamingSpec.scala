@@ -547,4 +547,32 @@ class StreamingSpec extends SparkSpec {
         s"expected id 1 re-emitted after horizon eviction, got $ids")
     } finally q.stop()
   }
+
+  test("e33 stream-static near-dup: pairs arrive from BOTH micro-batches") {
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_e33_spec_").toString
+    val got = graft.streaming.Streams.streamedIncrementalNearDup(
+        spark, s"$sf/documents.parquet", work)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // the stream splits new docs by pmod(xxhash64(doc_id), 2); verified
+    // pairs must cover both halves or the multi-batch claim is hollow
+    val halves = got.map { case (_, newId, _) =>
+      spark.range(1).select(
+        pmod(xxhash64(lit(newId)), lit(2))).collect()(0).getLong(0)
+    }.toSet
+    assert(halves == Set(0L, 1L),
+      s"pairs only from halves $halves — not genuinely cross-batch")
+    // and the streamed answer equals the batch path's
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") < 400)
+    val idx = graft.operators.Dedup.minhashBandIndex(
+      old, "text", "doc_id", n = 5, bands = 64, rowsPerBand = 4)
+    val batch = graft.operators.Dedup.incrementalNearDupPairs(
+        old, idx, docs.filter(col("doc_id") >= 400), "text", "doc_id",
+        n = 5, threshold = 0.7, bands = 64, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sorted.toSeq == batch.sorted.toSeq)
+  }
 }
