@@ -111,7 +111,13 @@ object Bench {
     "s18_mmr_select", "q196_group_quantiles", "e32_stream_median",
     // index-reuse incremental near-dup (batch + its stream-static twin)
     // and PQ-ADC search
-    "d26_incremental_neardup", "s19_pq_adc", "e33_stream_neardup")
+    "d26_incremental_neardup", "s19_pq_adc", "e33_stream_neardup",
+    // round-7: scale modes for the residual global-window family (Pareto
+    // ntile, KS/Mann-Whitney prefix-sum ECDFs, skyline prefix-min) and
+    // the reliable-checkpoint PageRank variant (quantifies executor-loss
+    // survivability overhead vs g01)
+    "q105s_pareto_scale", "q175s_ks_scale", "q178s_mw_scale",
+    "q188s_skyline_scale", "g01c_pagerank_ckpt")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 queries, part 1: the IMPLEMENTED scale modes for the residual
+  * global-window family flagged by VERDICT r6 — q105's Pareto ntile, the
+  * q175/q178 ECDF / rank-sum windows (whose "pre-aggregate to distinct
+  * values" bound is illusory on near-continuous `o_totalprice` cents:
+  * |distinct| ≈ |orders|, so the ordered window still funnels everything
+  * through one task), and q188's skyline running-min over distinct
+  * prices. Each re-expressed on [[operators.Index]]'s range-partitioned
+  * prefix machinery ([[operators.Index.withNtile]],
+  * [[operators.Index.withRunningSums]],
+  * [[operators.Index.withRunningMinExcl]]) and hash-checked against the
+  * SAME DuckDB oracle as its exact global-window twin — the scale path
+  * must be output-identical, not merely approximate. Plus the
+  * reliable-checkpoint PageRank bench twin (g01 with `checkpointDir`
+  * exercised at bench scale, quantifying the overhead a cluster user
+  * pays for executor-loss survival). Oracle-parity conventions follow
+  * [[Queries]]' scaladoc.
+  */
+object Queries62 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // q105's Pareto revenue deciles through the scale path: exact ntile
+    // from the range-partitioned global rank, grand total fetched on the
+    // driver from the SAME materialized per-customer frame (one bounded
+    // 1-row action — exact long sum, order-independent), and the 10-row
+    // cumulative share as a broadcast triangular self-join instead of a
+    // 10-row global window, so NO stage anywhere funnels through one
+    // task (PlanAuditSpec pins it).
+    "q105s_pareto_scale" -> ((s, d) => {
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+          .cast("long").as("cents"))
+        .localCheckpoint() // feeds the total fetch AND the ntile path
+      val tot = rev.agg(sum(col("cents"))).head.getLong(0)
+      val per = operators.Index.withNtile(rev, 10,
+          Seq(negate(col("cents")), col("o_custkey")), "decile")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("rev_cents"))
+      val perB = per.select(col("decile").as("d2"), col("rev_cents").as("rc2"))
+      per.join(broadcast(perB), col("d2") <= col("decile"))
+        .groupBy(col("decile"), col("n_cust"), col("rev_cents"))
+        .agg(sum(col("rc2")).as("cum_cents"))
+        // same double op order as q105 / the oracle (see q105's overflow
+        // note: cum·10⁶ leaves int64 at sf1, so the share rides doubles)
+        .select(col("decile"), col("n_cust"), col("rev_cents"),
+                floor(col("cum_cents").cast("double") * lit(1000000.0) /
+                      lit(tot).cast("double")).cast("long")
+                  .as("cum_share_ppm"))
+        .orderBy(col("decile"))
+    }),
+
+    // q175's two-sample KS through the scale path: both ECDFs as
+    // range-partitioned prefix sums (partition-local windows + broadcast
+    // subtotal offsets), n₁/n₂ from the same collected subtotals — the
+    // only remaining single-partition stage is the final-merge of the
+    // partial-protected global max (#partitions partial rows, not data).
+    "q175s_ks_scale" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val byV = o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+                col("c_mktsegment").as("g"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("g") === "BUILDING", 1L).otherwise(0L)).as("a"),
+             sum(when(col("g") === "MACHINERY", 1L).otherwise(0L)).as("b"))
+      val (run, tot) = operators.Index.withRunningSums(
+        byV, Seq(col("v")), Seq("a", "b"), Seq("c1", "c2"))
+      val n1 = tot("a"); val n2 = tot("b")
+      run
+        .agg(max(abs(col("c1") * lit(n2) - col("c2") * lit(n1)))
+               .cast("long").as("d_num"))
+        .withColumn("n1", lit(n1)).withColumn("n2", lit(n2))
+        .select(col("d_num"), col("n1"), col("n2"),
+          round(col("d_num").cast("double") / (col("n1") * col("n2")), 8)
+            .as("ks_d"))
+    }),
+
+    // q178's Mann-Whitney U through the scale path: the pooled
+    // cumulative tie-count (the doubled-rank machinery) as a
+    // range-partitioned prefix sum; a/b grand totals from the same
+    // subtotal fetch; the rank-sum itself is a partial-protected global
+    // aggregate. Same doubled-rank integer algebra, same oracle.
+    "q178s_mw_scale" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      val byV = o.join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"),
+                col("c_mktsegment").as("g"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("g") === "BUILDING", 1L).otherwise(0L)).as("a"),
+             sum(when(col("g") === "MACHINERY", 1L).otherwise(0L)).as("b"))
+        .withColumn("t", col("a") + col("b"))
+      val (run, tot) = operators.Index.withRunningSums(
+        byV, Seq(col("v")), Seq("a", "b", "t"), Seq("ca", "cb", "ct"))
+      val n1 = tot("a"); val n2 = tot("b")
+      run
+        .withColumn("f", col("ct") - col("t"))
+        .agg(sum(col("a") * (lit(2) * col("f") + col("t") + lit(1)))
+               .cast("long").as("two_r1"))
+        .withColumn("n1", lit(n1)).withColumn("n2", lit(n2))
+        .selectExpr("n1", "n2",
+          "CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1",
+          """round((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2) /
+            | sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12), 6) AS z""".stripMargin.replace("\n", " "))
+    }),
+
+    // q188's 2-D skyline through the scale path: the strict-preceding
+    // running min becomes a partition-local window + broadcast
+    // prefix-min merge (least skips nulls, so the cheapest price keeps
+    // its "nothing precedes me" NULL and survives, as in the exact
+    // form). No single-task stage anywhere (PlanAuditSpec pins it).
+    "q188s_skyline_scale" -> ((s, d) => {
+      val byPrice = Tables.part(s, d)
+        .select(expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+                  .as("price_cents"),
+                col("p_size").cast("long").as("size"))
+        .groupBy(col("price_cents"))
+        .agg(min(col("size")).as("msize"), count(lit(1)).as("n_parts"))
+      operators.Index.withRunningMinExcl(
+          byPrice, Seq(col("price_cents")), "msize", "prev_min")
+        .filter(col("prev_min").isNull || col("msize") < col("prev_min"))
+        .select(col("price_cents"), col("msize").as("size"), col("n_parts"))
+        .orderBy(col("price_cents"))
+    }),
+
+    // g01 PageRank with RELIABLE checkpointing exercised end-to-end —
+    // GraphCheckpointSpec pins output equality on a toy graph; this
+    // entry runs the real bench graph through the checkpointDir path so
+    // the bench records what the executor-loss-survivable variant costs
+    // vs g01's lineage-truncation-only localCheckpoint. Same oracle.
+    "g01c_pagerank_ckpt" -> ((s, d) => {
+      val dir = new java.io.File("target/graft-ckpt/g01c").getAbsolutePath
+      val f = Tables.lineitem(s, d).select(
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      operators.Graph.pageRank(
+          f.union(f.select(col("dst").as("src"), col("src").as("dst"))),
+          "src", "dst", iters = 3, checkpointDir = Some(dir))
+        .orderBy(col("node"))
+    }))
+
+  // scale modes must be OUTPUT-IDENTICAL to their exact twins — same
+  // oracle SQL, so a drifting boundary/prefix is a hash mismatch
+  val oracleSql: Map[String, String] = Map(
+    "q105s_pareto_scale" -> Queries17.oracleSql("q105_pareto"),
+    "q175s_ks_scale" -> Queries47.oracleSql("q175_ks_test"),
+    "q178s_mw_scale" -> Queries47.oracleSql("q178_mann_whitney"),
+    "q188s_skyline_scale" -> Queries55.oracleSql("q188_skyline"),
+    "g01c_pagerank_ckpt" -> Queries10.oracleSql("g01_pagerank"))
+}

@@ -46,7 +46,8 @@ object SparkEntry {
       Queries54.sparkQueries ++ Queries55.sparkQueries ++
       Queries56.sparkQueries ++ Queries57.sparkQueries ++
       Queries58.sparkQueries ++ Queries59.sparkQueries ++
-      Queries60.sparkQueries ++ Queries61.sparkQueries
+      Queries60.sparkQueries ++ Queries61.sparkQueries ++
+      Queries62.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -72,5 +73,6 @@ object SparkEntry {
       Queries50.oracleSql ++ Queries51.oracleSql ++ Queries52.oracleSql ++
       Queries53.oracleSql ++ Queries54.oracleSql ++ Queries55.oracleSql ++
       Queries56.oracleSql ++ Queries57.oracleSql ++ Queries58.oracleSql ++
-      Queries59.oracleSql ++ Queries60.oracleSql ++ Queries61.oracleSql
+      Queries59.oracleSql ++ Queries60.oracleSql ++ Queries61.oracleSql ++
+      Queries62.oracleSql
 }

@@ -115,6 +115,114 @@ object Index {
       .select(col("p_ppm"), col("v"))
   }
 
+  /** Running (inclusive) prefix SUMS of `sumCols` under the total order
+    * `sortCols`, WITHOUT a global window — the scale mode for the ECDF /
+    * rank-sum family (q175 KS, q178 Mann-Whitney), whose declared forms
+    * run `sum(...).over(Window.orderBy(v))` and therefore funnel every
+    * distinct value through one task (and on near-continuous values
+    * |distinct| ≈ |rows|, so "pre-aggregate to distinct" does not bound
+    * that window).
+    *
+    * Same two-phase shape as [[withGlobalIndex]]: range-partition on the
+    * sort key, fetch the bounded per-partition SUBTOTALS (#partitions
+    * rows) to the driver, turn them into per-partition prefix offsets,
+    * then each partition independently accumulates with a
+    * PARTITION-LOCAL window. `sortCols` must be a total order (the same
+    * contract as [[withGlobalIndex]] — with a row frame, ties would make
+    * per-row prefixes order-dependent). `sumCols` must be non-null
+    * BIGINT columns: exact long subtotals commute across partitions, so
+    * the result is bit-identical to the global window by construction.
+    *
+    * Returns the augmented frame plus each column's GRAND TOTAL (the sum
+    * of the subtotals the prefix merge already collected — saving
+    * callers the `sum(...).over(Window.partitionBy())` global window the
+    * exact forms use for n₁/n₂).
+    */
+  def withRunningSums(df: DataFrame, sortCols: Seq[Column],
+                      sumCols: Seq[String], outCols: Seq[String],
+                      numPartitions: Int = 32): (DataFrame, Map[String, Long]) = {
+    require(sortCols.nonEmpty, "withRunningSums: empty sort key")
+    require(sumCols.nonEmpty && sumCols.length == outCols.length,
+      s"withRunningSums: sumCols/outCols mismatch ($sumCols vs $outCols)")
+    val pid = "__graft_pid"
+    val parted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint() // subtotaled once, accumulated once
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    val perPart = parted.groupBy(col(pid)).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        require(sumCols.indices.forall(i => !r.isNullAt(i + 1)),
+          "withRunningSums: null subtotal (sumCols must be non-null longs)")
+        r.getInt(0) -> sumCols.indices.map(i => r.getLong(i + 1)).toVector
+      }.toMap
+    val ids = perPart.keys.toSeq.sorted
+    val prefix: Map[Int, Vector[Long]] = ids.zip(
+      ids.scanLeft(Vector.fill(sumCols.length)(0L)) { (acc, i) =>
+        acc.zip(perPart(i)).map { case (x, y) => x + y }
+      }).toMap
+    val totals = sumCols.indices
+      .map(i => sumCols(i) -> ids.map(perPart(_)(i)).sum).toMap
+    val w = Window.partitionBy(col(pid)).orderBy(sortCols.map(_.asc): _*)
+    val out = sumCols.zip(outCols).zipWithIndex.foldLeft(parted) {
+      case (acc, ((c, o), i)) =>
+        val off = ids.foldLeft(lit(0L)) { (e, p) =>
+          when(col(pid) === p, lit(prefix(p)(i))).otherwise(e)
+        }
+        acc.withColumn(o, off + sum(col(c)).over(w))
+    }
+    (out.drop(pid), totals)
+  }
+
+  /** STRICT-PRECEDING running MIN of `valueCol` under the total order
+    * `sortCols`, WITHOUT a global window — the scale mode for the
+    * skyline / frontier family (q188), whose declared form runs
+    * `min(...).over(Window.orderBy(price).rowsBetween(-∞, -1))` through
+    * one task over all distinct prices.
+    *
+    * Prefix-merge shape: range-partition on the sort key, fetch the
+    * bounded per-partition MINIMA to the driver, give each partition the
+    * min over all partitions strictly before it, and combine with a
+    * partition-local strict-preceding window via `least` (which skips
+    * nulls, so the very first row overall keeps the exact form's NULL —
+    * "nothing precedes me"). `valueCol` must be non-null BIGINT;
+    * min is idempotent/commutative, so the result is bit-identical to
+    * the global window.
+    */
+  def withRunningMinExcl(df: DataFrame, sortCols: Seq[Column],
+                         valueCol: String, outCol: String,
+                         numPartitions: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "withRunningMinExcl: empty sort key")
+    val pid = "__graft_pid"
+    val parted = df
+      .repartitionByRange(numPartitions, sortCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint() // min'd once, windowed once
+    val mins = parted.groupBy(col(pid)).agg(min(col(valueCol)).as("m"))
+      .collect().map { r =>
+        require(!r.isNullAt(1),
+          "withRunningMinExcl: null partition min (valueCol must be non-null)")
+        r.getInt(0) -> r.getLong(1)
+      }.toMap
+    val ids = mins.keys.toSeq.sorted
+    val prefixMin: Map[Int, Option[Long]] = ids.zip(
+      ids.scanLeft(Option.empty[Long]) { (acc, i) =>
+        Some(acc.fold(mins(i))(math.min(_, mins(i))))
+      }).toMap
+    val offCol = ids.foldLeft(lit(null).cast("long")) { (e, p) =>
+      prefixMin(p) match {
+        case Some(m) => when(col(pid) === p, lit(m)).otherwise(e)
+        case None    => e
+      }
+    }
+    val w = Window.partitionBy(col(pid)).orderBy(sortCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parted
+      .withColumn(outCol, least(min(col(valueCol)).over(w), offCol))
+      .drop(pid)
+  }
+
   /** PER-GROUP stable 0-based ordinal — the grouped [[withGlobalIndex]]:
     * every row gets its rank within its group under `sortCols`, with no
     * group-global window (a `Window.partitionBy(group)` would funnel

@@ -229,6 +229,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  // ------------------------------------------------------------- round 7
+
+  test("pareto/skyline scale twins have no single-task stage anywhere") {
+    for (n <- Seq("q105s_pareto_scale", "q188s_skyline_scale")) {
+      val p = plan(n)
+      assert(!p.contains("SinglePartition"),
+        s"$n funnels through one task:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct"), n)
+    }
+  }
+
+  test("ECDF scale twins: SinglePartition only under partial-protected aggregates") {
+    // q175s/q178s end in a global 1-row aggregate, whose final merge
+    // legitimately crosses a SinglePartition exchange — but it moves
+    // only #partitions PARTIAL rows (map-side combine). The scale claim
+    // is that no Sort/Window ever does: walk each SinglePartition
+    // exchange up to its parent operator and require an Aggregate.
+    def opIndent(l: String): Int = l.indexWhere(c => !" :+-".contains(c))
+    for (n <- Seq("q175s_ks_scale", "q178s_mw_scale")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), n)
+      val lines = p.linesIterator.toVector
+      for (i <- lines.indices if lines(i).contains("Exchange SinglePartition")) {
+        val my = opIndent(lines(i))
+        val parent = (i - 1 to 0 by -1).iterator.map(lines)
+          .find(l => opIndent(l) >= 0 && opIndent(l) < my)
+        assert(parent.exists(l => l.contains("Aggregate")),
+          s"$n: SinglePartition feeds a non-aggregate: " +
+            parent.getOrElse("<root>") + "\n" + p.take(1200))
+      }
+      // and the windows themselves are partition-local (pid-keyed)
+      assert(!lines.exists(l => l.contains("Window") &&
+               l.contains("windowspecdefinition(") &&
+               !l.contains("__graft_pid")),
+        s"$n carries a non-partition-local window:\n" + p.take(1200))
+    }
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))

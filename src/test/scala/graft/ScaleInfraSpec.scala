@@ -245,4 +245,45 @@ class ScaleInfraSpec extends SparkSpec {
       .orderBy($"id_a", $"id_b").collect().map(_.toSeq).toSeq
     assert(scale == exact)
   }
+
+  test("withRunningSums equals global-window prefix sums + totals, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    // distinct keys with two long payloads (the ECDF shape: v, a, b)
+    val base = Tables.orders(spark, sf)
+      .groupBy(($"o_orderkey" % 17).as("v"))
+      .agg(count(lit(1)).as("a"), sum($"o_custkey").as("b"))
+    val wCum = Window.orderBy($"v")
+    val exact = base
+      .withColumn("ca", sum($"a").over(wCum))
+      .withColumn("cb", sum($"b").over(wCum))
+      .orderBy($"v").collect().map(_.toSeq).toSeq
+    val totA = base.agg(sum($"a")).head.getLong(0)
+    val totB = base.agg(sum($"b")).head.getLong(0)
+    for (np <- Seq(1, 5, 32)) {
+      val (run, tot) = graft.operators.Index.withRunningSums(
+        base, Seq($"v"), Seq("a", "b"), Seq("ca", "cb"), numPartitions = np)
+      val got = run.select($"v", $"a", $"b", $"ca", $"cb")
+        .orderBy($"v").collect().map(_.toSeq).toSeq
+      assert(got == exact, s"numPartitions=$np diverged")
+      assert(tot == Map("a" -> totA, "b" -> totB), s"totals at np=$np")
+    }
+  }
+
+  test("withRunningMinExcl equals the strict-preceding global running min") {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.part(spark, sf)
+      .groupBy(($"p_partkey" % 23).as("k"))
+      .agg(min($"p_size".cast("long")).as("m"))
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val exact = base.withColumn("pm", min($"m").over(w))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    for (np <- Seq(1, 4, 32)) {
+      val got = graft.operators.Index.withRunningMinExcl(
+          base, Seq($"k"), "m", "pm", numPartitions = np)
+        .select($"k", $"m", $"pm")
+        .orderBy($"k").collect().map(_.toSeq).toSeq
+      assert(got == exact, s"numPartitions=$np diverged")
+    }
+  }
 }
