@@ -124,6 +124,33 @@ object Bench {
     val spark = Graft.session(appName = "graft-bench")
     val qs = SparkEntry.queries
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // streaming work-time telemetry: e-family wall times are dominated by
+    // forced micro-batch SCHEDULING floors (trigger waits, stream start),
+    // not data work — so streaming regressions must be judged on the sum
+    // of per-micro-batch triggerExecution ms, recorded alongside wall.
+    // The listener bus is async; drainStreamMs parks briefly after each
+    // streaming run so a batch's progress event lands in ITS run's bucket
+    // (the wait is harness work — untimed).
+    val streamMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit =
+          streamMs.addAndGet(
+            Option(e.progress.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(0L))
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+      })
+    def drainStreamMs(): Long = {
+      Thread.sleep(250) // let in-flight listener events land
+      streamMs.getAndSet(0L)
+    }
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -138,17 +165,41 @@ object Bench {
       spark.catalog.clearCache()
       elapsed
     }
+    val declared = headline.filter(qs.contains)
     // JIT/codegen warm-up AT THE TARGET SCALE FACTOR: AQE picks different
     // physical shapes (broadcast vs shuffle joins, coalesced readers) per
     // data size, so warming at a smaller sf compiles the WRONG codegen and
     // the first timed run still pays janino (measured 4-18x inflation cold)
-    headline.filter(qs.contains).foreach(once(_, sfDir))
+    declared.foreach(once(_, sfDir))
+    streamMs.set(0L) // warm-up streams must not pollute the first bucket
+    // SEEDED-shuffled timed order: with declared order, residual
+    // front-of-run warm-up (JIT tiering, code-cache churn) polluted the
+    // SAME entries every round (q01/q04/q06 drifted 1.3-2.1x r5→r6 at
+    // unchanged code, adjudicated as bench-context noise by the 12-rep
+    // protocol — PLANS.md round 7). A fixed seed keeps runs reproducible
+    // while decoupling a query's measurement from its list position.
+    val timedOrder = new scala.util.Random(20260814L).shuffle(declared)
     // best-of-5: the container shares CPU with the harness, so timed
     // passes can be polluted by minutes-long transient external load
     // (round-1 recorded 3-18x inflation on individual queries from this)
-    val results = headline.filter(qs.contains).map { name =>
-      name -> (1 to 5).map(_ => once(name, sfDir)).min
-    }
+    val workMs = scala.collection.mutable.Map.empty[String, Long]
+    val timed = timedOrder.map { name =>
+      val reps = (1 to 5).map { _ =>
+        val t = once(name, sfDir)
+        if (name.startsWith("e")) {
+          val w = drainStreamMs()
+          // keep the smallest positive work sum: the same floor-hunting
+          // best-of logic as the wall min (0 = no progress event seen)
+          if (w > 0L) workMs.updateWith(name) {
+            case Some(prev) => Some(math.min(prev, w))
+            case None => Some(w)
+          }
+        }
+        t
+      }
+      name -> reps.min
+    }.toMap
+    val results = declared.map(n => n -> timed(n))
     // a failed query's (typically fast) elapsed time must not feed the
     // headline: report it only in "failed", keep value = sum of successes
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
@@ -169,11 +220,30 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // per-micro-batch work time (triggerExecution ms summed over the
+    // run's batches, best-of-reps) for the e-family: wall minus this is
+    // the scheduling floor, so regressions are judged on work, not waits.
+    // stdout uses the compact "sw" key (the driver's ~2000-char tail
+    // window is the constraint — see the short-key note above); the full
+    // "stream_work_ms" map lives in bench_full.json
+    val workJson = ok.collect {
+      case (k, _) if workMs.contains(k) => "\"" + key(k) + s"""\":${workMs(k)}"""
+    }.mkString("{", ",", "}")
+    val workFullJson = ok.collect {
+      case (k, _) if workMs.contains(k) => "\"" + k + s"""\":${workMs(k)}"""
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullJson,"failed":$failedJson,"sf":"$sfDir"}%n"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$fullJson,"stream_work_ms":$workFullJson,"failed":$failedJson,"sf":"$sfDir"}%n"""
         .getBytes("UTF-8"))
     catch { case _: Throwable => () } // best effort; the stdout line rules
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val withSw = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sw":$workJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // the driver keeps only the LAST ~2000 stdout chars and parses the
+    // JSON line out of that tail — a line longer than the window gets its
+    // HEAD clipped and parses as null. If "sw" would overflow, drop it
+    // from stdout (bench_full.json always carries the full map).
+    println(
+      if (withSw.length <= 1950) withSw
+      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
