@@ -117,7 +117,9 @@ object Bench {
     // the reliable-checkpoint PageRank variant (quantifies executor-loss
     // survivability overhead vs g01)
     "q105s_pareto_scale", "q175s_ks_scale", "q178s_mw_scale",
-    "q188s_skyline_scale", "g01c_pagerank_ckpt")
+    "q188s_skyline_scale", "g01c_pagerank_ckpt",
+    // real BMP synth → javax.imageio pixel decode → thumbnail embedding
+    "m10_image_embed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Round-7 queries, part 1: the IMPLEMENTED scale modes for the residual
   * global-window family flagged by VERDICT r6 — q105's Pareto ntile, the
@@ -128,6 +130,47 @@ object Queries62 {
         .orderBy(col("price_cents"))
     }),
 
+    // Real image-pixel embedding extraction: per document, a genuine
+    // 24-bit BMP (4..8 × 4..8 px, every channel a pure integer formula
+    // of (doc id, x, y)) is synthesized, decoded to ACTUAL pixels by
+    // javax.imageio inside extractEmbedding's mapPartitions batch, and
+    // embedded as the 4×4 nearest-neighbor grayscale thumbnail (+1 per
+    // cell). The oracle never sees the BMP bytes — it regenerates the
+    // lumas from the formula (same integer ITU-R 601 luma, same
+    // src = tgt·srcDim DIV dstDim resample) — so a hash match certifies
+    // the REAL decode + resample path end-to-end (row order, padding,
+    // bottom-up layout, channel order), the way m09 certified WAV PCM.
+    // Reference filtered BEFORE extraction (m03's no-double-encode rule).
+    "m10_image_embed" -> ((s, d) => {
+      val enc = Encoders.row(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      def media(df: DataFrame) = df.select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = (4 + id % 5).toInt
+            val h = (4 + (id * 3) % 5).toInt
+            Row(id, operators.Multimodal.rgb24Bmp(w, h, (x, y) => {
+              val rr = ((id * 7 + x * 13 + y * 17) % 256).toInt
+              val gg = ((id * 11 + x * 3 + y * 5) % 256).toInt
+              val bb = ((id * 13 + x * 29 + y * 31) % 256).toInt
+              (rr << 16) | (gg << 8) | bb
+            }))
+          }
+        }(enc)
+      val docs = Tables.documents(s, d)
+      val emb = operators.Multimodal.extractEmbedding(media(docs))
+      val ref = operators.Multimodal
+        .extractEmbedding(media(docs.filter(col("doc_id") === 0)))
+        .select(col("embedding").as("ref_emb"))
+      emb.crossJoin(broadcast(ref))
+        .select(col("id").as("doc_id"),
+                round(functions.Expressions.cosine_sim(
+                  col("embedding"), col("ref_emb")), 4).as("cos_ref"))
+        .orderBy(col("doc_id"))
+    }),
+
     // g01 PageRank with RELIABLE checkpointing exercised end-to-end —
     // GraphCheckpointSpec pins output equality on a toy graph; this
     // entry runs the real bench graph through the checkpointDir path so
@@ -151,5 +194,34 @@ object Queries62 {
     "q175s_ks_scale" -> Queries47.oracleSql("q175_ks_test"),
     "q178s_mw_scale" -> Queries47.oracleSql("q178_mann_whitney"),
     "q188s_skyline_scale" -> Queries55.oracleSql("q188_skyline"),
-    "g01c_pagerank_ckpt" -> Queries10.oracleSql("g01_pagerank"))
+    "g01c_pagerank_ckpt" -> Queries10.oracleSql("g01_pagerank"),
+
+    // full replay of the pixel path from the generating formula: same
+    // per-channel integers, same integer ITU-R 601 luma
+    // (299r+587g+114b)//1000, same nearest-neighbor src = tgt·dim DIV 4
+    // mapping, +1 per cell; every embedding value is an integer ≤ 256 so
+    // dot products are exact in both engines and the final
+    // sqrt/divide/round is the same IEEE sequence as m03's oracle
+    "m10_image_embed" ->
+      """WITH g AS (SELECT doc_id, 4 + doc_id % 5 AS wd,
+        |                  4 + (doc_id * 3) % 5 AS ht
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id, cy * 4 + cx AS i,
+        |    (299 * ((doc_id * 7 + ((cx * wd) // 4) * 13
+        |             + ((cy * ht) // 4) * 17) % 256) +
+        |     587 * ((doc_id * 11 + ((cx * wd) // 4) * 3
+        |             + ((cy * ht) // 4) * 5) % 256) +
+        |     114 * ((doc_id * 13 + ((cx * wd) // 4) * 29
+        |             + ((cy * ht) // 4) * 31) % 256)) // 1000 + 1 AS v
+        |  FROM g, (SELECT unnest(range(0, 4)) AS cx),
+        |       (SELECT unnest(range(0, 4)) AS cy)),
+        |e AS (SELECT doc_id, array_agg(CAST(v AS DOUBLE) ORDER BY i) AS emb
+        |      FROM c GROUP BY doc_id),
+        |r AS (SELECT emb AS ref_emb FROM e WHERE doc_id = 0)
+        |SELECT e.doc_id,
+        |  round(list_dot_product(e.emb, r.ref_emb) /
+        |    (sqrt(list_dot_product(e.emb, e.emb)) *
+        |     sqrt(list_dot_product(r.ref_emb, r.ref_emb))), 4) AS cos_ref
+        |FROM e, r ORDER BY doc_id""".stripMargin)
 }

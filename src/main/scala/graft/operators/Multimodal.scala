@@ -243,6 +243,44 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER, bottom-up
+    * rows, 4-byte row padding) — the image sibling of [[pcm16Wav]]: a
+    * REAL payload `javax.imageio` decodes to exact pixels, built from a
+    * pure function so a SQL oracle that regenerates `rgb(x, y)` from the
+    * same formula cross-checks a real pixel decode end-to-end (m10).
+    * 24-bit BMP is byte-per-channel with no compression or color
+    * management, so `PixelCodec.gray(decode(rgb24Bmp(f)), x, y)` equals
+    * the integer luma of `f(x, y)` bit-for-bit.
+    */
+  def rgb24Bmp(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"rgb24Bmp: bad dims ${w}x$h")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)                          // reserved, data offset
+    bb.putInt(40).putInt(w).putInt(h)                // BITMAPINFOHEADER
+      .putShort(1).putShort(24)                      // planes, bpp
+      .putInt(0).putInt(dataSize)                    // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = h - 1                                    // rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val c = rgb(x, y)
+        bb.put((c & 0xff).toByte)                    // B
+          .put(((c >> 8) & 0xff).toByte)             // G
+          .put(((c >> 16) & 0xff).toByte)            // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("modality", StringType),
@@ -343,14 +381,23 @@ object Multimodal {
       }(enc)
   }
 
-  /** Feature-extraction stub: derives a `dim`-float embedding per media row
-    * via mapPartitions — the plumbing for an image/audio encoder (CLIP-style)
-    * whose real model is STUBBED (deterministic arithmetic on the byte
-    * length so an external oracle can reproduce it; a real encoder swaps
-    * into the same partition-batched loop with no plan change).
+  /** Feature extraction per media row via mapPartitions. IMAGE payloads
+    * (anything [[PixelCodec]] decodes — PNG/JPEG/GIF/BMP) get a REAL
+    * pixel-derived embedding: the √dim×√dim nearest-neighbor grayscale
+    * thumbnail (the classic raw-pixel feature vector), each cell's
+    * integer luma +1 — integer-valued floats 1..256, exact in float32
+    * AND float64, so an external double-math oracle that regenerates the
+    * pixels reproduces cosines bit-for-bit (m10 certifies this against
+    * real BMP payloads). Non-image payloads keep the deterministic
+    * byte-length STUB (the placeholder for a learned audio/video
+    * encoder, which this container lacks; a real model swaps into the
+    * same partition-batched loop with no plan change).
     * Output: (id, embedding array<float>).
     */
   def extractEmbedding(media: DataFrame, dim: Int = 16): DataFrame = {
+    val side = math.sqrt(dim.toDouble).toInt
+    require(side * side == dim,
+      s"extractEmbedding: dim $dim is not a square (pixel grid is side²)")
     val enc = Encoders.row(StructType(Seq(
       StructField("id", LongType),
       StructField("embedding", ArrayType(FloatType, containsNull = false)))))
@@ -360,15 +407,20 @@ object Multimodal {
           val id = r.getLong(0)
           val content = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           if (content == null) Row(id, null)
-          else {
-            val n = content.length.toLong
-            // integer-valued floats (1..97): exact in float32 AND float64,
-            // so an external double-math oracle reproduces cosines bit-for-
-            // bit (k/97 would already differ at the f32 rounding step);
-            // +1 keeps every vector's norm positive
-            val emb = Array.tabulate(dim)(i =>
-              ((n * (i + 1)) % 97L).toFloat + 1f)
-            Row(id, emb.toSeq)
+          else PixelCodec.decode(content) match {
+            case Some(img) =>
+              // real pixels: row-major side×side thumbnail lumas, +1
+              // keeps every vector's norm positive
+              val cells = PixelCodec.resampleGray(img, side, side)
+              Row(id, cells.map(c => (c & 0xff).toFloat + 1f).toSeq)
+            case None =>
+              val n = content.length.toLong
+              // integer-valued floats (1..97): exact in float32 AND
+              // float64 (k/97 would already differ at the f32 rounding
+              // step); +1 keeps every vector's norm positive
+              val emb = Array.tabulate(dim)(i =>
+                ((n * (i + 1)) % 97L).toFloat + 1f)
+              Row(id, emb.toSeq)
           }
         }
       }(enc)

@@ -163,6 +163,48 @@ class MultimodalSpec extends SparkSpec {
     assert((meta2.getInt(4), meta2.getInt(5)) == (sw, sh))
   }
 
+  test("extractEmbedding: real pixels for images, byte-length stub otherwise") {
+    // rgb24Bmp round-trip: the handwritten BMP must decode to the exact
+    // formula pixels (channel order, bottom-up rows, padding)
+    val (sw, sh) = (6, 5) // odd width exercises the 4-byte row padding
+    def rgb(x: Int, y: Int): Int =
+      ((x * 40 % 256) << 16) | ((y * 50 % 256) << 8) | ((x + y) * 9 % 256)
+    val bmp = Multimodal.rgb24Bmp(sw, sh, rgb)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img.getWidth == sw && img.getHeight == sh)
+    for (y <- 0 until sh; x <- 0 until sw)
+      assert((img.getRGB(x, y) & 0xffffff) == rgb(x, y), s"pixel ($x,$y)")
+
+    // image payload → 4x4 real-pixel luma thumbnail, +1 per cell
+    def luma(x: Int, y: Int): Int = {
+      val c = rgb(x, y)
+      (299 * ((c >> 16) & 0xff) + 587 * ((c >> 8) & 0xff) +
+        114 * (c & 0xff)) / 1000
+    }
+    val media = Seq((1L, bmp)).toDF("id", "content")
+    val emb = Multimodal.extractEmbedding(media).collect().head
+      .getAs[scala.collection.Seq[Float]](1)
+    val expected = (for (y <- 0 until 4; x <- 0 until 4)
+      yield luma(x * sw / 4, y * sh / 4).toFloat + 1f).toSeq
+    assert(emb.toSeq == expected)
+
+    // non-image payload → unchanged deterministic byte-length stub
+    val text = "not an image".getBytes("UTF-8")
+    val stub = Multimodal.extractEmbedding(Seq((2L, text)).toDF("id", "content"))
+      .collect().head.getAs[scala.collection.Seq[Float]](1)
+    val n = text.length.toLong
+    assert(stub.toSeq ==
+      (1 to 16).map(i => ((n * i) % 97L).toFloat + 1f).toSeq)
+
+    // null passthrough, and non-square dims rejected loudly
+    val nul = Multimodal.extractEmbedding(
+      Seq((3L, null: Array[Byte])).toDF("id", "content")).collect().head
+    assert(nul.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Multimodal.extractEmbedding(media, dim = 12)
+    }
+  }
+
   test("WavCodec: lossless 16-bit round trip, stereo, 8-bit, and rejects") {
     // pcm16Wav -> AudioSystem decode must be the identity on samples
     val xs = Array[Short](0, 1, -1, 1000, -1000, 32767, -32768, 7, -7)
