@@ -119,7 +119,11 @@ object Bench {
     "q105s_pareto_scale", "q175s_ks_scale", "q178s_mw_scale",
     "q188s_skyline_scale", "g01c_pagerank_ckpt",
     // real BMP synth → javax.imageio pixel decode → thumbnail embedding
-    "m10_image_embed")
+    "m10_image_embed",
+    // hashed-shuffle production twins (xxhash64 gram keys) timed against
+    // their string-keyed baselines d02(bench d10)/t54
+    "d27_ngram_jaccard_hashed", "d28_ngram_capped_hashed",
+    "t60_ngram_coverage_hashed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

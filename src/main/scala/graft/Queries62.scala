@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Expressions
 
 /** Round-7 queries, part 1: the IMPLEMENTED scale modes for the residual
   * global-window family flagged by VERDICT r6 — q105's Pareto ntile, the
@@ -130,6 +131,47 @@ object Queries62 {
         .orderBy(col("price_cents"))
     }),
 
+    // d02 through the PRODUCTION shuffle: every inverted-index join keys
+    // on xxhash64(gram) instead of the 5-token string (~10× narrower
+    // shuffle rows). Declared against the SAME string-form oracle as
+    // d02 — the hash match proves answer identity on real data, the
+    // DedupSpanSpec pattern for d24's hashed twin.
+    "d27_ngram_jaccard_hashed" -> ((s, d) =>
+      operators.Dedup.ngramJaccardPairs(
+          Tables.documents(s, d), "text", "doc_id", n = 5, threshold = 0.7,
+          shingleCap = operators.Dedup.ShingleCap.Off, hashedGrams = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // d10's capped candidate generation + the hashed shuffle — the full
+    // production shape (cap kills boilerplate hot keys, hash narrows
+    // every shuffle row, verification stays exact on full string sets).
+    "d28_ngram_capped_hashed" -> ((s, d) =>
+      operators.Dedup.ngramJaccardPairs(
+          Tables.documents(s, d), "text", "doc_id", n = 5, threshold = 0.7,
+          shingleCap = operators.Dedup.ShingleCap.Auto, hashedGrams = true)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // t54's eval-coverage probe with the train vocabulary and probe join
+    // keyed on xxhash64(shingle) — the distinct train vocabulary and the
+    // shuffle both carry 8-byte keys instead of 5-token strings.
+    "t60_ngram_coverage_hashed" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def shingled(df: DataFrame) = df.select(
+          col("doc_id"),
+          explode(array_distinct(Expressions.word_shingles(
+            operators.TextAnalysis.normalize(col("text")), 5))).as("sh0"))
+        .select(col("doc_id"), xxhash64(col("sh0")).as("sh"))
+      val train = shingled(docs.filter(col("doc_id") % 50 =!= 0))
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      shingled(docs.filter(col("doc_id") % 50 === 0))
+        .join(train, Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_covered"))
+        .select(col("doc_id"), col("n_shingles"), col("n_covered"),
+                expr("n_covered * 1000000 DIV n_shingles").as("coverage_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Real image-pixel embedding extraction: per document, a genuine
     // 24-bit BMP (4..8 × 4..8 px, every channel a pure integer formula
     // of (doc id, x, y)) is synthesized, decoded to ACTUAL pixels by
@@ -166,7 +208,7 @@ object Queries62 {
         .select(col("embedding").as("ref_emb"))
       emb.crossJoin(broadcast(ref))
         .select(col("id").as("doc_id"),
-                round(functions.Expressions.cosine_sim(
+                round(Expressions.cosine_sim(
                   col("embedding"), col("ref_emb")), 4).as("cos_ref"))
         .orderBy(col("doc_id"))
     }),
@@ -195,6 +237,13 @@ object Queries62 {
     "q178s_mw_scale" -> Queries47.oracleSql("q178_mann_whitney"),
     "q188s_skyline_scale" -> Queries55.oracleSql("q188_skyline"),
     "g01c_pagerank_ckpt" -> Queries10.oracleSql("g01_pagerank"),
+
+    // hashed-shuffle production twins must equal the STRING-keyed forms
+    // — same oracles, so a single 64-bit gram collision (or any drift in
+    // the hashed path) is a hash mismatch
+    "d27_ngram_jaccard_hashed" -> ExtensionQueries.oracleSql("d02_ngram_jaccard"),
+    "d28_ngram_capped_hashed" -> ExtensionQueries.oracleSql("d02_ngram_jaccard"),
+    "t60_ngram_coverage_hashed" -> Queries59.oracleSql("t54_ngram_coverage"),
 
     // full replay of the pixel path from the generating formula: same
     // per-channel integers, same integer ITU-R 601 luma

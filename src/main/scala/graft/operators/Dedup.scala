@@ -92,17 +92,31 @@ object Dedup {
     * Default is [[ShingleCap.Auto]] (one extra count() action on the
     * persisted shingle table); the declared d02 query passes Off for
     * oracle exactness.
+    *
+    * `hashedGrams` is the production-shuffle twin (the d24
+    * `duplicatedWindowStatsHashed` pattern): every inverted-index /
+    * candidate join keys on `xxhash64(gram)` instead of the k-token
+    * STRING — ~10× narrower shuffle rows for 5-gram keys. Verification
+    * still runs on the full string shingle sets (capped path) or exact
+    * per-key counts (uncapped), so the output is answer-identical
+    * absent a 64-bit collision among this corpus's shingles
+    * (≪ 10⁻⁹ at billions of distinct grams; the declared d27/d28
+    * queries prove identity on real data against the SAME string-form
+    * oracle as d02).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
-                        shingleCap: ShingleCap = ShingleCap.Auto): DataFrame = {
+                        shingleCap: ShingleCap = ShingleCap.Auto,
+                        hashedGrams: Boolean = false): DataFrame = {
     // shingle arrays feed candidate generation AND exact verification —
     // persist so text is shingled once
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    val sh = withSh.select(col("id"), explode(col("sh")).as("s"))
+    val shKey = if (hashedGrams) xxhash64(col("s0")) else col("s0")
+    val sh = withSh.select(col("id"), explode(col("sh")).as("s0"))
+      .select(col("id"), shKey.as("s"))
     val capOpt: Option[Int] = shingleCap match {
       case ShingleCap.Off => None
       case ShingleCap.Limit(c) => Some(c)

@@ -129,6 +129,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("hashedGrams shuffle twin equals the string-keyed forms exactly") {
+    // same planted corpus as the cap test (boilerplate + one true pair):
+    // the xxhash64-keyed inverted index must reproduce pairs AND jaccard
+    // values bit-for-bit on both the uncapped and capped paths
+    val boiler = "this document is provided as is without warranty of any kind"
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                       "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (0 until 20).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val nearDupBase = doc(1000)
+    val docs = Seq(
+      (0L, s"$nearDupBase $boiler"),
+      (1L, s"$nearDupBase extra $boiler")
+    ) ++ (2L until 42L).map(i => (i, s"${doc(i.toInt)} $boiler"))
+    val df = docs.toDF("doc_id", "text")
+    for (cap <- Seq(Dedup.ShingleCap.Off, Dedup.ShingleCap.Limit(5))) {
+      val str = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+          threshold = 0.5, shingleCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hashed = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 3,
+          threshold = 0.5, shingleCap = cap, hashedGrams = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hashed == str, s"cap=$cap: hashed $hashed != string $str")
+      assert(str.nonEmpty)
+    }
+  }
+
   test("d09: bucketed plan has no all-pairs join and equals the exact pairs") {
     val input = Queries6.d09Input(spark, sf).persist()
     val lsh = Queries6.sparkQueries("d09_lsh_neardup")(spark, sf)
