@@ -97,6 +97,43 @@ class Queries13Spec extends SparkSpec {
     assert(agg.finish(merged) == Seq(("b", 1L)))
   }
 
+  test("MisraGries: EXACT state through Spark's real partial-merge path") {
+    // the 4-shard replay above drives reduce/merge BY HAND; this runs
+    // the same Aggregator through an actual 4-partition DataFrame
+    // aggregation (spark.sql.shuffle.partitions=4), so Spark's own
+    // partial-aggregate + shuffle + merge path is what produces the
+    // state. Spark does not pin the REDUCER-side merge order, so the
+    // shards are built to make merges commute: each partition's
+    // decrement rounds happen IN-PARTITION (cold items c_i/d_i force
+    // the classic decrement-all), leaving partials over the same 2
+    // survivors {a, b} — merge is then pure counter addition, and the
+    // exact final state is partition-order-independent by construction.
+    val k = 4
+    // equal-length shards: parallelize slices a flat seq contiguously,
+    // so shard i = elements [17i, 17(i+1)) in this exact order
+    val shard: Int => Seq[String] = i =>
+      Seq.fill(10)("a") ++ Seq.fill(5)("b") ++ Seq(s"c$i", s"d$i")
+    val flat = (0 until 4).flatMap(shard)
+    val agg = new MisraGries.SketchAgg(k)
+    // hand-replay of each shard: a10 b5 full at {a,b,c_i}, then d_i
+    // triggers decrement-all (c_i drops out, d_i discarded)
+    val partials = (0 until 4).map(i => shard(i).foldLeft(agg.zero)(agg.reduce))
+    assert(partials.forall(_ == Map("a" -> 9L, "b" -> 4L)))
+    val expected = Map("a" -> 36L, "b" -> 16L)
+    assert(partials.reduceLeft(agg.merge) == expected)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val got = spark.sparkContext.parallelize(flat, 4).toDF("tok")
+        .withColumn("g", lit(1)) // grouped agg: real partial+shuffle+final
+        .groupBy($"g")
+        .agg(MisraGries.misra_gries(k)($"tok").as("sk"))
+        .select(explode($"sk")).select($"col._1", $"col._2")
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"Spark merge path produced $got")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("bm25Scores ranks by term density and excludes term-free docs") {
     val df = Seq(
       (1L, "spark spark spark filler filler"),
