@@ -123,7 +123,10 @@ object Bench {
     // hashed-shuffle production twins (xxhash64 gram keys) timed against
     // their string-keyed baselines d02(bench d10)/t54
     "d27_ngram_jaccard_hashed", "d28_ngram_capped_hashed",
-    "t60_ngram_coverage_hashed")
+    "t60_ngram_coverage_hashed",
+    // cluster-aware split (leakage-proof by construction) + the
+    // deterministic range-partitioned epoch shuffle
+    "d29_cluster_split", "q198_global_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,8 +69,13 @@ def cmp_frames(name, sp: pd.DataFrame, du: pd.DataFrame):
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata is a single parquet FILE per table; Spark-written
+        # fixtures (MakeBenchData) are DIRECTORIES of part files
+        path = f"{sfdir}/{t}.parquet"
+        pat = path if os.path.isfile(path) else f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     npass = nfail = 0
     import glob
