@@ -151,36 +151,41 @@ object Queries57 {
 
   val oracleSql: Map[String, String] = Map(
     // unrolled integer HITS rounds: same joins, same integer-division
-    // normalization (x DIV (max DIV 1e12)); BIGINT throughout
+    // normalization (x DIV (max DIV 1e12)); BIGINT throughout. Every
+    // per-round CTE is AS MATERIALIZED: a$r references ar$r twice (via
+    // amx$r and directly) and h$r references hr$r twice, so DuckDB's
+    // default inlining re-expands the round chain EXPONENTIALLY (~16×
+    // the base joins by round 2 — 66 GB of spill at sf1; the s18/s19
+    // gotcha in PLANS.md, caught by the round-7 sf1 sweep)
     "g09_hits" -> {
       val prec = Graph.Prec
       def round(r: Int): String =
-        s"""ar$r AS (
+        s"""ar$r AS MATERIALIZED (
            |  SELECT n.node, COALESCE(s.s, 0) AS a
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.dst AS node, SUM(h.h) AS s
            |    FROM e JOIN h${r - 1} h ON h.node = e.src
            |    GROUP BY e.dst) s ON s.node = n.node),
-           |amx$r AS (SELECT MAX(a) AS mx FROM ar$r),
-           |a$r AS (SELECT node, CASE WHEN mx <= 0 THEN 0
+           |amx$r AS MATERIALIZED (SELECT MAX(a) AS mx FROM ar$r),
+           |a$r AS MATERIALIZED (SELECT node, CASE WHEN mx <= 0 THEN 0
            |          ELSE a // (mx // $prec) END AS a
            |        FROM ar$r, amx$r),
-           |hr$r AS (
+           |hr$r AS MATERIALIZED (
            |  SELECT n.node, COALESCE(s.s, 0) AS h
            |  FROM nodes n LEFT JOIN (
            |    SELECT e.src AS node, SUM(a.a) AS s
            |    FROM e JOIN a$r a ON a.node = e.dst
            |    GROUP BY e.src) s ON s.node = n.node),
-           |hmx$r AS (SELECT MAX(h) AS mx FROM hr$r),
-           |h$r AS (SELECT node, CASE WHEN mx <= 0 THEN 0
+           |hmx$r AS MATERIALIZED (SELECT MAX(h) AS mx FROM hr$r),
+           |h$r AS MATERIALIZED (SELECT node, CASE WHEN mx <= 0 THEN 0
            |          ELSE h // (mx // $prec) END AS h
            |        FROM hr$r, hmx$r)""".stripMargin
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
          |  FROM lineitem),
-         |nodes AS (SELECT src AS node FROM e
+         |nodes AS MATERIALIZED (SELECT src AS node FROM e
          |          UNION SELECT dst FROM e),
-         |h0 AS (SELECT node, CAST($prec AS BIGINT) AS h FROM nodes),
+         |h0 AS MATERIALIZED (SELECT node, CAST($prec AS BIGINT) AS h FROM nodes),
          |${round(1)},
          |${round(2)}
          |SELECT n.node, CAST(a2.a AS BIGINT) AS auth_pico,

@@ -871,6 +871,22 @@ object Streams {
     java.nio.file.Files.createSymbolicLink(link, target.toPath.toAbsolutePath)
   }
 
+  /** The parquet data files behind a table path: the driver testdata is
+    * a single .parquet FILE, Spark-written fixtures (MakeBenchData) are
+    * DIRECTORIES of part files — the dedup streams need the concrete
+    * file list to present each file twice under distinct names. */
+  private def parquetFiles(path: String, what: String): Seq[java.io.File] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(f)
+    else {
+      val parts = Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(p => p.isFile && p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      require(parts.nonEmpty, s"$what: no parquet files under $path")
+      parts.toSeq
+    }
+  }
+
   private def withStatePartitions[T](spark: SparkSession, n: Int)
                                     (body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -1002,11 +1018,17 @@ object Streams {
                     workDir: String, sinkName: String,
                     statePartitions: Int = 8): DataFrame =
       withStatePartitions(spark, statePartitions) {
-    val f = new java.io.File(eventsPath)
-    require(f.isFile, s"streamedDedup: expected a single parquet file, got $eventsPath")
+    val files = parquetFiles(eventsPath, "streamedDedup")
     val d = new java.io.File(workDir, "dup")
-    for (n <- Seq("events_a.parquet", "events_b.parquet"))
-      linkInto(d, n, f)
+    // a REUSED workDir may hold links from a differently-shaped source —
+    // stale entries would feed extra files into the stream
+    Option(d.listFiles).foreach(_.foreach(x =>
+      java.nio.file.Files.deleteIfExists(x.toPath)))
+    // every data file presented TWICE (maxFilesPerTrigger=1 puts each
+    // copy in its own micro-batch, so copy-2 rows are always cross-batch
+    // duplicates only state can reject — same contract for 1 or N files)
+    for ((pf, i) <- files.zipWithIndex; tag <- Seq("a", "b"))
+      linkInto(d, s"events_${tag}_$i.parquet", pf)
     val batchSchema = spark.read.parquet(eventsPath).schema
     val raw = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(d.toString)
@@ -1142,12 +1164,12 @@ object Streams {
                                    workDir: String, sinkName: String,
                                    statePartitions: Int = 8): DataFrame =
       withStatePartitions(spark, statePartitions) {
-    val f = new java.io.File(eventsPath)
-    require(f.isFile,
-      s"streamedDedupWithinWatermark: expected a single parquet file, got $eventsPath")
+    val files = parquetFiles(eventsPath, "streamedDedupWithinWatermark")
     val d = new java.io.File(workDir, "dup")
-    for (n <- Seq("events_a.parquet", "events_b.parquet"))
-      linkInto(d, n, f)
+    Option(d.listFiles).foreach(_.foreach(x =>
+      java.nio.file.Files.deleteIfExists(x.toPath)))
+    for ((pf, i) <- files.zipWithIndex; tag <- Seq("a", "b"))
+      linkInto(d, s"events_${tag}_$i.parquet", pf)
     val batchSchema = spark.read.parquet(eventsPath).schema
     val raw = spark.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", "1").parquet(d.toString)

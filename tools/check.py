@@ -77,6 +77,17 @@ def main():
         pat = path if os.path.isfile(path) else f"{path}/*.parquet"
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # optional 3rd arg: comma-list of query names OR name ranges "a..b"
+    # (inclusive, sorted-order) — dev use, mirrors Verify's filter
+    if len(sys.argv) > 3:
+        sel = set()
+        for tok in sys.argv[3].split(","):
+            if ".." in tok:
+                lo, hi = tok.split("..")
+                sel |= {n for n in oracle if lo <= n <= hi}
+            else:
+                sel.add(tok)
+        oracle = {k: v for k, v in oracle.items() if k in sel}
     npass = nfail = 0
     import glob
     for name, sql in sorted(oracle.items()):
