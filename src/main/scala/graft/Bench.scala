@@ -126,7 +126,9 @@ object Bench {
     "t60_ngram_coverage_hashed",
     // cluster-aware split (leakage-proof by construction) + the
     // deterministic range-partitioned epoch shuffle
-    "d29_cluster_split", "q198_global_shuffle")
+    "d29_cluster_split", "q198_global_shuffle",
+    // the declared salted skew join (all-hot path on 5-key event_type)
+    "q199_salted_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

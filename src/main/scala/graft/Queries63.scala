@@ -48,6 +48,30 @@ object Queries63 {
         .orderBy(col("doc_id"))
     }),
 
+    // Skew-salted join as a DECLARED query (SkewJoin was spec-only):
+    // events ⋈ per-type stats on event_type — 5 keys over the whole
+    // fact table is the canonical pathological shuffle-join skew (5
+    // tasks carry everything). saltedJoinHotKeys routes every observed
+    // hot key through the salted path (threshold 1000 ≪ rows/type):
+    // large side salted over 8 sub-keys, small side replicated — 40
+    // balanced tasks instead of 5 hot ones — and the tail path is
+    // empty here. Output is the per-type absolute-deviation profile in
+    // exact cents; the oracle is the PLAIN join, so the hash match
+    // proves salting preserved join semantics row-for-row on real data
+    // (ScaleInfraSpec pins it structurally on planted corpora).
+    "q199_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(expr("SUM(cents) DIV COUNT(*)").as("avg_cents"))
+      operators.SkewJoin.saltedJoinHotKeys(
+          ev, stats, "event_type", hotThreshold = 1000L, salt = 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(abs(col("cents") - col("avg_cents"))).as("abs_dev_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Deterministic global epoch shuffle: position = rank of
     // FNV-1a64(doc id) under the total order (hash, id) — a reproducible
     // pseudorandom permutation assigned by [[operators.Index
@@ -90,6 +114,19 @@ object Queries63 {
          |       WHEN b <= 2::HUGEINT THEN 'valid'
          |       ELSE 'train' END AS split
          |FROM hb ORDER BY doc_id""".stripMargin,
+
+    // the PLAIN join replay — values are positive so truncating DIV ==
+    // floor // on the average
+    "q199_salted_join" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(round(value * 100) AS BIGINT) AS cents
+        |            FROM events),
+        |st AS (SELECT event_type, SUM(cents) // COUNT(*) AS avg_cents
+        |       FROM ev GROUP BY 1)
+        |SELECT ev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(ABS(ev.cents - st.avg_cents)) AS BIGINT) AS abs_dev_cents
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
 
     // same FNV-1a64, bridged from DuckDB's unsigned HUGEINT to Spark's
     // signed long (subtract 2^64 above 2^63) so the ORDER BY ranks the
