@@ -267,6 +267,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q198 epoch shuffle has no single-task stage (range-partitioned rank)") {
+    val p = plan("q198_global_shuffle")
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d29 cluster split joins components back — no cartesian, no single task") {
+    val p = plan("d29_cluster_split")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q199 salted join: both paths equi-keyed, hot side salted") {
+    val p = plan("q199_salted_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    // the salted path's join key must include the salt column
+    assert(p.contains("__salt"), "expected the salted sub-key in the plan")
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))
