@@ -72,4 +72,56 @@ class Fuzz4Spec extends SparkSpec {
     assert(bySortOrder.toSeq === (0L until 700L),
       "index must follow the (k, uniq) total order")
   }
+
+  test("withRunningSums equals a reference prefix fold on random data") {
+    val rnd = new Random(1717)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(300)
+      // distinct keys (the helper's total-order contract), values
+      // include negatives and zeros
+      val rows = rnd.shuffle((1 to n).toList).map { k =>
+        (k.toLong, (rnd.nextInt(41) - 20).toLong, rnd.nextInt(100).toLong)
+      }
+      val df = rows.toDF("k", "a", "b")
+      val np = 1 + rnd.nextInt(8)
+      val (run, tot) = Index.withRunningSums(
+        df, Seq($"k"), Seq("a", "b"), Seq("ca", "cb"), numPartitions = np)
+      val got = run.select($"k", $"ca", $"cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val sorted = rows.sortBy(_._1)
+      var (sa, sb) = (0L, 0L)
+      val expected = sorted.map { case (k, a, b) =>
+        sa += a; sb += b; (k, sa, sb)
+      }
+      assert(got.toSeq == expected, s"trial $trial np=$np n=$n")
+      assert(tot == Map("a" -> sorted.map(_._2).sum,
+                        "b" -> sorted.map(_._3).sum), s"trial $trial totals")
+    }
+  }
+
+  test("withRunningMinExcl equals a reference strict-prefix min on random data") {
+    val rnd = new Random(2929)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(200)
+      val rows = rnd.shuffle((1 to n).toList)
+        .map(k => (k.toLong, (rnd.nextInt(201) - 100).toLong))
+      val df = rows.toDF("k", "v")
+      val np = 1 + rnd.nextInt(8)
+      val got = Index.withRunningMinExcl(df, Seq($"k"), "v", "pm",
+          numPartitions = np)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .sortBy(_._1)
+      val sorted = rows.sortBy(_._1)
+      var m = Option.empty[Long]
+      val expected = sorted.map { case (k, v) =>
+        val out = (k, v, m)
+        m = Some(m.fold(v)(math.min(_, v)))
+        out
+      }
+      assert(got.toSeq == expected, s"trial $trial np=$np n=$n")
+    }
+  }
 }

@@ -246,6 +246,59 @@ class ScaleInfraSpec extends SparkSpec {
     assert(scale == exact)
   }
 
+  test("AQE splits a planted skewed partition in a sort-merge join") {
+    // the AUTOMATIC complement of SkewJoin's manual salting (q199): AQE
+    // detects an oversized shuffle partition at runtime and splits it
+    // across tasks, marking the join skew=true. Planted skew: one key
+    // carries ~all large-side bytes. Thresholds lowered so test-sized
+    // data trips the same machinery a 100 TB hot key would.
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> scala.util.Try(spark.conf.get(k)).toOption
+                      .filter(_ != null)) // unset keys can read back null
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one key carries ~98% of the rows (uniform heavy keys would
+      // drown the skew factor), and the payload is a per-row hash —
+      // shuffle blocks are lz4-compressed, so a constant pad would
+      // deflate the hot partition below the detection threshold
+      val large = spark.range(0, 51000).select(
+        when($"id" < 50000, lit(7L)).otherwise($"id" - 49992).as("k"),
+        sha2($"id".cast("string"), 256).as("payload"))
+      val small = spark.range(0, 2000).select($"id".as("k"),
+        ($"id" * 3).as("dim"))
+      // global agg (no required output distribution — a same-key groupBy
+      // after the join would FORBID the skew split, since splitting
+      // breaks the hash partitioning the agg needs) and the payload must
+      // survive the join, or column pruning shrinks the hot partition
+      // below the detection threshold
+      val joined = large.join(small, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+      // execute THIS frame: AQE finalizes (and marks skew) only on the
+      // executed queryExecution, not on a derived one
+      val row = joined.collect().head
+      // 50000 planted k=7 rows + tail keys 8..1007 (all < 2000, matched)
+      assert(row.getLong(0) == 51000L, s"join count ${row.getLong(0)}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "expected AQE to mark the skewed join:\n" + plan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("withRunningSums equals global-window prefix sums + totals, any partitioning") {
     import org.apache.spark.sql.expressions.Window
     // distinct keys with two long payloads (the ECDF shape: v, a, b)
