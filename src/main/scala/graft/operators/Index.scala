@@ -28,7 +28,18 @@ object Index {
 
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
                       indexCol: String = "idx",
-                      numPartitions: Int = 32): DataFrame = {
+                      numPartitions: Int = 32): DataFrame =
+    indexedWithCount(df, sortCols, indexCol, numPartitions)._1
+
+  /** [[withGlobalIndex]] plus the TOTAL row count n — free from the same
+    * bounded per-partition count fetch the rank already needs, so
+    * callers that need (index, n) together ([[withNtile]],
+    * [[exactQuantiles]]) don't pay a second materialization + count job
+    * (q84s's 3-ntile chain paid three before this).
+    */
+  private def indexedWithCount(df: DataFrame, sortCols: Seq[Column],
+                               indexCol: String,
+                               numPartitions: Int): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "withGlobalIndex: empty sort key")
     val pid = "__graft_pid"
     val parted = df
@@ -45,9 +56,10 @@ object Index {
     }
     val w = Window.partitionBy(col(pid))
       .orderBy(sortCols.map(_.asc): _*)
-    parted
+    val out = parted
       .withColumn(indexCol, offsetCol + row_number().over(w) - 1)
       .drop(pid)
+    (out, counts.values.sum)
   }
 
   /** EXACT `ntile(k)` under a total order WITHOUT a global window — the
@@ -68,9 +80,9 @@ object Index {
                 numPartitions: Int = 32): DataFrame = {
     require(k >= 1, s"withNtile: k $k < 1")
     val idxCol = "__graft_ntile_idx"
-    val indexed = withGlobalIndex(df, sortCols, idxCol, numPartitions)
-      .localCheckpoint() // one count job + one downstream read
-    val n = indexed.count()
+    // n rides along from the rank's own subtotal fetch — no second
+    // materialization or count job
+    val (indexed, n) = indexedWithCount(df, sortCols, idxCol, numPartitions)
     val q = n / k // rows per small bucket
     val r = n % k // number of large (q+1-row) buckets
     val idx = col(idxCol)
@@ -101,11 +113,9 @@ object Index {
       s"exactQuantiles: probabilities must be ppm in (0, 1000000], got $pPpm")
     val base = df.select(valueCol.as("v") +:
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
-    val indexed = withGlobalIndex(
-        base, col("v") +: tieCols.indices.map(i => col(s"t$i")),
-        "idx", numPartitions)
-      .localCheckpoint() // one count job + one filtered read
-    val n = indexed.count()
+    val (indexed, n) = indexedWithCount(
+      base, col("v") +: tieCols.indices.map(i => col(s"t$i")),
+      "idx", numPartitions)
     require(n > 0, "exactQuantiles: empty input")
     val ss = df.sparkSession
     import ss.implicits._
