@@ -16,11 +16,15 @@ import graft.functions.Expressions
   * [[operators.Index.withRunningSums]],
   * [[operators.Index.withRunningMinExcl]]) and hash-checked against the
   * SAME DuckDB oracle as its exact global-window twin — the scale path
-  * must be output-identical, not merely approximate. Plus the
+  * must be output-identical, not merely approximate. Plus: the
   * reliable-checkpoint PageRank bench twin (g01 with `checkpointDir`
   * exercised at bench scale, quantifying the overhead a cluster user
-  * pays for executor-loss survival). Oracle-parity conventions follow
-  * [[Queries]]' scaladoc.
+  * pays for executor-loss survival), the xxhash64-keyed shuffle twins
+  * of the n-gram dedup family (d27/d28/t60 — same string-form oracles,
+  * so answer identity is hash-proven), and the real-pixel image
+  * embedding certification (m10 — synthesized BMPs decoded by
+  * javax.imageio, oracle replays the pixel formula). Oracle-parity
+  * conventions follow [[Queries]]' scaladoc.
   */
 object Queries62 {
   import Queries.Q
