@@ -287,6 +287,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__salt"), "expected the salted sub-key in the plan")
   }
 
+  test("t61 composed pipeline inherits the pinned shapes — no cartesian") {
+    val p = plan("t61_pretrain_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("q190 band join is equi-keyed on the price bucket — no cartesian") {
     val p = plan("q190_band_join")
     assert(!p.contains("CartesianProduct"))
