@@ -129,8 +129,9 @@ object Bench {
     "d29_cluster_split", "q198_global_shuffle",
     // the declared salted skew join (all-hot path on 5-key event_type)
     "q199_salted_join",
-    // the whole curation path composed end-to-end in one query
-    "t61_pretrain_pipeline")
+    // the whole curation path composed end-to-end in one query, plus
+    // domain caps and semantic eval decontamination
+    "t61_pretrain_pipeline", "t62_domain_cap", "d30_semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
