@@ -142,28 +142,46 @@ object Bench {
     // forced micro-batch SCHEDULING floors (trigger waits, stream start),
     // not data work — so streaming regressions must be judged on the sum
     // of per-micro-batch triggerExecution ms, recorded alongside wall.
-    // The listener bus is async; drainStreamMs parks briefly after each
-    // streaming run so a batch's progress event lands in ITS run's bucket
-    // (the wait is harness work — untimed).
-    val streamMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // The listener bus is async, so work is keyed by runId and the drain
+    // BLOCKS until every run started during the rep has delivered its
+    // termination event (per-run events are FIFO on the bus: termination
+    // delivered ⇒ that run's progress events are already in its bucket) —
+    // a fixed sleep could credit a late event to the next rep or, under
+    // the shuffled timed order, to the next e-query entirely. The wait is
+    // harness work — untimed.
+    val runWork = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val started = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryStartedEvent): Unit = ()
+              .QueryStartedEvent): Unit = { started.add(e.runId); () }
         override def onQueryProgress(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryProgressEvent): Unit =
-          streamMs.addAndGet(
-            Option(e.progress.durationMs.get("triggerExecution"))
-              .map(_.longValue).getOrElse(0L))
+              .QueryProgressEvent): Unit = {
+          val d = Option(e.progress.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          runWork.merge(e.progress.runId, d, (a, b) => a + b)
+          ()
+        }
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
-              .QueryTerminatedEvent): Unit = ()
+              .QueryTerminatedEvent): Unit = { terminated.add(e.runId); () }
       })
     def drainStreamMs(): Long = {
-      Thread.sleep(250) // let in-flight listener events land
-      streamMs.getAndSet(0L)
+      // every stream a query runs has already awaitTermination'd by now —
+      // only the listener-bus delivery lag remains (bounded backstop: 5 s)
+      val deadline = System.nanoTime() + 5000000000L
+      while (!terminated.containsAll(started) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      val w = {
+        import scala.jdk.CollectionConverters._
+        started.asScala.toSeq
+          .map(id => Option(runWork.get(id)).map(_.longValue).getOrElse(0L)).sum
+      }
+      started.clear(); terminated.clear(); runWork.clear()
+      w
     }
     def once(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -185,7 +203,7 @@ object Bench {
     // data size, so warming at a smaller sf compiles the WRONG codegen and
     // the first timed run still pays janino (measured 4-18x inflation cold)
     declared.foreach(once(_, sfDir))
-    streamMs.set(0L) // warm-up streams must not pollute the first bucket
+    drainStreamMs() // warm-up streams must not pollute the first bucket
     // SEEDED-shuffled timed order: with declared order, residual
     // front-of-run warm-up (JIT tiering, code-cache churn) polluted the
     // SAME entries every round (q01/q04/q06 drifted 1.3-2.1x r5→r6 at
@@ -253,11 +271,15 @@ object Bench {
     val withSw = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sw":$workJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // the driver keeps only the LAST ~2000 stdout chars and parses the
     // JSON line out of that tail — a line longer than the window gets its
-    // HEAD clipped and parses as null. If "sw" would overflow, drop it
-    // from stdout (bench_full.json always carries the full map).
+    // HEAD clipped and parses as null. Shed detail in order until the
+    // line fits: drop "sw" first, then the per-query map itself (totals
+    // always parse; bench_full.json always carries everything).
+    val noSw = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val totalsOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(
       if (withSw.length <= 1950) withSw
-      else f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}""")
+      else if (noSw.length <= 1950) noSw
+      else totalsOnly)
     spark.stop()
   }
 }

@@ -43,7 +43,11 @@ object Queries62 {
         .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
           .cast("long").as("cents"))
         .localCheckpoint() // feeds the total fetch AND the ntile path
-      val tot = rev.agg(sum(col("cents"))).head.getLong(0)
+      // coalesce: sum over zero rows is NULL — fetch 0 instead of a
+      // NullPointerException, then fail loudly (the share divides by tot)
+      val tot = rev.agg(coalesce(sum(col("cents")), lit(0L))).head().getLong(0)
+      require(tot > 0L,
+        "q105s_pareto_scale: empty orders input (grand total is 0)")
       val per = operators.Index.withNtile(rev, 10,
           Seq(negate(col("cents")), col("o_custkey")), "decile")
         .groupBy(col("decile"))
@@ -78,6 +82,8 @@ object Queries62 {
       val (run, tot) = operators.Index.withRunningSums(
         byV, Seq(col("v")), Seq("a", "b"), Seq("c1", "c2"))
       val n1 = tot("a"); val n2 = tot("b")
+      require(n1 > 0L && n2 > 0L,
+        s"q175s_ks_scale: a sample is empty (n1=$n1, n2=$n2) — ks_d divides by n1*n2")
       run
         .agg(max(abs(col("c1") * lit(n2) - col("c2") * lit(n1)))
                .cast("long").as("d_num"))
@@ -105,6 +111,8 @@ object Queries62 {
       val (run, tot) = operators.Index.withRunningSums(
         byV, Seq(col("v")), Seq("a", "b", "t"), Seq("ca", "cb", "ct"))
       val n1 = tot("a"); val n2 = tot("b")
+      require(n1 > 0L && n2 > 0L,
+        s"q178s_mw_scale: a sample is empty (n1=$n1, n2=$n2) — z divides by n1*n2")
       run
         .withColumn("f", col("ct") - col("t"))
         .agg(sum(col("a") * (lit(2) * col("f") + col("t") + lit(1)))

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Expressions
+
+/** Round-8 queries: the last stub closed (m11 — REAL multi-frame
+  * animated-GIF decode through [[operators.Multimodal.sampleFrames]],
+  * certified by a formula-replay oracle the way m09/m10 closed audio and
+  * images), the banded scale mode of semantic eval decontamination (d31
+  * — the d09 playbook applied to d30's train-vs-eval shape: hyperplane
+  * bucket collisions as the candidate filter, exact-cosine confirm,
+  * exact all-pairs oracle so recall AND precision are hash-proven on
+  * real data), and the reliable-checkpoint twin of the Index family's
+  * flagship (q194c — executor-loss-survivable `checkpoint()` instead of
+  * `localCheckpoint()`, same oracle, benched so the overhead is a
+  * number, the g01c playbook). Oracle-parity conventions follow
+  * [[Queries]]' scaladoc.
+  */
+object Queries65 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    // REAL video-style frame extraction: per document a genuine animated
+    // GIF (4..7 × 4..7 px, 3..6 full-canvas frames, every pixel a pure
+    // (doc id, frame, x, y) formula through an EXPLICIT grayscale
+    // palette) is synthesized, decoded frame-by-frame by javax.imageio's
+    // GIF reader inside sampleFrames' mapPartitions batch, k=4 frames
+    // sampled at src = i·n DIV 4, each emitted as its true 4×4
+    // nearest-neighbor gray thumbnail. The oracle never sees the GIF
+    // bytes — it replays the per-cell gray levels from the formula — so
+    // the hash match certifies the real multi-frame decode end-to-end
+    // (frame indexing, palette round-trip, row-major order, the DIV
+    // resample), closing the repo's last byte-window stub.
+    // Scale: encode+decode are per-row executor work inside one
+    // partition batch; frames never leave their partition before the
+    // per-frame projection.
+    "m11_gif_frames" -> ((s, d) => {
+      val enc = Encoders.row(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("content", BinaryType))))
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = (4 + id % 4).toInt
+            val h = (4 + (id * 3) % 4).toInt
+            val nf = (3 + id % 4).toInt
+            Row(id, operators.Multimodal.animGif(w, h, nf, (f, x, y) =>
+              ((id * 7 + f * 19 + x * 13 + y * 17) % 256).toInt))
+          }
+        }(enc)
+      operators.Multimodal.sampleFrames(media, k = 4, frameBytes = 16)
+        .select(col("id").as("doc_id"),
+                col("frame_no").cast("long").as("frame_no"),
+                lower(hex(col("frame_bytes"))).as("frame_hex"),
+                Expressions.byte_sum_squares(col("frame_bytes"))
+                  .as("energy"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    }),
+
+    // The BANDED scale mode of d30's semantic eval decontamination — for
+    // eval suites too large to broadcast: BOTH sides get seeded
+    // hyperplane signatures in one codegen pass (8 tables × 16 bits, the
+    // d09 configuration), candidates are bucket collisions in ANY table
+    // (the join is keyed on (table, bucket) — never train × eval, never
+    // train × train), and the exact codegen cosine confirms. Declared at
+    // the near-dup threshold regime (0.99 — the verbatim-leak contract
+    // where banding retains recall; d09's miss analysis < 1e-9 applies
+    // verbatim since the corpus is the same planted one) against an
+    // EXACT all-pairs oracle, so the hash match proves the banded path's
+    // recall AND precision on real data. Low-threshold sweeps (d30's
+    // 0.4) stay on the exact broadcast scan — banding cannot bound
+    // recall there, which is precisely why both modes exist.
+    "d31_semantic_decontam_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val all = Queries6.d09Input(s, d)
+      val isEval = col("vec_id") % 50 === 0 && col("vec_id") < 1000000L
+      def sigs(df: DataFrame, idAs: String, vAs: String) = df.select(
+        col("vec_id").as(idAs), col("embedding").as(vAs),
+        posexplode(Expressions.hyperplane_sigs(col("embedding"), 64,
+                                               numBits = 16, numTables = 8,
+                                               baseSeed = 42L))
+          .as(Seq("table", "bucket")))
+      val tb = sigs(all.filter(!isEval), "train_id", "tv")
+      val eb = sigs(all.filter(isEval), "eval_id", "ev")
+      val w = Window.partitionBy(col("train_id"))
+        .orderBy(col("cos").desc, col("eval_id"))
+      tb.join(eb, Seq("table", "bucket"))
+        .dropDuplicates("train_id", "eval_id")
+        .withColumn("cos", Expressions.cosine_sim(col("tv"), col("ev")))
+        .filter(col("cos") >= 0.99)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("train_id"), col("eval_id"),
+                round(col("cos"), 4).as("cos"))
+        .orderBy(col("train_id"))
+    }),
+
+    // q194's exact quantiles through RELIABLE checkpointing: the
+    // two-phase rank's materialization uses `checkpoint()` into a
+    // directory (HDFS/S3 on a real cluster) instead of
+    // `localCheckpoint()`'s unrecomputable executor-memory blocks — the
+    // production mode where losing one of 1000 executors between the
+    // count and numbering passes costs a task retry, not the job. Same
+    // oracle as q194 (results are identical by construction; this entry
+    // exists so the bench quantifies the durability overhead — the g01c
+    // playbook for the Index family).
+    "q194c_quantiles_ckpt" -> ((s, d) => {
+      val dir = new java.io.File("target/graft-ckpt/q194c").getAbsolutePath
+      operators.Index.exactQuantiles(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents")),
+          valueCol = col("cents"), tieCols = Seq(col("o_orderkey")),
+          pPpm = Seq(250000L, 500000L, 750000L, 900000L, 990000L),
+          checkpointDir = Some(dir))
+        .select(col("p_ppm"), col("v").as("cents"))
+        .orderBy(col("p_ppm"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // full replay of the GIF pixel path from the generating formula: the
+    // explicit gray palette makes decoded luma == palette index == the
+    // formula value (no color-space math anywhere), frame f = (i·nf)//4,
+    // thumbnail cell (cx, cy) reads source pixel ((cx·wd)//4, (cy·ht)//4),
+    // bytes emitted row-major (cy, cx) — any drift in frame selection,
+    // palette round-trip, or resample order breaks the hex string
+    "m11_gif_frames" ->
+      """WITH g AS (SELECT doc_id, 4 + doc_id % 4 AS wd,
+        |                  4 + (doc_id * 3) % 4 AS ht,
+        |                  3 + doc_id % 4 AS nf
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS frame_no, cy, cx,
+        |    (doc_id * 7 + ((i * nf) // 4) * 19
+        |     + ((cx * wd) // 4) * 13 + ((cy * ht) // 4) * 17) % 256 AS v
+        |  FROM g,
+        |       (SELECT unnest(range(0, 4)) AS i),
+        |       (SELECT unnest(range(0, 4)) AS cx),
+        |       (SELECT unnest(range(0, 4)) AS cy))
+        |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+        |  string_agg(printf('%02x', v), '' ORDER BY cy, cx) AS frame_hex,
+        |  CAST(SUM(v * v) AS BIGINT) AS energy
+        |FROM c GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no""".stripMargin,
+
+    // exact train × eval ground truth over the SAME planted corpus as
+    // d09 (originals < 2000 ∪ float32-exact scaled near-dups at
+    // id + 1e6): the oracle is the exact algorithm, the Spark side the
+    // banded one — hash-match proves the banding misses nothing at this
+    // threshold. Same best-match attribution as d30 (raw cos DESC,
+    // eval id; rounding only on the emitted column).
+    "d31_semantic_decontam_lsh" ->
+      s"""WITH ${Queries6.d09Ctes},
+         |ev AS (SELECT vec_id AS eval_id, emb AS evv FROM u
+         |       WHERE vec_id % 50 = 0 AND vec_id < 1000000),
+         |tr AS (SELECT vec_id AS train_id, emb AS tv FROM u
+         |       WHERE vec_id % 50 <> 0 OR vec_id >= 1000000),
+         |c AS (SELECT train_id, eval_id,
+         |        list_dot_product(tv, evv) /
+         |          (sqrt(list_dot_product(tv, tv)) *
+         |           sqrt(list_dot_product(evv, evv))) AS cos
+         |      FROM tr, ev),
+         |h AS (SELECT train_id, eval_id, cos,
+         |        row_number() OVER (PARTITION BY train_id
+         |          ORDER BY cos DESC, eval_id) AS rk
+         |      FROM c WHERE cos >= 0.99)
+         |SELECT train_id, eval_id, round(cos, 4) AS cos
+         |FROM h WHERE rk = 1 ORDER BY train_id""".stripMargin,
+
+    // identical to q194's — the reliable-checkpoint mode must be
+    // output-identical, the knob only changes durability
+    "q194c_quantiles_ckpt" -> Queries60.oracleSql("q194_quantiles_scale"))
+}

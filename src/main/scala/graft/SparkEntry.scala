@@ -48,7 +48,7 @@ object SparkEntry {
       Queries58.sparkQueries ++ Queries59.sparkQueries ++
       Queries60.sparkQueries ++ Queries61.sparkQueries ++
       Queries62.sparkQueries ++ Queries63.sparkQueries ++
-      Queries64.sparkQueries
+      Queries64.sparkQueries ++ Queries65.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +75,6 @@ object SparkEntry {
       Queries53.oracleSql ++ Queries54.oracleSql ++ Queries55.oracleSql ++
       Queries56.oracleSql ++ Queries57.oracleSql ++ Queries58.oracleSql ++
       Queries59.oracleSql ++ Queries60.oracleSql ++ Queries61.oracleSql ++
-      Queries62.oracleSql ++ Queries63.oracleSql ++ Queries64.oracleSql
+      Queries62.oracleSql ++ Queries63.oracleSql ++ Queries64.oracleSql ++
+      Queries65.oracleSql
 }

@@ -26,10 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object Index {
 
+  /** Materialization mode for the two-phase rank (the frame is counted /
+    * subtotaled once, then numbered once — it must not recompute between
+    * the two passes). `None` (the test/default mode) uses
+    * `localCheckpoint` — executor-memory blocks, fast, but an executor
+    * loss between the passes kills the job (the blocks are
+    * unrecomputable). A `checkpointDir` switches to RELIABLE
+    * `checkpoint()` into that directory (HDFS/S3 on a real cluster) —
+    * the production mode, where losing one of 1000 executors costs a
+    * task retry, not the job. Results are identical either way
+    * (ScaleInfraSpec pins it); same contract as
+    * [[graft.operators.Graph]]'s per-round knob.
+    */
+  private def persist(df: DataFrame,
+                      checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
                       indexCol: String = "idx",
-                      numPartitions: Int = 32): DataFrame =
-    indexedWithCount(df, sortCols, indexCol, numPartitions)._1
+                      numPartitions: Int = 32,
+                      checkpointDir: Option[String] = None): DataFrame =
+    indexedWithCount(df, sortCols, indexCol, numPartitions, checkpointDir)._1
 
   /** [[withGlobalIndex]] plus the TOTAL row count n — free from the same
     * bounded per-partition count fetch the rank already needs, so
@@ -38,14 +60,14 @@ object Index {
     * (q84s's 3-ntile chain paid three before this).
     */
   private def indexedWithCount(df: DataFrame, sortCols: Seq[Column],
-                               indexCol: String,
-                               numPartitions: Int): (DataFrame, Long) = {
+                               indexCol: String, numPartitions: Int,
+                               checkpointDir: Option[String] = None): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "withGlobalIndex: empty sort key")
     val pid = "__graft_pid"
-    val parted = df
+    val parted = persist(df
       .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint() // counted once, numbered once — don't recompute
+      .withColumn(pid, spark_partition_id()),
+      checkpointDir) // counted once, numbered once — don't recompute
     val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ids = counts.keys.toSeq.sorted
@@ -77,12 +99,14 @@ object Index {
     */
   def withNtile(df: DataFrame, k: Int, sortCols: Seq[Column],
                 bucketCol: String = "bucket",
-                numPartitions: Int = 32): DataFrame = {
+                numPartitions: Int = 32,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"withNtile: k $k < 1")
     val idxCol = "__graft_ntile_idx"
     // n rides along from the rank's own subtotal fetch — no second
     // materialization or count job
-    val (indexed, n) = indexedWithCount(df, sortCols, idxCol, numPartitions)
+    val (indexed, n) =
+      indexedWithCount(df, sortCols, idxCol, numPartitions, checkpointDir)
     val q = n / k // rows per small bucket
     val r = n % k // number of large (q+1-row) buckets
     val idx = col(idxCol)
@@ -108,14 +132,15 @@ object Index {
     * against a |ps|-row table — nothing funnels through one task.
     */
   def exactQuantiles(df: DataFrame, valueCol: Column, tieCols: Seq[Column],
-                     pPpm: Seq[Long], numPartitions: Int = 32): DataFrame = {
+                     pPpm: Seq[Long], numPartitions: Int = 32,
+                     checkpointDir: Option[String] = None): DataFrame = {
     require(pPpm.nonEmpty && pPpm.forall(p => p > 0L && p <= 1000000L),
       s"exactQuantiles: probabilities must be ppm in (0, 1000000], got $pPpm")
     val base = df.select(valueCol.as("v") +:
       tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
     val (indexed, n) = indexedWithCount(
       base, col("v") +: tieCols.indices.map(i => col(s"t$i")),
-      "idx", numPartitions)
+      "idx", numPartitions, checkpointDir)
     require(n > 0, "exactQuantiles: empty input")
     val ss = df.sparkSession
     import ss.implicits._
@@ -150,15 +175,16 @@ object Index {
     */
   def withRunningSums(df: DataFrame, sortCols: Seq[Column],
                       sumCols: Seq[String], outCols: Seq[String],
-                      numPartitions: Int = 32): (DataFrame, Map[String, Long]) = {
+                      numPartitions: Int = 32,
+                      checkpointDir: Option[String] = None): (DataFrame, Map[String, Long]) = {
     require(sortCols.nonEmpty, "withRunningSums: empty sort key")
     require(sumCols.nonEmpty && sumCols.length == outCols.length,
       s"withRunningSums: sumCols/outCols mismatch ($sumCols vs $outCols)")
     val pid = "__graft_pid"
-    val parted = df
+    val parted = persist(df
       .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint() // subtotaled once, accumulated once
+      .withColumn(pid, spark_partition_id()),
+      checkpointDir) // subtotaled once, accumulated once
     val aggs = sumCols.map(c => sum(col(c)).as(c))
     val perPart = parted.groupBy(col(pid)).agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -202,13 +228,14 @@ object Index {
     */
   def withRunningMinExcl(df: DataFrame, sortCols: Seq[Column],
                          valueCol: String, outCol: String,
-                         numPartitions: Int = 32): DataFrame = {
+                         numPartitions: Int = 32,
+                         checkpointDir: Option[String] = None): DataFrame = {
     require(sortCols.nonEmpty, "withRunningMinExcl: empty sort key")
     val pid = "__graft_pid"
-    val parted = df
+    val parted = persist(df
       .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint() // min'd once, windowed once
+      .withColumn(pid, spark_partition_id()),
+      checkpointDir) // min'd once, windowed once
     val mins = parted.groupBy(col(pid)).agg(min(col(valueCol)).as("m"))
       .collect().map { r =>
         require(!r.isNullAt(1),
@@ -244,14 +271,15 @@ object Index {
     */
   def withGroupIndex(df: DataFrame, groupCol: Column, sortCols: Seq[Column],
                      indexCol: String = "idx",
-                     numPartitions: Int = 32): DataFrame = {
+                     numPartitions: Int = 32,
+                     checkpointDir: Option[String] = None): DataFrame = {
     require(sortCols.nonEmpty, "withGroupIndex: empty sort key")
     val g = "__graft_gidx_g"
     val pid = "__graft_pid"
-    val parted = df.withColumn(g, groupCol)
+    val parted = persist(df.withColumn(g, groupCol)
       .repartitionByRange(numPartitions, (col(g) +: sortCols): _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint() // counted once, numbered once
+      .withColumn(pid, spark_partition_id()),
+      checkpointDir) // counted once, numbered once
     val counts = parted.groupBy(col(pid), col(g)).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
     require(counts.forall(_._2 != null),
@@ -301,7 +329,8 @@ object Index {
   def exactGroupQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
                           tieCols: Seq[Column], pPpm: Seq[Long],
                           groupName: String = "g",
-                          numPartitions: Int = 32): DataFrame = {
+                          numPartitions: Int = 32,
+                          checkpointDir: Option[String] = None): DataFrame = {
     require(pPpm.nonEmpty && pPpm.forall(p => p > 0L && p <= 1000000L),
       s"exactGroupQuantiles: probabilities must be ppm in (0, 1000000], got $pPpm")
     val base = df.select(groupCol.as("g") +: valueCol.as("v") +:
@@ -309,10 +338,10 @@ object Index {
     val sortCols = col("g") +: col("v") +:
       tieCols.indices.map(i => col(s"t$i"))
     val pid = "__graft_pid"
-    val parted = base
+    val parted = persist(base
       .repartitionByRange(numPartitions, sortCols: _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint() // counted once, numbered once
+      .withColumn(pid, spark_partition_id()),
+      checkpointDir) // counted once, numbered once
     val counts = parted.groupBy(col(pid), col("g")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.get(1), r.getLong(2)))
     require(counts.forall(_._2 != null),

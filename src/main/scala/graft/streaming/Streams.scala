@@ -1023,7 +1023,11 @@ object Streams {
     // a REUSED workDir may hold links from a differently-shaped source —
     // stale entries would feed extra files into the stream
     Option(d.listFiles).foreach(_.foreach(x =>
-      java.nio.file.Files.deleteIfExists(x.toPath)))
+      // plain files/symlinks only: a stray non-empty subdirectory would
+      // make deleteIfExists throw DirectoryNotEmptyException and abort
+      // stream setup before the first micro-batch
+      if (x.isFile || java.nio.file.Files.isSymbolicLink(x.toPath))
+        java.nio.file.Files.deleteIfExists(x.toPath)))
     // every data file presented TWICE (maxFilesPerTrigger=1 puts each
     // copy in its own micro-batch, so copy-2 rows are always cross-batch
     // duplicates only state can reject — same contract for 1 or N files)
@@ -1167,7 +1171,11 @@ object Streams {
     val files = parquetFiles(eventsPath, "streamedDedupWithinWatermark")
     val d = new java.io.File(workDir, "dup")
     Option(d.listFiles).foreach(_.foreach(x =>
-      java.nio.file.Files.deleteIfExists(x.toPath)))
+      // plain files/symlinks only: a stray non-empty subdirectory would
+      // make deleteIfExists throw DirectoryNotEmptyException and abort
+      // stream setup before the first micro-batch
+      if (x.isFile || java.nio.file.Files.isSymbolicLink(x.toPath))
+        java.nio.file.Files.deleteIfExists(x.toPath)))
     for ((pf, i) <- files.zipWithIndex; tag <- Seq("a", "b"))
       linkInto(d, s"events_${tag}_$i.parquet", pf)
     val batchSchema = spark.read.parquet(eventsPath).schema
