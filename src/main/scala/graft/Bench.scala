@@ -131,7 +131,20 @@ object Bench {
     "q199_salted_join",
     // the whole curation path composed end-to-end in one query, plus
     // domain caps and semantic eval decontamination
-    "t61_pretrain_pipeline", "t62_domain_cap", "d30_semantic_decontam")
+    "t61_pretrain_pipeline", "t62_domain_cap", "d30_semantic_decontam",
+    // round-8: real multi-frame GIF decode, the banded scale mode of
+    // semantic decontamination, and the reliable-checkpoint Index twin
+    // (durability overhead vs q194, the g01c playbook)
+    "m11_gif_frames", "d31_semantic_decontam_lsh", "q194c_quantiles_ckpt")
+
+  /** Per-round rotation: a fixed-seed sample of currently-unbenched
+    * queries joins the timed set, so timing history accumulates across
+    * rounds without bloating the stable headline list (VERDICT-r7 task
+    * 5). Seed = 20260814 + round; PLANS.md records each round's seed
+    * and slice.
+    */
+  val rotationSeed: Long = 20260814L + 8
+  val rotationSize: Int = 20
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,7 +210,10 @@ object Bench {
       spark.catalog.clearCache()
       elapsed
     }
-    val declared = headline.filter(qs.contains)
+    val rotation = new scala.util.Random(rotationSeed)
+      .shuffle(qs.keys.toSeq.filterNot(headline.contains).sorted)
+      .take(rotationSize)
+    val declared = headline.filter(qs.contains) ++ rotation
     // JIT/codegen warm-up AT THE TARGET SCALE FACTOR: AQE picks different
     // physical shapes (broadcast vs shuffle joins, coalesced readers) per
     // data size, so warming at a smaller sf compiles the WRONG codegen and
@@ -248,8 +264,16 @@ object Bench {
     val collision = ok.map(t => short(t._1)).groupBy(identity)
       .exists(_._2.size > 1)
     val key: String => String = if (collision) identity else short
-    val qjson = ok.map { case (k, v) => "\"" + key(k) + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
+    // stdout rides 2 decimals (10 ms — plenty for seconds-scale entries)
+    // to keep 160+ queries inside the driver's tail window; the 3-decimal
+    // map lives in bench_full.json
+    def qmap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + key(k) + f"\":$v%.2f" }
+        .mkString("{", ",", "}")
+    val qjson = qmap(ok)
+    // headline-only fallback map: the stable cross-round set, which must
+    // never be crowded out of the parse window by the rotation slice
+    val qjsonHead = qmap(ok.filterNot { case (k, _) => rotation.contains(k) })
     val fullJson = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     // per-micro-batch work time (triggerExecution ms summed over the
@@ -272,13 +296,16 @@ object Bench {
     // the driver keeps only the LAST ~2000 stdout chars and parses the
     // JSON line out of that tail — a line longer than the window gets its
     // HEAD clipped and parses as null. Shed detail in order until the
-    // line fits: drop "sw" first, then the per-query map itself (totals
-    // always parse; bench_full.json always carries everything).
+    // line fits: drop "sw" first, then the rotation slice (the stable
+    // headline map must always parse for cross-round comparison), then
+    // the per-query map itself (bench_full.json always carries all of it).
     val noSw = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val headOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjsonHead,"n_rot":${rotation.count(r => ok.exists(_._1 == r))},"failed":$failedJson,"sf":"$sfDir"}"""
     val totalsOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(
       if (withSw.length <= 1950) withSw
       else if (noSw.length <= 1950) noSw
+      else if (headOnly.length <= 1950) headOnly
       else totalsOnly)
     spark.stop()
   }

@@ -98,6 +98,35 @@ object Queries65 {
         .orderBy(col("train_id"))
     }),
 
+    // Real multi-frame metadata: decodeMeta over the SAME synthesized
+    // animated GIFs as m11 must report the TRUE stream dimensions and
+    // frame count from the actual javax.imageio decode (n_frames was
+    // hardcoded 1 for image payloads before round 8). The oracle
+    // replays only the generating shape formula — byte length is
+    // LZW-compressed and unpredictable, so it is deliberately NOT
+    // emitted; a hash match proves the decoder counted real frames.
+    "m12_gif_meta" -> ((s, d) => {
+      val enc = Encoders.row(StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("modality", StringType),
+        StructField("content", BinaryType))))
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val id = r.getLong(0)
+            val w = (4 + id % 4).toInt
+            val h = (4 + (id * 3) % 4).toInt
+            val nf = (3 + id % 4).toInt
+            Row(id, "video", operators.Multimodal.animGif(w, h, nf,
+              (f, x, y) => ((id * 7 + f * 19 + x * 13 + y * 17) % 256).toInt))
+          }
+        }(enc)
+      operators.Multimodal.decodeMeta(media)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+                col("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q194's exact quantiles through RELIABLE checkpointing: the
     // two-phase rank's materialization uses `checkpoint()` into a
     // directory (HDFS/S3 on a real cluster) instead of
@@ -168,6 +197,15 @@ object Queries65 {
          |      FROM c WHERE cos >= 0.99)
          |SELECT train_id, eval_id, round(cos, 4) AS cos
          |FROM h WHERE rk = 1 ORDER BY train_id""".stripMargin,
+
+    // the generating shape formula alone — true decoded dims and frame
+    // count, never the (compression-dependent) byte length
+    "m12_gif_meta" ->
+      """SELECT doc_id,
+        |  CAST(4 + doc_id % 4 AS INT) AS width,
+        |  CAST(4 + (doc_id * 3) % 4 AS INT) AS height,
+        |  CAST(3 + doc_id % 4 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical to q194's — the reliable-checkpoint mode must be
     // output-identical, the knob only changes durability

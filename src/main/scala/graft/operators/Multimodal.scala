@@ -408,12 +408,17 @@ object Multimodal {
             case Some((w, h, f)) =>
               Row(id, mod, content, content.length.toLong, w, h, f)
             case None =>
-              // formats without a hand-parsed header (GIF/BMP): a real
-              // ImageIO decode still yields true dimensions
-              PixelCodec.decode(content) match {
-                case Some(img) =>
-                  Row(id, mod, content, content.length.toLong,
-                      img.getWidth, img.getHeight, 1)
+              // GIF: decode the whole stream so n_frames is the TRUE
+              // frame count (animated GIFs are the one multi-frame
+              // format the JDK reads — m12 certifies this against the
+              // animGif formula); BMP: single ImageIO decode, one frame
+              (if (GifCodec.looksLikeGif(content))
+                 GifCodec.frames(content).map(fs =>
+                   (fs.head.getWidth, fs.head.getHeight, fs.length))
+               else PixelCodec.decode(content).map(img =>
+                 (img.getWidth, img.getHeight, 1))) match {
+                case Some((w, h, nf)) =>
+                  Row(id, mod, content, content.length.toLong, w, h, nf)
                 case None =>
                   val m = StubCodec.decode(content)
                   Row(id, mod, content, m.n_bytes, m.width, m.height,

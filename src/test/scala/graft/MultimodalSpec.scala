@@ -261,4 +261,72 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
     assert(new String(frames(0).getAs[Array[Byte]](2), "UTF-8") == "0123")
   }
+
+  test("animGif round-trips every frame's pixels exactly through javax.imageio") {
+    def v(f: Int, x: Int, y: Int): Int = (f * 19 + x * 13 + y * 17) % 256
+    val bytes = Multimodal.animGif(5, 3, 4, v)
+    val fs = Multimodal.GifCodec.frames(bytes)
+      .getOrElse(fail("GIF did not decode"))
+    assert(fs.length == 4)
+    for (f <- 0 until 4; y <- 0 until 3; x <- 0 until 5)
+      assert(Multimodal.PixelCodec.gray(fs(f), x, y) == v(f, x, y),
+        s"pixel ($f, $x, $y)")
+    // decoded metadata must also report the true frame count... via the
+    // reader, dims per frame
+    assert(fs.forall(i => i.getWidth == 5 && i.getHeight == 3))
+    // ...and through decodeMeta's batched path (m12's contract: real
+    // dims + real frame count, not the pre-round-8 hardcoded 1)
+    val meta = Multimodal.decodeMeta(
+        Seq((1L, "video", bytes)).toDF("id", "modality", "content"))
+      .collect().head
+    assert((meta.getInt(4), meta.getInt(5), meta.getInt(6)) == ((5, 3, 4)))
+  }
+
+  test("sampleFrames: GIF payloads get REAL decoded frames, formula-exact") {
+    def v(f: Int, x: Int, y: Int): Int = (f * 19 + x * 13 + y * 17) % 256
+    // 6 frames of 8×8, k=4 → sampled src frames i*6 DIV 4 = 0,1,3,4;
+    // frameBytes=16 → 4×4 thumbnail, cell (cx,cy) reads (2cx, 2cy)
+    val gif = Multimodal.animGif(8, 8, 6, v)
+    val media = Seq((9L, "video", gif)).toDF("id", "modality", "content")
+    val frames = Multimodal.sampleFrames(media, k = 4, frameBytes = 16)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 4)
+    for (i <- 0 until 4) {
+      val src = i * 6 / 4
+      val got = frames(i).getAs[Array[Byte]](2).map(_ & 0xff).toSeq
+      val want = for (cy <- 0 until 4; cx <- 0 until 4)
+        yield v(src, cx * 8 / 4, cy * 8 / 4)
+      assert(got == want, s"frame_no $i (src frame $src)")
+    }
+    // k > n repeats frames deterministically (src = i·n DIV k)
+    val two = Multimodal.animGif(4, 4, 2, v)
+    val rep = Multimodal.sampleFrames(
+        Seq((1L, "video", two)).toDF("id", "modality", "content"), k = 4)
+      .orderBy("frame_no").collect()
+    val srcs = (0 until 4).map(i => i * 2 / 4) // 0,0,1,1
+    for (i <- 0 until 4) {
+      val got = rep(i).getAs[Array[Byte]](2).map(_ & 0xff).toSeq
+      val want = for (cy <- 0 until 4; cx <- 0 until 4)
+        yield v(srcs(i), cx, cy)
+      assert(got == want, s"repeat frame_no $i")
+    }
+    // non-square frameBytes → a frameBytes×1 strip of row 0
+    val strip = Multimodal.sampleFrames(
+        Seq((1L, "video", two)).toDF("id", "modality", "content"),
+        k = 1, frameBytes = 8)
+      .collect().head.getAs[Array[Byte]](2).map(_ & 0xff).toSeq
+    assert(strip == (0 until 8).map(x => v(0, x * 4 / 8, 0)))
+  }
+
+  test("sampleFrames: null and empty content keep the stub contract") {
+    val media = Seq((1L, "video", null: Array[Byte]),
+                    (2L, "video", Array.empty[Byte]))
+      .toDF("id", "modality", "content")
+    val out = Multimodal.sampleFrames(media, k = 3, frameBytes = 4)
+      .orderBy("id", "frame_no").collect()
+    assert(out.length == 6) // k rows each — never dropped silently
+    assert(out.take(3).forall(_.isNullAt(2)))      // null → null frames
+    assert(out.drop(3).forall(r =>
+      !r.isNullAt(2) && r.getAs[Array[Byte]](2).isEmpty)) // empty → empty
+  }
 }

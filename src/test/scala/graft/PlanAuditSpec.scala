@@ -302,4 +302,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.nonEmpty && joins.forall(j =>
       j.contains("probe") && j.contains("bucket")), joins.mkString("\n"))
   }
+
+  // ------------------------------------------------------------- round 8
+
+  test("d30 decontam: the eval side is the BROADCAST side — train streams once") {
+    // the bounded-eval contract made visible: train × eval materializes
+    // as a nested-loop over a broadcast eval (BuildRight — the
+    // crossJoin(broadcast(eval)) side), never a shuffled join keyed on
+    // train or a train-side cartesian; the only train shuffle is the
+    // per-train-id best-match window over the CONTAMINATED subset
+    val p = plan("d30_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t62 domain cap: the per-source rank limit is pushed below the shuffle") {
+    // WindowGroupLimit in Partial mode = each scan partition forwards at
+    // most 20 rows per source into the exchange — the reason no domain,
+    // however large, funnels its documents through one stage
+    val p = plan("t62_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p.take(1200))
+  }
+
+  test("d31 banded decontam joins only on (table, bucket) — never all-pairs") {
+    val p = plan("d31_semantic_decontam_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
 }

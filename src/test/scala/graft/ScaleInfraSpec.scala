@@ -339,4 +339,54 @@ class ScaleInfraSpec extends SparkSpec {
       assert(got == exact, s"numPartitions=$np diverged")
     }
   }
+
+  // ------------------------------------------------------------- round 8
+
+  test("Index reliable checkpointDir is output-identical to localCheckpoint") {
+    // the durability knob must change NOTHING but where the materialized
+    // blocks live — exactQuantiles (the two-action rank shape) and
+    // withRunningSums (the subtotal-merge shape) bit-equal across modes
+    val dir = Files.createTempDirectory("graft-idx-ckpt").toString
+    val o = Tables.orders(spark, sf).select($"o_orderkey",
+      ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val ps = Seq(250000L, 500000L, 900000L)
+    def qs(ck: Option[String]) = graft.operators.Index.exactQuantiles(
+        o, $"cents", Seq($"o_orderkey"), ps, checkpointDir = ck)
+      .orderBy($"p_ppm").collect().map(_.toSeq).toSeq
+    assert(qs(Some(dir)) == qs(None))
+
+    val base = Tables.orders(spark, sf)
+      .groupBy(($"o_orderkey" % 13).as("v"))
+      .agg(count(lit(1)).as("a"))
+    def rs(ck: Option[String]) = {
+      val (run, tot) = graft.operators.Index.withRunningSums(
+        base, Seq($"v"), Seq("a"), Seq("ca"), checkpointDir = ck)
+      (run.orderBy($"v").collect().map(_.toSeq).toSeq, tot)
+    }
+    assert(rs(Some(dir)) == rs(None))
+    // and the reliable mode actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles().nonEmpty,
+      "reliable mode left no checkpoint files")
+  }
+
+  test("saltedJoin actually SPLITS the hot key across salt sub-keys") {
+    // with broadcast off (the regime salting exists for — a small side
+    // too big to broadcast), the large side must hash-distribute on
+    // (key, __salt): one hot key's rows land on `salt` reducers instead
+    // of one. The declared q199 pins semantics; this pins the split.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val large = spark.range(0, 20000).select(lit(7L).as("k"),
+        $"id".as("payload"))
+      val small = Seq((7L, "hot")).toDF("k", "tag")
+      val joined = SkewJoin.saltedJoin(large, small, "k", salt = 8)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains("__salt")),
+        "expected the shuffle keyed on (k, __salt):\n" + plan.take(1500))
+      assert(joined.count() === 20000L)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
