@@ -133,9 +133,11 @@ object Bench {
     // domain caps and semantic eval decontamination
     "t61_pretrain_pipeline", "t62_domain_cap", "d30_semantic_decontam",
     // round-8: real multi-frame GIF decode, the banded scale mode of
-    // semantic decontamination, and the reliable-checkpoint Index twin
-    // (durability overhead vs q194, the g01c playbook)
-    "m11_gif_frames", "d31_semantic_decontam_lsh", "q194c_quantiles_ckpt")
+    // semantic decontamination, the reliable-checkpoint Index twin
+    // (durability overhead vs q194, the g01c playbook), and the
+    // combined n-gram + semantic decontamination audit
+    "m11_gif_frames", "d31_semantic_decontam_lsh", "q194c_quantiles_ckpt",
+    "t63_decontam_audit")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -127,6 +127,42 @@ object Queries65 {
         .orderBy(col("doc_id"))
     }),
 
+    // The decontamination AUDIT — the family capstone (d12 n-gram,
+    // d15 Bloom, d30 semantic, d31 banded): ONE verdict row per
+    // contaminated corpus doc combining both evidence channels, the
+    // report a data curator actually ships. Eval split = doc_id % 97
+    // (d12's), embeddings aligned on vec_id = doc_id. n-gram evidence
+    // via Corpus.decontaminate (bench shingles broadcast, corpus
+    // streams once); semantic evidence via the d30 broadcast exact
+    // scan (best cosine is a MAX — order-free, engine-exact, unlike a
+    // sum); the two doc-keyed evidence sets meet in one full-outer
+    // shuffle on doc_id. Verdict ∈ {ngram, semantic, both}.
+    "t63_decontam_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = col("doc_id") % 97 === 0
+      val ng = operators.Corpus.decontaminate(
+          docs.filter(!isEval), docs.filter(isEval), "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_hits"))
+      val e = Tables.embeddings(s, d)
+      val eval = e.filter(col("vec_id") % 97 === 0)
+        .select(col("embedding").as("ev"))
+      val train = e.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("tv"))
+      val sem = train.crossJoin(broadcast(eval))
+        .withColumn("cos", Expressions.cosine_sim(col("tv"), col("ev")))
+        .filter(col("cos") >= 0.4)
+        .groupBy(col("doc_id"))
+        .agg(max(col("cos")).as("mcos"))
+      ng.join(sem, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+                coalesce(col("n_hits"), lit(0L)).as("ngram_hits"),
+                round(col("mcos"), 4).as("best_cos"),
+                when(col("n_hits").isNotNull && col("mcos").isNotNull, "both")
+                  .when(col("n_hits").isNotNull, "ngram")
+                  .otherwise("semantic").as("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q194's exact quantiles through RELIABLE checkpointing: the
     // two-phase rank's materialization uses `checkpoint()` into a
     // directory (HDFS/S3 on a real cluster) instead of
@@ -197,6 +233,48 @@ object Queries65 {
          |      FROM c WHERE cos >= 0.99)
          |SELECT train_id, eval_id, round(cos, 4) AS cos
          |FROM h WHERE rk = 1 ORDER BY train_id""".stripMargin,
+
+    // both evidence channels replayed: d12's exact gram-overlap count
+    // (sh MATERIALIZED — it is referenced twice) and d30's exact-cosine
+    // scan at the aligned 97-split, met in a full outer join; best_cos
+    // is a max over raw doubles (no summation → engine-exact), rounded
+    // only on emit
+    "t63_decontam_audit" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    regexp_extract_all(${ExtensionQueries.NormSql}, '\\S+') AS words
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, greatest(len(words) - 4, 0)),
+         |                   i -> array_to_string(words[i:i+4], ' ')) AS grams
+         |  FROM w),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(grams) AS sh FROM g),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |ng AS (
+         |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS ngram_hits
+         |  FROM sh s JOIN bench b ON s.sh = b.sh
+         |  WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |      FROM embeddings),
+         |ev AS (SELECT emb AS evv FROM e WHERE vec_id % 97 = 0),
+         |tr AS (SELECT vec_id AS doc_id, emb AS tv FROM e
+         |       WHERE vec_id % 97 <> 0),
+         |sem AS (
+         |  SELECT doc_id, MAX(cos) AS mcos FROM (
+         |    SELECT doc_id,
+         |      list_dot_product(tv, evv) /
+         |        (sqrt(list_dot_product(tv, tv)) *
+         |         sqrt(list_dot_product(evv, evv))) AS cos
+         |    FROM tr, ev) c
+         |  WHERE cos >= 0.4 GROUP BY doc_id)
+         |SELECT COALESCE(ng.doc_id, sem.doc_id) AS doc_id,
+         |  COALESCE(ngram_hits, 0) AS ngram_hits,
+         |  round(mcos, 4) AS best_cos,
+         |  CASE WHEN ngram_hits IS NOT NULL AND mcos IS NOT NULL THEN 'both'
+         |       WHEN ngram_hits IS NOT NULL THEN 'ngram'
+         |       ELSE 'semantic' END AS verdict
+         |FROM ng FULL JOIN sem ON ng.doc_id = sem.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // the generating shape formula alone — true decoded dims and frame
     // count, never the (compression-dependent) byte length
