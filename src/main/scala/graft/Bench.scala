@@ -137,7 +137,7 @@ object Bench {
     // (durability overhead vs q194, the g01c playbook), and the
     // combined n-gram + semantic decontamination audit
     "m11_gif_frames", "d31_semantic_decontam_lsh", "q194c_quantiles_ckpt",
-    "t63_decontam_audit")
+    "t63_decontam_audit", "q201_quantile_cont_scale")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -163,6 +163,22 @@ object Queries65 {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT INTERPOLATED quantiles (type-7 — what quantile_cont /
+    // numpy's default compute) WITHOUT a global sort: completes the
+    // quantile family (q194 discrete, q196 grouped, q195 MAD). Both
+    // bounding ranks come from the range-partitioned index; h = (n−1)·p
+    // and the lerp ride EXACT integers end-to-end (ppm split + value
+    // micro-units), so the oracle replays the formula bit-for-bit — no
+    // double ever touches a rank or an interpolation weight.
+    "q201_quantile_cont_scale" -> ((s, d) =>
+      operators.Index.exactQuantilesCont(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents")),
+          valueCol = col("cents"), tieCols = Seq(col("o_orderkey")),
+          pPpm = Seq(250000L, 500000L, 750000L, 900000L, 990000L))
+        .orderBy(col("p_ppm"))),
+
     // q194's exact quantiles through RELIABLE checkpointing: the
     // two-phase rank's materialization uses `checkpoint()` into a
     // directory (HDFS/S3 on a real cluster) instead of
@@ -287,5 +303,32 @@ object Queries65 {
 
     // identical to q194's — the reliable-checkpoint mode must be
     // output-identical, the knob only changes durability
-    "q194c_quantiles_ckpt" -> Queries60.oracleSql("q194_quantiles_scale"))
+    "q194c_quantiles_ckpt" -> Queries60.oracleSql("q194_quantiles_scale"),
+
+    // the same integer type-7 formula: 0-based ranks, h split into
+    // lo/frac by integer DIV/MOD, micro-unit lerp — rk is referenced
+    // twice (lo and hi fetch), hence MATERIALIZED (the g09 lesson)
+    "q201_quantile_cont_scale" ->
+      """WITH c AS (SELECT
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    o_orderkey FROM orders),
+        |rk AS MATERIALIZED (SELECT cents,
+        |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1 AS idx
+        |  FROM c),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |p AS (SELECT unnest([250000, 500000, 750000, 900000, 990000])
+        |        AS p_ppm),
+        |t AS (SELECT p.p_ppm,
+        |        (n.n - 1) * p.p_ppm // 1000000 AS lo,
+        |        (n.n - 1) * p.p_ppm % 1000000 AS frac
+        |      FROM p CROSS JOIN n)
+        |SELECT CAST(t.p_ppm AS BIGINT) AS p_ppm,
+        |  CAST(vlo.cents * 1000000
+        |       + t.frac * (vhi.cents - vlo.cents) AS BIGINT) AS q_micro
+        |FROM t
+        |JOIN rk vlo ON vlo.idx = t.lo
+        |JOIN rk vhi ON vhi.idx =
+        |  CASE WHEN t.frac = 0 THEN t.lo ELSE t.lo + 1 END
+        |ORDER BY p_ppm""".stripMargin)
 }

@@ -150,6 +150,58 @@ object Index {
       .select(col("p_ppm"), col("v"))
   }
 
+  /** EXACT INTERPOLATED (type-7 / `quantile_cont`) quantiles under a
+    * total order WITHOUT a global sort — the continuous companion to
+    * [[exactQuantiles]]'s type-1 discrete form: quantile p sits at
+    * 0-based position h = (n−1)·p, linearly interpolated between the
+    * values at ranks ⌊h⌋ and ⌈h⌉.
+    *
+    * All interpolation arithmetic is EXACT integers: with p as ppm,
+    * h = (n−1)·p_ppm splits into lo = h DIV 10⁶ and frac = h MOD 10⁶,
+    * and the result rides micro-units of the value column —
+    * `v_lo·10⁶ + frac·(v_hi − v_lo)` as BIGINT — so an oracle replaying
+    * the same integer formula agrees bit-for-bit (a double h or a
+    * double lerp would round differently per engine). Both bounding
+    * ranks come from [[withGlobalIndex]]'s range-partitioned index; the
+    * rank lookup is a broadcast join against a 2·|ps|-row table, the
+    * lo/hi pairing a |ps|-row self-merge — nothing funnels through one
+    * task. `valueCol` must be BIGINT (cents/micros — the repo's exact
+    * convention).
+    */
+  def exactQuantilesCont(df: DataFrame, valueCol: Column,
+                         tieCols: Seq[Column], pPpm: Seq[Long],
+                         numPartitions: Int = 32,
+                         checkpointDir: Option[String] = None): DataFrame = {
+    require(pPpm.nonEmpty && pPpm.forall(p => p >= 0L && p <= 1000000L),
+      s"exactQuantilesCont: probabilities must be ppm in [0, 1000000], got $pPpm")
+    val base = df.select(valueCol.as("v") +:
+      tieCols.zipWithIndex.map { case (c, i) => c.as(s"t$i") }: _*)
+    val (indexed, n) = indexedWithCount(
+      base, col("v") +: tieCols.indices.map(i => col(s"t$i")),
+      "idx", numPartitions, checkpointDir)
+    require(n > 0, "exactQuantilesCont: empty input")
+    val ss = df.sparkSession
+    import ss.implicits._
+    // one row per (p, bounding rank): h = (n-1)·ppm, lo = h DIV 1e6,
+    // hi = ceil side (lo when frac = 0 — no second fetch needed then)
+    val targets = pPpm.flatMap { p =>
+      val h = (n - 1) * p
+      val lo = h / 1000000L
+      val frac = h % 1000000L
+      val hi = if (frac == 0L) lo else lo + 1L
+      Seq((p, frac, lo, "lo"), (p, frac, hi, "hi")).distinct
+    }
+    indexed.join(broadcast(targets.toDF("p_ppm", "frac", "r", "side")),
+                 col("idx") === col("r"))
+      .groupBy(col("p_ppm"), col("frac"))
+      // lo/hi by side — max/min over ≤2 rows, exact
+      .agg(max(when(col("side") === "lo", col("v"))).as("v_lo"),
+           max(when(col("side") === "hi", col("v"))).as("v_hi"))
+      .select(col("p_ppm"),
+        (col("v_lo") * 1000000L +
+          col("frac") * (col("v_hi") - col("v_lo"))).as("q_micro"))
+  }
+
   /** Running (inclusive) prefix SUMS of `sumCols` under the total order
     * `sortCols`, WITHOUT a global window — the scale mode for the ECDF /
     * rank-sum family (q175 KS, q178 Mann-Whitney), whose declared forms

@@ -188,7 +188,8 @@ class PlanAuditSpec extends SparkSpec {
     // SinglePartition below the Window); the scale modes' entire point
     // is that no stage funnels through one task
     for (n <- Seq("q95s_equidepth_scale", "q134s_deciles_scale",
-                  "q84s_rfm_scale", "q194_quantiles_scale")) {
+                  "q84s_rfm_scale", "q194_quantiles_scale",
+                  "q201_quantile_cont_scale")) {
       val p = plan(n)
       assert(!p.contains("SinglePartition"),
         s"$n funnels through one task:\n" + p.take(800))

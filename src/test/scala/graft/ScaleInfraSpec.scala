@@ -369,6 +369,28 @@ class ScaleInfraSpec extends SparkSpec {
       "reliable mode left no checkpoint files")
   }
 
+  test("exactQuantilesCont equals direct type-7 interpolation, any partitioning") {
+    val base = Tables.orders(spark, sf).select($"o_orderkey",
+      ($"o_totalprice".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val sorted = base.select($"cents", $"o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).map(_._1)
+    val n = sorted.length
+    val ps = Seq(1L, 250000L, 333333L, 500000L, 999999L, 1000000L)
+    val expected = ps.map { p =>
+      val h = (n - 1).toLong * p
+      val lo = (h / 1000000L).toInt
+      val frac = h % 1000000L
+      val hi = if (frac == 0L) lo else lo + 1
+      p -> (sorted(lo) * 1000000L + frac * (sorted(hi) - sorted(lo)))
+    }.toMap
+    for (np <- Seq(1, 5, 32)) {
+      val got = graft.operators.Index.exactQuantilesCont(
+          base, $"cents", Seq($"o_orderkey"), ps, numPartitions = np)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"numPartitions=$np diverged")
+    }
+  }
+
   test("saltedJoin actually SPLITS the hot key across salt sub-keys") {
     // with broadcast off (the regime salting exists for — a small side
     // too big to broadcast), the large side must hash-distribute on
