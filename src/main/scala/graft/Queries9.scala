@@ -43,7 +43,12 @@ object Queries9 {
         .filter(col("h") < cut)
         .select(col("l_orderkey"), col("l_linenumber"),
                 col("l_returnflag"), col("h"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // order by the FULL emitted tuple: (orderkey, linenumber) is the
+        // TPC-H primary key on the driver fixtures, but the 10× replica
+        // fixture (MakeBenchData) duplicates keys across copies, and a
+        // non-total order makes the row-order hash comparison flaky
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+                 col("l_returnflag"), col("h"))
     }),
 
     // per-user daily event-rate anomalies: z-score of each day's count
@@ -194,7 +199,7 @@ object Queries9 {
         |WHERE h < CASE l_returnflag WHEN 'A' THEN '14'
         |                            WHEN 'N' THEN '05'
         |                            WHEN 'R' THEN '0a' END
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, h""".stripMargin,
 
     "q74_anomaly" ->
       """WITH daily AS (

@@ -332,4 +332,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(800))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
+
+  test("t63 audit: both evidence channels broadcast their bounded side") {
+    // n-gram channel: bench shingles broadcast into a hash join;
+    // semantic channel: eval vectors broadcast into the nested-loop
+    // scan (d30's pinned shape); the corpus/train sides stream once and
+    // meet in one doc-keyed outer shuffle — no cartesian anywhere
+    val p = plan("t63_decontam_audit")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
