@@ -318,6 +318,21 @@ class MultimodalSpec extends SparkSpec {
     assert(strip == (0 until 8).map(x => v(0, x * 4 / 8, 0)))
   }
 
+  test("sampleFrames: a corrupt GIF falls back to byte windows, never throws") {
+    // GIF magic but garbage body: GifCodec declines (None), the row
+    // takes the deterministic stub path — a poisoned payload in a 100 TB
+    // batch must degrade, not kill the job
+    val junk = "GIF8" .getBytes("US-ASCII") ++ Array.fill(60)(0x5a.toByte)
+    val media = Seq((3L, "video", junk)).toDF("id", "modality", "content")
+    val out = Multimodal.sampleFrames(media, k = 4, frameBytes = 8)
+      .orderBy("frame_no").collect()
+    assert(out.length == 4)
+    val step = math.max(junk.length / 4, 1)
+    for (i <- 0 until 4)
+      assert(out(i).getAs[Array[Byte]](2).toSeq ==
+        junk.slice(i * step, math.min(i * step + 8, junk.length)).toSeq)
+  }
+
   test("sampleFrames: null and empty content keep the stub contract") {
     val media = Seq((1L, "video", null: Array[Byte]),
                     (2L, "video", Array.empty[Byte]))
