@@ -137,7 +137,11 @@ object Bench {
     // (durability overhead vs q194, the g01c playbook), and the
     // combined n-gram + semantic decontamination audit
     "m11_gif_frames", "d31_semantic_decontam_lsh", "q194c_quantiles_ckpt",
-    "t63_decontam_audit", "q201_quantile_cont_scale")
+    "t63_decontam_audit", "q201_quantile_cont_scale",
+    // round-8 part 5: wedge-join link prediction, mergeable-sketch corpus
+    // overlap, interpolated Kneser-Ney scoring, audio frame features
+    "g11_link_predict", "t64_corpus_overlap_hll", "t65_kneser_ney",
+    "m13_wav_features")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -412,6 +412,63 @@ object Corpus {
         expr("micro DIV n_bigrams").as("mean_neg_logp_micro"))
   }
 
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form) — the smoothing KenLM-style
+    * quality filters actually ship, upgrading [[bigramLogProb]]'s
+    * Jelinek-Mercer mix: an absolute discount d is subtracted from every
+    * observed bigram count and the freed mass backs off to the
+    * CONTINUATION probability (how many distinct contexts a word
+    * follows, not how often it occurs) — the fix for "san francisco"
+    * inflating P(francisco) in frequency-interpolated models:
+    *
+    *   P(w|v) = (c(vw) − d)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+    *
+    * with d = 0.75 (the standard fixed discount; every observed bigram
+    * has c ≥ 1 so the discounted term stays positive). Per doc: the
+    * integer-micro mean of round(−ln P, 6) over its bigram tokens — the
+    * same decimal-exact aggregation contract as t36, so partial-sum
+    * order can never move the result.
+    *
+    * Scale: one window pass for the bigram stream; all model tables
+    * (bigram types, context totals, fan-out/fan-in type counts) are
+    * vocab-sized (Heaps-sublinear) aggregates of it; the type-keyed
+    * score join is the identical shape to [[bigramLogProb]]'s.
+    */
+  def kneserNeyLogProb(df: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val pos = df.select(col(idCol), posexplode(words(col(textCol)))
+      .as(Seq("i", "w")))
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    val bi = pos.withColumn("w_prev", lag(col("w"), 1).over(wd))
+      .filter(col("w_prev").isNotNull)
+      .select(col(idCol), col("w_prev"), col("w"))
+      .localCheckpoint()
+    val vb = bi.groupBy(col("w_prev"), col("w")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // every model table below derives from it
+    val ctx = vb.groupBy(col("w_prev"))
+      .agg(sum(col("cb")).as("cctx"), count(lit(1)).as("n1f"))
+    val n1b = vb.groupBy(col("w")).agg(count(lit(1)).as("n1b"))
+    val nt = vb.agg(count(lit(1)).as("nt"))
+    val logp = vb.join(ctx, Seq("w_prev"))
+      .join(broadcast(n1b), Seq("w"))
+      .crossJoin(broadcast(nt))
+      .select(col("w_prev"), col("w"),
+        round(-log(
+          (col("cb").cast("double") - lit(0.75)) /
+            col("cctx").cast("double")
+            + lit(0.75) * col("n1f").cast("double") /
+              col("cctx").cast("double") *
+              (col("n1b").cast("double") / col("nt").cast("double"))
+        ), 6).cast("decimal(38,6)").as("neg_logp"))
+    bi.join(logp, Seq("w_prev", "w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("neg_logp")).as("sum_nlp"))
+      .withColumn("micro", (col("sum_nlp") * 1000000).cast("long"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("micro DIV n_bigrams").as("mean_neg_logp_micro"))
+  }
+
   /** Stupid Backoff LM scoring against a HELD-OUT training slice
     * (Brants et al. 2007, "Large Language Models in Machine
     * Translation") — the shape CCNet-style pipelines use a KenLM for:

@@ -282,6 +282,51 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    * 2003): score every NON-adjacent node pair that shares at least one
+    * neighbor by its common-neighbor count and Jaccard coefficient
+    * |Γ(u)∩Γ(w)| / |Γ(u)∪Γ(w)| — the recommender / missing-edge
+    * primitive ("parts bought with both of these", "users two hops
+    * apart"). Input edges are treated as undirected and deduplicated.
+    * Output: (u, w, cn, deg_u, deg_w, jaccard_ppm) with u < w, existing
+    * edges excluded, Jaccard as exact integer ppm
+    * (cn·10⁶ DIV (deg_u + deg_w − cn)) so no float ever touches a score.
+    *
+    * Scale: candidates come from ONE wedge self-join on the shared
+    * middle node — the [[triangleParticipation]] pattern, never
+    * all-pairs; the u < w orientation halves the wedge stream, and the
+    * existing-edge exclusion is a shuffled anti-join on the (u, w) key.
+    * Degrees attach by two equi-joins on a node key. At 100 TB with
+    * heavy hubs, cap the middle node's degree first (a hub's wedge
+    * fan-out is deg², and its common-neighbor evidence is the least
+    * informative — standard practice, same knob as
+    * [[Entity.sortedNeighborPairsScalable]]'s).
+    */
+  def linkPredictionJaccard(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // scanned four times below — compute once
+    val sym = norm.union(norm.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    // wedge u —v— w with u < w: each shared neighbor v contributes one
+    // distinct (u, v, w) row, so the count per (u, w) IS |Γ(u)∩Γ(w)|
+    val cn = sym.select(col("a").as("u"), col("b").as("v"))
+      .join(sym.select(col("a").as("v"), col("b").as("w")), Seq("v"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("cn"))
+    cn.join(norm.select(col("a").as("u"), col("b").as("w")),
+            Seq("u", "w"), "left_anti")
+      .join(deg.select(col("a").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("a").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .select(col("u"), col("w"), col("cn"), col("deg_u"), col("deg_w"),
+        expr("cn * 1000000 DIV (deg_u + deg_w - cn)").as("jaccard_ppm"))
+  }
+
   /** Bellman-Ford with a bounded edge count: after round h, `dist` is
     * the exact minimum-cost path using ≤ h edges — so `maxEdges` rounds
     * give the standard "shortest path within k hops" answer, a

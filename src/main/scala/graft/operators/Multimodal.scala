@@ -675,4 +675,63 @@ object Multimodal {
         }
       }(enc)
   }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("frame_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("n_zero_cross", LongType, nullable = false)))
+
+  /** Per-frame audio FEATURES over the same real-decode path as
+    * [[frameEnergy]]: energy (sum of squares), peak (max |sample|), and
+    * the zero-crossing count — the classic cheap voiced/unvoiced &
+    * noisiness signals an audio curation pipeline cuts on (high ZCR +
+    * low energy ≈ noise/silence boundary). A crossing is a STRICT sign
+    * flip between consecutive samples within the frame
+    * (s[k-1]·s[k] < 0): a zero sample never crosses, which keeps the
+    * count well-defined in pure integer arithmetic, and frames never
+    * reach across their boundary (frame-local features stay
+    * embarrassingly parallel). Same decode contract as [[frameEnergy]]:
+    * real RIFF/WAVE via [[WavCodec]], UTF-8 code-point stub for
+    * non-WAV payloads, no frames for null/empty content.
+    *
+    * Scale: identical to [[frameEnergy]] — per-row fan-out inside
+    * mapPartitions, all-integer outputs, no shuffle until the caller
+    * aggregates.
+    */
+  def frameFeatures(media: DataFrame, frameLen: Int = 32): DataFrame = {
+    val enc = Encoders.row(audioFeatureSchema)
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (content == null || content.isEmpty) Iterator.empty
+          else {
+            val samples: Array[Long] = WavCodec.decode(content) match {
+              case Some(pcm) => pcm
+              case None =>
+                val s = new String(content,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                s.codePoints().toArray.map(_.toLong)
+            }
+            samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+              var energy = 0L; var peak = 0L; var zc = 0L
+              var k = 0
+              while (k < fr.length) {
+                val v = fr(k)
+                energy += v * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                if (k > 0 && fr(k - 1) * v < 0L) zc += 1
+                k += 1
+              }
+              Row(r.getLong(0), i.toLong, fr.length.toLong, energy, peak, zc)
+            }
+          }
+        }
+      }(enc)
+  }
 }
