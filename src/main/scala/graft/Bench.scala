@@ -141,7 +141,10 @@ object Bench {
     // round-8 part 5: wedge-join link prediction, mergeable-sketch corpus
     // overlap, interpolated Kneser-Ney scoring, audio frame features
     "g11_link_predict", "t64_corpus_overlap_hll", "t65_kneser_ney",
-    "m13_wav_features")
+    "m13_wav_features",
+    // round-8 part 6: hub-weighted link prediction, grouped-HLL NDV,
+    // silence segmentation
+    "g12_adamic_adar", "t66_domain_ndv_hll", "m14_audio_segments")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

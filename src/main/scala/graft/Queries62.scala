@@ -200,6 +200,12 @@ object Queries62 {
         StructField("id", LongType, nullable = false),
         StructField("content", BinaryType))))
       def media(df: DataFrame) = df.select(col("doc_id"))
+        // the 8-byte id expands to a KB-scale payload inside the
+        // kernel: the scan's byte-based partitioning would run the
+        // whole codec batch on one task at 10x data, so spread the ids
+        // BEFORE the amplification (explicit count: AQE would coalesce
+        // the KB-scale id shuffle back to one partition)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)

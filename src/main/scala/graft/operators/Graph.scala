@@ -327,6 +327,54 @@ object Graph {
         expr("cn * 1000000 DIV (deg_u + deg_w - cn)").as("jaccard_ppm"))
   }
 
+  /** Weighted link-prediction scores on the [[linkPredictionJaccard]]
+    * candidate set: Adamic-Adar (Adamic & Adar 2003) and Resource
+    * Allocation (Zhou, Lü & Zhang 2009) — the two standard refinements
+    * that down-weight HUB middle nodes (a shared neighbor with degree
+    * 10⁶ is weak evidence; one with degree 3 is strong):
+    *
+    *   AA(u,w) = Σ_{v ∈ Γ(u)∩Γ(w)} 1/ln(deg v)
+    *   RA(u,w) = Σ_{v ∈ Γ(u)∩Γ(w)} 1/deg v
+    *
+    * Per-wedge weights are fixed to integer micro-units BEFORE the sum
+    * (RA = 10⁶ DIV deg, pure integer; AA = round(10⁶/ln deg), the
+    * t36/t65 micro-rounding convention) so the aggregation is an exact
+    * integer sum — partial-aggregation order can never move a score,
+    * which a raw double Σ would break (the q134 lesson). A wedge middle
+    * always has deg ≥ 2 (it neighbors both u and w), so ln(deg) > 0.
+    *
+    * Scale: identical shape to [[linkPredictionJaccard]] — the degree
+    * attaches to the middle-node side BEFORE the wedge join (one extra
+    * equi-join on the node key), candidates never go all-pairs, and the
+    * same hub-degree-cap knob applies at 100 TB.
+    */
+  def linkPredictionScores(edges: DataFrame, srcCol: String,
+                           dstCol: String): DataFrame = {
+    val norm = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .localCheckpoint() // scanned three times below — compute once
+    val sym = norm.union(norm.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val mid = sym.select(col("a").as("v"), col("b").as("w"))
+      .join(deg.select(col("a").as("v"), col("deg")), Seq("v"))
+      .withColumn("ra_w", expr("1000000 DIV deg"))
+      .withColumn("aa_w",
+        round(lit(1000000.0) / log(col("deg").cast("double")), 0)
+          .cast("long"))
+    sym.select(col("a").as("u"), col("b").as("v"))
+      .join(mid, Seq("v"))
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn"), sum(col("aa_w")).as("aa_micro"),
+           sum(col("ra_w")).as("ra_micro"))
+      .join(norm.select(col("a").as("u"), col("b").as("w")),
+            Seq("u", "w"), "left_anti")
+  }
+
   /** Bellman-Ford with a bounded edge count: after round h, `dist` is
     * the exact minimum-cost path using ≤ h edges — so `maxEdges` rounds
     * give the standard "shortest path within k hops" answer, a

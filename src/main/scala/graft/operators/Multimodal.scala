@@ -119,9 +119,14 @@ object Multimodal {
 
     def decode(content: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (!looksLikeImage(content)) None
-      else try Option(javax.imageio.ImageIO.read(
-             new java.io.ByteArrayInputStream(content)))
-           catch { case _: Throwable => None }
+      else try {
+        // explicit memory-cached stream: the InputStream overload would
+        // go through ImageIO's default FILE-backed cache, whose
+        // temp-file churn serializes 32 concurrent decode tasks
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(content))
+        Option(javax.imageio.ImageIO.read(iis))
+      } catch { case _: Throwable => None }
 
     /** Integer ITU-R 601 luma of the pixel at (x, y), 0..255. */
     def gray(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
@@ -179,11 +184,48 @@ object Multimodal {
         b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+    // AudioSystem.getAudioInputStream funnels EVERY call through the
+    // JDK's synchronized provider registry (JDK13Services) — a global
+    // lock under which 32 concurrent decode tasks run SLOWER than one.
+    // The SPI is public: resolve the installed AudioFileReaders once
+    // per JVM and call them directly (reader instances are stateless).
+    private lazy val readers
+        : Array[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      // Wave readers first (they claim our RIFF payloads on the first
+      // try); MIDI readers excluded outright — SoftMidiAudioFileReader
+      // PROBES by calling MidiSystem.getSequence, which re-scans the
+      // classpath under the same global class lock on every call, and
+      // it can never claim a RIFF payload anyway
+      val (wave, rest) =
+        buf.partition(_.getClass.getSimpleName.contains("Wave"))
+      (wave ++
+        rest.filterNot(_.getClass.getSimpleName.contains("Midi"))).toArray
+    }
+
+    private def openStream(bytes: Array[Byte])
+        : javax.sound.sampled.AudioInputStream = {
+      var i = 0
+      while (i < readers.length) {
+        try return readers(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+        i += 1
+      }
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+
     def decode(content: Array[Byte]): Option[Array[Long]] =
       if (!looksLikeWav(content)) None
       else try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(content))
+        val in = openStream(content)
         try {
           import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
           val f = in.getFormat
@@ -338,7 +380,10 @@ object Multimodal {
     val pal = Array.tabulate(256)(_.toByte)
     val icm = new java.awt.image.IndexColorModel(8, 256, pal, pal, pal)
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // memory-cached, not ImageIO.createImageOutputStream: the default
+    // file-backed cache creates+deletes a temp file per GIF, which
+    // serializes concurrent encode tasks on filesystem metadata
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     val writer =
       javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
@@ -730,6 +775,83 @@ object Multimodal {
               }
               Row(r.getLong(0), i.toLong, fr.length.toLong, energy, peak, zc)
             }
+          }
+        }
+      }(enc)
+  }
+
+  val audioSegmentSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("seg_id", LongType, nullable = false),
+    StructField("start_k", LongType, nullable = false),
+    StructField("end_k", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false)))
+
+  /** Silence-based audio segmentation over the real decode path — the
+    * voice-activity-style splitter an audio curation pipeline runs
+    * before per-utterance filtering: a sample is SILENT iff
+    * |s| ≤ threshold; a maximal silent run of length ≥ minRun is a
+    * separator; each emitted segment spans its first to last NON-silent
+    * sample (leading/trailing silence trimmed, interior silence shorter
+    * than minRun kept — a breath pause doesn't split an utterance).
+    * Features (energy = Σs², peak = max|s|) cover the FULL span
+    * including interior silence, and n_samples = end−start+1, so the
+    * contract is pure integer arithmetic on sample indices. All-silent
+    * payloads emit nothing. Decode contract as [[frameFeatures]]:
+    * real RIFF/WAVE via [[WavCodec]], UTF-8 code-point stub otherwise.
+    *
+    * Scale: one linear scan per row inside mapPartitions — segment
+    * state never crosses a row, so the operator is embarrassingly
+    * parallel and shuffle-free until the caller aggregates.
+    */
+  def silenceSegments(media: DataFrame, threshold: Long = 16L,
+                      minRun: Int = 8): DataFrame = {
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val enc = Encoders.row(audioSegmentSchema)
+    media.select(col("id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val content =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (content == null || content.isEmpty) Iterator.empty
+          else {
+            val samples: Array[Long] = WavCodec.decode(content) match {
+              case Some(pcm) => pcm
+              case None =>
+                val s = new String(content,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                s.codePoints().toArray.map(_.toLong)
+            }
+            val segs = scala.collection.mutable.ArrayBuffer.empty[Row]
+            val id = r.getLong(0)
+            var segStart = -1; var lastLoud = -1; var silentRun = 0
+            def close(): Unit = if (segStart >= 0) {
+              var energy = 0L; var peak = 0L; var k = segStart
+              while (k <= lastLoud) {
+                val v = samples(k); energy += v * v
+                val a = math.abs(v); if (a > peak) peak = a
+                k += 1
+              }
+              segs += Row(id, segs.length.toLong, segStart.toLong,
+                lastLoud.toLong, (lastLoud - segStart + 1).toLong,
+                energy, peak)
+              segStart = -1
+            }
+            var k = 0
+            while (k < samples.length) {
+              if (math.abs(samples(k)) <= threshold) {
+                silentRun += 1
+                if (silentRun == minRun) close()
+              } else {
+                if (segStart < 0) segStart = k
+                lastLoud = k; silentRun = 0
+              }
+              k += 1
+            }
+            close()
+            segs.iterator
           }
         }
       }(enc)

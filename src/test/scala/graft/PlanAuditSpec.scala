@@ -343,4 +343,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p.take(800))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("g11/g12 link prediction: wedge equi-joins, top-k never a global sort") {
+    // candidates come from hash equi-joins on the shared middle node and
+    // the (u, w) anti-join key — no all-pairs operator anywhere — and
+    // the declared top-100 runs as TakeOrderedAndProject (per-partition
+    // heaps + driver merge), not a SinglePartition sort of the full
+    // candidate set
+    for (q <- Seq("g11_link_predict", "g12_adamic_adar")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+      assert(p.contains("TakeOrderedAndProject"), q)
+    }
+  }
+
+  test("t64/t66 HLL sketches: the only wide ops are register-key aggregates") {
+    // the sketch path aggregates onto <= 64 rows per corpus/source by
+    // (group, register) key — map-side combining makes the shuffle
+    // carry registers, not shingles; the 1-row estimate exhibits meet
+    // by broadcast, never a CartesianProduct
+    for (q <- Seq("t64_corpus_overlap_hll", "t66_domain_ndv_hll")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("HashAggregate"), q)
+    }
+  }
+
+  test("t65 Kneser-Ney: fan-in/type-count model tables broadcast") {
+    // the bigram-type table joins its vocab-sized n1b / 1-row nt
+    // statistics by broadcast; the only shuffled joins key on the
+    // (w_prev, w) type — nothing all-pairs
+    val p = plan("t65_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m13/m14 audio kernels are join-free single-scan plans") {
+    for (q <- Seq("m13_wav_features", "m14_audio_segments"))
+      assert(!plan(q).toLowerCase.contains("join"), q)
+  }
 }
