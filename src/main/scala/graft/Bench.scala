@@ -144,7 +144,9 @@ object Bench {
     "m13_wav_features",
     // round-8 part 6: hub-weighted link prediction, grouped-HLL NDV,
     // silence segmentation
-    "g12_adamic_adar", "t66_domain_ndv_hll", "m14_audio_segments")
+    "g12_adamic_adar", "t66_domain_ndv_hll", "m14_audio_segments",
+    // round-8 part 7: live streamed HLL, incremental aggregate merge
+    "e34_stream_hll", "q202_incremental_agg")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

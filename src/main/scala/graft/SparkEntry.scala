@@ -49,7 +49,8 @@ object SparkEntry {
       Queries60.sparkQueries ++ Queries61.sparkQueries ++
       Queries62.sparkQueries ++ Queries63.sparkQueries ++
       Queries64.sparkQueries ++ Queries65.sparkQueries ++
-      Queries66.sparkQueries ++ Queries67.sparkQueries
+      Queries66.sparkQueries ++ Queries67.sparkQueries ++
+      Queries68.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
       Queries56.oracleSql ++ Queries57.oracleSql ++ Queries58.oracleSql ++
       Queries59.oracleSql ++ Queries60.oracleSql ++ Queries61.oracleSql ++
       Queries62.oracleSql ++ Queries63.oracleSql ++ Queries64.oracleSql ++
-      Queries65.oracleSql ++ Queries66.oracleSql ++ Queries67.oracleSql
+      Queries65.oracleSql ++ Queries66.oracleSql ++ Queries67.oracleSql ++
+      Queries68.oracleSql
 }

@@ -660,6 +660,52 @@ object Streams {
     spark.table(sinkName).select(col("j"), col("b"), col("c"))
   }
 
+  /** Live distinct-cardinality sketch: q193's deterministic 64-register
+    * HLL kept as STREAMING-aggregation state — file source → per-token
+    * (register, rho) projection (the same FNV-1a64 bridge and
+    * trailing-zero rho) → Complete-mode MAX per register → memory sink.
+    * Register MAX is order-, batching- and retry-free, so the
+    * post-stream registers equal the batch sketch bit-for-bit (the
+    * mergeable-sketch property, live), and state is ≤ 64 rows
+    * REGARDLESS of stream length — the production shape for a
+    * continuously-maintained cardinality readout over an unbounded
+    * stream (cf. streamedCountMin for the frequency twin).
+    */
+  def streamedHllRegisters(spark: SparkSession, docsPath: String,
+                           workDir: String, sinkName: String,
+                           statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    val f = new java.io.File(docsPath)
+    val srcPath =
+      if (!f.isFile) docsPath
+      else {
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
+        dir.toString
+      }
+    val schema = spark.read.parquet(docsPath).schema
+    val toks = spark.readStream.schema(schema).parquet(srcPath)
+      .select(explode(expr("regexp_extract_all(trim(regexp_replace(" +
+        "lower(text), '\\\\s+', ' ')), '\\\\S+', 0)")).as("w"))
+    val regs = toks
+      .select(graft.functions.Expressions.fnv_hash(col("w")).as("h"))
+      .select(expr("h & 63").as("j"),
+              expr("shiftrightunsigned(h, 6)").as("wnd"))
+      .withColumn("rho",
+        when(col("wnd") === 0L, lit(59L))
+          .otherwise(
+            expr("CAST(bit_count((wnd & -wnd) - 1) + 1 AS BIGINT)")))
+    val q = regs.groupBy(col("j")).agg(max(col("rho")).as("mj"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).select(col("j"), col("mj"))
+  }
+
   /** [[RunningStatsProcessor]] wired to a stream (or batch twin — the
     * operator runs identically on a batch Dataset, which is how the
     * declared e16 query oracle-checks it).

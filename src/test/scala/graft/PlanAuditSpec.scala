@@ -383,4 +383,13 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("m13_wav_features", "m14_audio_segments"))
       assert(!plan(q).toLowerCase.contains("join"), q)
   }
+
+  test("q202 incremental merge rescans only the delta, never history") {
+    // exactly ONE parquet scan (the delta slice); the base side enters
+    // as the materialized partial aggregate (Scan ExistingRDD from the
+    // checkpoint) — the "never rescan history" contract in the plan
+    val p = plan("q202_incremental_agg")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(1200))
+    assert(p.contains("Scan ExistingRDD"), p.take(1200))
+  }
 }
