@@ -146,7 +146,9 @@ object Bench {
     // silence segmentation
     "g12_adamic_adar", "t66_domain_ndv_hll", "m14_audio_segments",
     // round-8 part 7: live streamed HLL, incremental aggregate merge
-    "e34_stream_hll", "q202_incremental_agg")
+    "e34_stream_hll", "q202_incremental_agg",
+    // round-8 part 9: distributed linear algebra (Gramian + top PC)
+    "s20_gram_matrix", "s21_top_pc")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
