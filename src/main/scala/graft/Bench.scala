@@ -148,7 +148,9 @@ object Bench {
     // round-8 part 7: live streamed HLL, incremental aggregate merge
     "e34_stream_hll", "q202_incremental_agg",
     // round-8 part 9: distributed linear algebra (Gramian + top PC)
-    "s20_gram_matrix", "s21_top_pc")
+    "s20_gram_matrix", "s21_top_pc",
+    // round-8 part 10: live streamed Gramian, migration fingerprint
+    "e35_stream_gram", "q203_table_fingerprint")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

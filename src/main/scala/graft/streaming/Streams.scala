@@ -706,6 +706,49 @@ object Streams {
     spark.table(sinkName).select(col("j"), col("mj"))
   }
 
+  /** Live Gramian maintenance: s20's exact-integer XᵀX cells kept as
+    * Complete-mode streaming state — every arriving embedding adds its
+    * quantized outer-product terms into the d×d cell aggregate. Integer
+    * SUM commutes with any batching, so the post-stream cells equal the
+    * batch Gramian bit-for-bit, and state is ≤ d(d+1)/2 rows however
+    * long the stream runs — a continuously-updated covariance the
+    * downstream eigensolve (s21) can read at any instant. The
+    * streaming face of [[graft.operators.LinAlg.gramCells]].
+    */
+  def streamedGramCells(spark: SparkSession, embPath: String,
+                        workDir: String, sinkName: String,
+                        statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    val f = new java.io.File(embPath)
+    val srcPath =
+      if (!f.isFile) embPath
+      else {
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
+        dir.toString
+      }
+    val schema = spark.read.parquet(embPath).schema
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+      .select(expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))").as("q"))
+    val cells = src
+      .select(posexplode(col("q")).as(Seq("i", "qi")), col("q"))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+    val q = cells.groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("cell"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+              col("cell"))
+  }
+
   /** [[RunningStatsProcessor]] wired to a stream (or batch twin — the
     * operator runs identically on a batch Dataset, which is how the
     * declared e16 query oracle-checks it).
