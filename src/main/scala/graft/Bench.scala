@@ -150,7 +150,9 @@ object Bench {
     // round-8 part 9: distributed linear algebra (Gramian + top PC)
     "s20_gram_matrix", "s21_top_pc",
     // round-8 part 10: live streamed Gramian, migration fingerprint
-    "e35_stream_gram", "q203_table_fingerprint")
+    "e35_stream_gram", "q203_table_fingerprint",
+    // round-8 part 11: PCA projection leg, distributed eigencentrality
+    "s22_pc_projection", "g13_eigen_centrality")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -327,6 +327,62 @@ object Graph {
         expr("cn * 1000000 DIV (deg_u + deg_w - cn)").as("jaccard_ppm"))
   }
 
+  /** Eigenvector centrality by FIXED-POINT power iteration on the
+    * adjacency matrix (Bonacich 1972): start all nodes at 10⁶, each
+    * round every node accumulates its in-neighbors' scores (w = Aᵀv)
+    * and the vector renormalizes to ~10⁶ by truncating division
+    * (divisor = max(w) DIV 10⁶ + 1) — the same exact-integer scheme as
+    * [[LinAlg.topEigenvectorFixedPoint]], but DISTRIBUTED: the
+    * adjacency never leaves the cluster, each round is ONE join + ONE
+    * destination-keyed aggregation (the pageRank shape, minus damping
+    * and degree division). All values stay positive (Perron-Frobenius
+    * direction), so truncation semantics never meet a sign. Callers
+    * wanting undirected semantics pass both edge directions; every
+    * node is then its own in-neighborhood's member, so no score
+    * strands at zero.
+    *
+    * The iteration actually runs on A+I (a self-loop folded into the
+    * edge table): on BIPARTITE graphs — and star queries are bipartite —
+    * ±λ are both extremal, so plain A·v oscillates between phases
+    * forever; the +I shift moves the spectrum to λ+1 and restores
+    * convergence to the Perron direction without changing the
+    * eigenvectors. Same remedy as the classic lazy random walk.
+    *
+    * Bit-reproducible: integer sums + truncating renorm make `iters`
+    * rounds replayable by an unrolled-CTE oracle, like [[pageRank]].
+    */
+  def eigenCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 8,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"eigenCentrality: iters must be >= 1, got $iters")
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+                          col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val nodes0 = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst"))).distinct()
+    val e = e0
+      .union(nodes0.select(col("node").as("src"), col("node").as("dst")))
+      .distinct()
+    val ed = persistRound(e, checkpointDir)
+    val nodes = persistRound(nodes0, checkpointDir)
+    var v = nodes.withColumn("v", lit(1000000L))
+    for (_ <- 1 to iters) {
+      // w feeds BOTH the renorm max and the rescale — truncate it once
+      // or each round computes the join+agg twice
+      val w = persistRound(
+        ed.join(v, col("dst") === col("node")).drop("node")
+          .groupBy(col("src")).agg(sum(col("v")).as("w")),
+        checkpointDir)
+      val m = w.agg(greatest(max(col("w")), lit(1L)).as("m"))
+      v = persistRound(
+        w.crossJoin(broadcast(m))
+          .select(col("src").as("node"),
+                  expr("w DIV (m DIV 1000000 + 1)").as("v")),
+        checkpointDir)
+    }
+    v
+  }
+
   /** Weighted link-prediction scores on the [[linkPredictionJaccard]]
     * candidate set: Adamic-Adar (Adamic & Adar 2003) and Resource
     * Allocation (Zhou, Lü & Zhang 2009) — the two standard refinements

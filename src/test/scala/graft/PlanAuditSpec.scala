@@ -392,4 +392,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p.take(1200))
     assert(p.contains("Scan ExistingRDD"), p.take(1200))
   }
+
+  test("s22 projection is a join-free single scan after the bounded fit") {
+    // the eigensolve collects only dimension-sized cells; the
+    // transform leg itself must be one scan + codegen'd HOF fold —
+    // no join, no extra shuffle beyond the declared output sort
+    val p = plan("s22_pc_projection")
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+  }
+
+  test("g13 eigencentrality truncates lineage every round") {
+    // after 8 rounds the visible plan must be the LAST round's
+    // checkpoint scan + output sort — a plan that grew with the
+    // iteration count would show the whole join chain here
+    val p = plan("g13_eigen_centrality")
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    assert(!p.toLowerCase.contains("join"), p.take(800))
+  }
 }
