@@ -152,7 +152,9 @@ object Bench {
     // round-8 part 10: live streamed Gramian, migration fingerprint
     "e35_stream_gram", "q203_table_fingerprint",
     // round-8 part 11: PCA projection leg, distributed eigencentrality
-    "s22_pc_projection", "g13_eigen_centrality")
+    "s22_pc_projection", "g13_eigen_centrality",
+    // round-8 part 12: image-dedup capstone, soft dedup weighting
+    "m15_image_dedup", "d32_softdedup_weights")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
