@@ -168,4 +168,69 @@ class CheckpointRestartSpec extends SparkSpec {
       case None => spark.conf.unset(pKey)
     }
   }
+
+  test("Complete-mode sketch registers recover across a checkpoint restart") {
+    // the third state shape (after key-dedup and typed transformWithState):
+    // a Complete-mode aggregation — e34's HLL registers. After stop +
+    // restart, the recovered MAX-per-register state must make the final
+    // emission equal the batch sketch over ALL files; a state-less
+    // restart cannot (the file-source log stops file 1 from re-reading,
+    // so its tokens' rho contributions exist only in recovered state).
+    val base = Files.createTempDirectory("graft-ckr-hll").toString
+    val d1 = (1L to 100L).map(i => (i, s"alpha_$i beta_${i % 9}"))
+    val d2 = (80L to 180L).map(i => (i, s"alpha_$i gamma_${i % 5}"))
+    val schema = d1.toDF("doc_id", "text").schema
+
+    def addDocs(srcDir: String, name: String, mtime: Long,
+                rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ckr-hll-stage").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      new java.io.File(srcDir).mkdirs()
+      val dst = Paths.get(srcDir, name)
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+
+    def registerPipeline(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(expr("regexp_extract_all(trim(regexp_replace(" +
+        "lower(text), '\\\\s+', ' ')), '\\\\S+', 0)")).as("w"))
+      .select(functions.Expressions.fnv_hash(col("w")).as("h"))
+      .select(expr("h & 63").as("j"),
+              expr("shiftrightunsigned(h, 6)").as("wnd"))
+      .withColumn("rho", when(col("wnd") === 0L, lit(59L))
+        .otherwise(expr("CAST(bit_count((wnd & -wnd) - 1) + 1 AS BIGINT)")))
+      .groupBy(col("j")).agg(max(col("rho")).as("mj"))
+
+    def runOnce(srcDir: String, ckpt: String, sink: String): Unit = {
+      val q = registerPipeline(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val src = s"$base/src"; val ck = s"$base/ckpt"
+    addDocs(src, "f1.parquet", 1000000L, d1)
+    runOnce(src, ck, "ckrhll_a")
+    addDocs(src, "f2.parquet", 2000000L, d2)
+    runOnce(src, ck, "ckrhll_b")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val split = toMap(spark.table("ckrhll_b").collect())
+
+    val both = toMap(registerPipeline(
+      (d1 ++ d2).toDF("doc_id", "text")).collect())
+    val only2 = toMap(registerPipeline(d2.toDF("doc_id", "text")).collect())
+    assert(split == both)
+    assert(only2 != both) // recovery genuinely mattered on this fixture
+  }
 }
