@@ -411,4 +411,27 @@ class ScaleInfraSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("Gramian and eigencentrality are bit-identical at any shuffle partitioning") {
+    // the exact-integer contract behind s20/s21/g13: quantize-then-sum
+    // and truncating renorm must make the results invariant to how the
+    // data is split — pin 1 / 7 / 32 shuffle partitions bit-for-bit
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    def gram() = graft.operators.LinAlg
+      .gramCells(Tables.embeddings(spark, sf), "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    def ec() = SparkEntry.queries("g13_eigen_centrality")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      spark.conf.set(key, "32")
+      val gramRef = gram(); val ecRef = ec()
+      for (np <- Seq(1, 7)) {
+        spark.conf.set(key, np.toString)
+        assert(gram() == gramRef, s"gram diverged at $key=$np")
+        assert(ec() == ecRef, s"eigencentrality diverged at $key=$np")
+      }
+    } finally spark.conf.set(key, saved)
+  }
 }
