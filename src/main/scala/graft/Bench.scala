@@ -154,7 +154,15 @@ object Bench {
     // round-8 part 11: PCA projection leg, distributed eigencentrality
     "s22_pc_projection", "g13_eigen_centrality",
     // round-8 part 12: image-dedup capstone, soft dedup weighting
-    "m15_image_dedup", "d32_softdedup_weights")
+    "m15_image_dedup", "d32_softdedup_weights",
+    // round-8 part 16: KMV bottom-k sketches (NDV + pairwise overlap)
+    "s23_kmv_ndv", "t67_kmv_overlap",
+    // round-8 part 17: streamed KMV state, cross-table key-overlap audit
+    "e36_stream_kmv", "q204_key_overlap",
+    // round-8 part 18: PII scrub, batch + streamed
+    "t68_pii_scrub", "e37_stream_pii",
+    // round-8 part 19: Z-order layout quality
+    "q205_zorder_layout")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
@@ -320,11 +328,25 @@ object Bench {
     // the per-query map itself (bench_full.json always carries all of it).
     val noSw = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failedJson,"sf":"$sfDir"}"""
     val headOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjsonHead,"n_rot":${rotation.count(r => ok.exists(_._1 == r))},"failed":$failedJson,"sf":"$sfDir"}"""
+    // once even the headline map outgrows the window (184+ timed queries
+    // as of round 8), emit the largest PREFIX of it that fits: headline
+    // order is append-only across rounds, so the prefix is exactly the
+    // oldest, most cross-round-comparable entries, and "n_more" says how
+    // many spilled into bench_full.json (which always carries everything)
+    def headPrefix(): String = {
+      val headEntries = ok.filterNot { case (k, _) => rotation.contains(k) }
+      def line(p: Int): String =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qmap(headEntries.take(p))},"n_more":${ok.size - p},"failed":$failedJson,"sf":"$sfDir"}"""
+      val p = (headEntries.size to 0 by -1).find(line(_).length <= 1950)
+        .getOrElse(0)
+      line(p)
+    }
     val totalsOnly = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(
       if (withSw.length <= 1950) withSw
       else if (noSw.length <= 1950) noSw
       else if (headOnly.length <= 1950) headOnly
+      else if (headPrefix().length <= 1950) headPrefix()
       else totalsOnly)
     spark.stop()
   }

@@ -35,6 +35,24 @@ object ExtensionQueries {
        |              % 18446744073709551616::HUGEINT)""".stripMargin
   }
 
+  /** DuckDB SQL for Expressions.mix64(col): the SplitMix64 finalizer on
+    * an unsigned-64 HUGEINT column in [0, 2^64). Multiplies mod 2^64
+    * are split at 2^32 so no intermediate exceeds ~2^97 (HUGEINT is
+    * signed 128-bit). `c` must be a simple column reference — the
+    * xor/shift steps inline it several times.
+    */
+  private[graft] def Mix64Sql(c: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val T = "4294967296::HUGEINT"
+    def mul(z: String, cst: String) =
+      s"((($z) % $T) * $cst + ((($z) // $T) * $cst % $T) * $T) % $M"
+    val s1 = s"xor(($c), ($c) // 1073741824::HUGEINT)" // >>> 30
+    val s2 = mul(s1, "13787848793156543929::HUGEINT") // 0xbf58476d1ce4e5b9
+    val s3 = s"xor(($s2), ($s2) // 134217728::HUGEINT)" // >>> 27
+    val s4 = mul(s3, "10723151780598845931::HUGEINT") // 0x94d049bb133111eb
+    s"xor(($s4), ($s4) // 2147483648::HUGEINT)" // >>> 31
+  }
+
   val sparkQueries: Map[String, Q] = Map(
 
     // ------------------------------------------------------------- dedup

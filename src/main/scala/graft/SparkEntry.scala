@@ -52,7 +52,9 @@ object SparkEntry {
       Queries66.sparkQueries ++ Queries67.sparkQueries ++
       Queries68.sparkQueries ++ Queries69.sparkQueries ++
       Queries70.sparkQueries ++ Queries71.sparkQueries ++
-      Queries72.sparkQueries
+      Queries72.sparkQueries ++ Queries73.sparkQueries ++
+      Queries74.sparkQueries ++ Queries75.sparkQueries ++
+      Queries76.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +84,6 @@ object SparkEntry {
       Queries62.oracleSql ++ Queries63.oracleSql ++ Queries64.oracleSql ++
       Queries65.oracleSql ++ Queries66.oracleSql ++ Queries67.oracleSql ++
       Queries68.oracleSql ++ Queries69.oracleSql ++ Queries70.oracleSql ++
-      Queries71.oracleSql ++ Queries72.oracleSql
+      Queries71.oracleSql ++ Queries72.oracleSql ++ Queries73.oracleSql ++
+      Queries74.oracleSql ++ Queries75.oracleSql ++ Queries76.oracleSql
 }

@@ -292,6 +292,82 @@ object Expressions {
       copy(child = c)
   }
 
+  /** SplitMix64 finalizer (Steele/Lea/Flood 2014, public domain — the
+    * java.util.SplittableRandom mixer): full-avalanche scrambling of a
+    * 64-bit value. FNV-1a64 of SHORT strings under-mixes the HIGH bits
+    * (its multiply carries entropy upward slowly), which is harmless
+    * for bucket/rho extraction (q193 reads LOW bits) but biases any
+    * sketch ordered by hash MAGNITUDE — KMV's bottom-k estimator read
+    * 2x high on orderkey strings before this finalizer. Exact integer
+    * ops only (xor-shift + two mod-2^64 multiplies), so the DuckDB
+    * oracle replays it bit-for-bit ([[ExtensionQueries.Mix64Sql]]).
+    */
+  @inline private[graft] def splitmix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  case class Mix64(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    def compute(v: Any): Any = nullSafeEval(v)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("mix64", this, classOf[Mix64].getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a)).longValue();")
+    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(splitmix64(v.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 16-bit Morton spread: insert a zero between consecutive bits
+    * (0b1011 → 0b1000101). The classic magic-mask ladder — 4 shifts, no
+    * loop.
+    */
+  @inline private[graft] def spread16(v0: Long): Long = {
+    var x = v0 & 0xFFFFL
+    x = (x | (x << 8)) & 0x00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0FL
+    x = (x | (x << 2)) & 0x33333333L
+    (x | (x << 1)) & 0x55555555L
+  }
+
+  /** Z-order (Morton) interleave of two 16-bit coordinates into one
+    * 32-bit key: bit b of x lands at position 2b, bit b of y at 2b+1.
+    * Range-partitioning data by this key is the space-filling-curve
+    * file layout (Delta/Iceberg "OPTIMIZE ZORDER BY") that keeps BOTH
+    * dimensions' min/max file ranges tight, so predicates on EITHER
+    * column skip files — the data-layout lever at 100 TB. Inputs are
+    * masked to 16 bits; callers normalize coordinates into [0, 2^16)
+    * first (q205 does it with an exact integer `div` by max+1).
+    * Deterministic bit arithmetic, so the DuckDB oracle replays it
+    * bit-for-bit from 32 shift/mod terms — independently of this
+    * kernel's magic-mask ladder.
+    */
+  case class Morton16(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    def compute(x: Any, y: Any): Any = nullSafeEval(x, y)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("morton16", this, classOf[Morton16].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = ((java.lang.Long) $ref.compute($a, $b)).longValue();")
+    }
+    override def nullSafeEval(x: Any, y: Any): Any =
+      java.lang.Long.valueOf(
+        spread16(x.asInstanceOf[Long]) | (spread16(y.asInstanceOf[Long]) << 1))
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
   /** Occurrence count of tokens from a fixed set — one pass over the
     * token array. Exists for the same reason as [[WordShingles]]: the
     * composable form (`filter(tokens, t -> t IN (...))` or repeated
@@ -890,6 +966,9 @@ object Expressions {
     Bridge.column(StopTokenCount(Bridge.expression(tokens), stopwords))
   def fnv_hash(s: Column, seed: Long = 0L): Column =
     Bridge.column(FnvHash(Bridge.expression(s), seed))
+  def mix64(h: Column): Column = Bridge.column(Mix64(Bridge.expression(h)))
+  def morton16(x: Column, y: Column): Column =
+    Bridge.column(Morton16(Bridge.expression(x), Bridge.expression(y)))
   def byte_sum_squares(b: Column): Column =
     Bridge.column(ByteSumSquares(Bridge.expression(b)))
   def quantize_int8(vec: Column): Column =

@@ -41,6 +41,38 @@ object Loader {
   def writeOrc(df: DataFrame, dir: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(dir)
 
+  /** Z-ORDER clustered parquet sink — the write half of q205's layout
+    * audit (Delta/Iceberg "OPTIMIZE ZORDER BY", as a plain Spark
+    * write): both columns are normalized to [0, 2^16) by exact integer
+    * div against their broadcast maxes, interleaved into a Morton key,
+    * and the rows are RANGE-partitioned by that key into `numFiles`
+    * writer tasks (sorted within each), so every produced file's
+    * parquet min/max footer is tight on BOTH columns and predicates on
+    * EITHER column skip files. The helper key is dropped before the
+    * bytes hit disk. Caller contract: both columns numeric and
+    * non-negative (dates go through datediff first). RangePartitioner
+    * samples the key distribution, so file BOUNDARIES are approximate
+    * — the guarantee is per-file extent tightness, which
+    * ExtractorLoaderSpec asserts by reading the files back
+    * individually.
+    */
+  def writeParquetZordered(df: DataFrame, dir: String, numFiles: Int,
+                           xCol: String, yCol: String): Unit = {
+    require(numFiles >= 1)
+    import org.apache.spark.sql.functions._
+    val mx = df.agg(max(expr(s"CAST($xCol AS BIGINT)")).as("__mx"),
+                    max(expr(s"CAST($yCol AS BIGINT)")).as("__my"))
+    df.crossJoin(broadcast(mx))
+      .withColumn("__zk", graft.functions.Expressions.morton16(
+        expr(s"CAST($xCol AS BIGINT) * 65536L div (__mx + 1L)"),
+        expr(s"CAST($yCol AS BIGINT) * 65536L div (__my + 1L)")))
+      .drop("__mx", "__my")
+      .repartitionByRange(numFiles, col("__zk"))
+      .sortWithinPartitions(col("__zk"))
+      .drop("__zk")
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
   /** JDBC sink — the write half of `Extractor.readJdbc` (reference
     * `README:38` muses about a database backend; this realizes it). Each
     * partition opens one connection and writes its rows in `batchsize`d

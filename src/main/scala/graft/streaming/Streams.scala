@@ -749,6 +749,90 @@ object Streams {
               col("cell"))
   }
 
+  /** Live KMV bottom-k NDV sketch: s23's mergeable
+    * [[graft.functions.Kmv]] aggregate kept as STREAMING-aggregation
+    * state — file source → 64-bit key hash (FNV-1a64 + SplitMix64
+    * finalizer, the s23 bridge) → Complete-mode global `kmv_sketch`
+    * (a TypedImperativeAggregate: partials reduce map-side BEFORE the
+    * state store, so the shuffle and the store both carry ≤ k longs,
+    * never row hashes) → memory sink. The sketch is a SET (one
+    * canonical value under any batching), so the post-stream sketch
+    * equals the batch sketch BIT-for-bit — which is why e36 can be
+    * declared against s23's identical oracle. Unlike the HLL twin
+    * (streamedHllRegisters) this live readout also supports set
+    * algebra downstream: union/intersect/Jaccard against any other
+    * sketch without re-reading the stream.
+    *
+    * `keyExpr` is a SQL expression over the table's columns yielding
+    * the (string-castable) key; `k` the sketch size.
+    */
+  def streamedKmvSketch(spark: SparkSession, tablePath: String,
+                        keyExpr: String, workDir: String, sinkName: String,
+                        k: Int = 1024,
+                        statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    val f = new java.io.File(tablePath)
+    val srcPath =
+      if (!f.isFile) tablePath
+      else {
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
+        dir.toString
+      }
+    val schema = spark.read.parquet(tablePath).schema
+    val hashes = spark.readStream.schema(schema).parquet(srcPath)
+      .select(graft.functions.Expressions.mix64(
+        graft.functions.Expressions.fnv_hash(
+          expr(keyExpr).cast("string"))).as("h"))
+    val q = hashes
+      .agg(graft.functions.Kmv.kmv_sketch(k)(col("h")).as("sk"))
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).select(col("sk"))
+  }
+
+  /** Generic "parquet file stream → caller-supplied transform →
+    * Complete-mode memory sink" harness: the shape every live-readout
+    * query here shares (streamedHllRegisters / streamedGramCells /
+    * streamedKmvSketch are the bespoke instances; new readouts should
+    * use this). The transform must end in a streaming-supported
+    * aggregation; because Complete mode re-emits full state, the
+    * returned table is the exact aggregate over everything streamed —
+    * which is what lets callers declare the streamed query against the
+    * BATCH query's oracle verbatim whenever the aggregate commutes
+    * with batching (sums, counts, maxes, mergeable sketches).
+    */
+  def streamedComplete(spark: SparkSession, tablePath: String,
+                       workDir: String, sinkName: String,
+                       transform: DataFrame => DataFrame,
+                       statePartitions: Int = 8): DataFrame =
+      withStatePartitions(spark, statePartitions) {
+    val f = new java.io.File(tablePath)
+    val srcPath =
+      if (!f.isFile) tablePath
+      else {
+        val dir = new java.io.File(workDir, "src")
+        linkInto(dir, f.getName, f)
+        dir.toString
+      }
+    val schema = spark.read.parquet(tablePath).schema
+    val src = spark.readStream.schema(schema).parquet(srcPath)
+    val q = transform(src)
+      .writeStream.outputMode(OutputMode.Complete()).format("memory")
+      .queryName(sinkName)
+      .option("checkpointLocation",
+              new java.io.File(workDir, "ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
   /** [[RunningStatsProcessor]] wired to a stream (or batch twin — the
     * operator runs identically on a batch Dataset, which is how the
     * declared e16 query oracle-checks it).

@@ -169,6 +169,37 @@ class ExtractorLoaderSpec extends SparkSpec {
       .map(p => new java.io.File(p).getName).toSeq == Seq("a.png"))
   }
 
+  test("writeParquetZordered: per-file footers tight on BOTH columns") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir
+    val orders = Tables.orders(spark, sf).select(
+      expr("CAST(datediff(o_orderdate, DATE'1992-01-01') AS BIGINT)")
+        .as("xd"),
+      col("o_custkey"))
+    Loader.writeParquetZordered(orders, dir, numFiles = 16,
+      xCol = "xd", yCol = "o_custkey")
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        (max($"xd") - min($"xd") + lit(1L)).as("ext_x"),
+        (max($"o_custkey") - min($"o_custkey") + lit(1L)).as("ext_y"))
+      .collect()
+    assert(stats.length == 16)
+    assert(stats.map(_.getAs[Long]("n")).sum ==
+      Tables.orders(spark, sf).count()) // nothing lost in the rewrite
+    val custDomain = orders.agg(max($"o_custkey")).head.getLong(0)
+    val dateDomain = orders.agg(max($"xd")).head.getLong(0) + 1
+    // the Z-order contract: EVERY file's extent is a strict sub-range
+    // of BOTH domains (a linear date sort would leave ext_y ≈ domain in
+    // every file; a custkey sort would leave ext_x ≈ domain)
+    val sumY = stats.map(_.getAs[Long]("ext_y")).sum
+    val sumX = stats.map(_.getAs[Long]("ext_x")).sum
+    assert(sumY * 2 < stats.length * custDomain,
+      s"sumY=$sumY files=${stats.length} domain=$custDomain")
+    assert(sumX * 2 < stats.length * dateDomain,
+      s"sumX=$sumX files=${stats.length} domain=$dateDomain")
+  }
+
   test("readCsvRobust: PERMISSIVE quarantines, DROPMALFORMED drops, FAILFAST throws") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-robust")

@@ -409,4 +409,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), p.take(800))
     assert(!p.toLowerCase.contains("join"), p.take(800))
   }
+
+  test("s23 KMV sketch merges through a real partial ObjectHashAggregate") {
+    // the bottom-k partial (<= 1024 longs per partition) must sit BELOW
+    // the exchange — the shuffle carries sketches, never row hashes;
+    // the 1-row exact exhibit meets by broadcast
+    val p = plan("s23_kmv_ndv")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+  }
+
+  test("q204 key-overlap audit: sketches partial-aggregate below the exchange") {
+    // two independent bottom-k sketches (partial+final ObjectHashAggregate
+    // each = 4 nodes), met by BROADCAST 1-row algebra — the raw key
+    // tables never join for the estimates; the only key-keyed join is
+    // the exact exhibit's left-semi
+    val p = plan("q204_key_overlap")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 4,
+      p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("t68 PII scrub is one codegen'd map stage + one 20-group agg") {
+    // detection, Luhn gating and masking must all inline into the scan
+    // stage: no UDF node, no join; the only exchanges are the source
+    // agg and the final 20-row sort
+    val p = plan("t68_pii_scrub")
+    assert(!p.toLowerCase.contains("join"), p.take(1200))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      p.take(1200))
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1,
+      p.take(1200))
+  }
+
+  test("q205 zorder layout: broadcast maxes, no window, no data-row join") {
+    // the normalization maxes meet the scan by 1-row broadcast; each
+    // layout is a 64-group aggregate — a window or sort-merge join here
+    // would mean the layout audit itself doesn't scale
+    val p = plan("q205_zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("t67 overlap matrix: sketch algebra joins only 20-row sides") {
+    // the pair matrix is a bounded 20x20 nested-loop over BROADCAST
+    // sketch rows (non-equi src_a < src_b — deliberate; the sketch agg
+    // itself is behind the localCheckpoint, pinned via s23's twin); the
+    // only shuffle joins are the exact-Jaccard exhibit keyed on the gram
+    val p = plan("t67_kmv_overlap")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
 }
