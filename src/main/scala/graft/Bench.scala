@@ -162,7 +162,9 @@ object Bench {
     // round-8 part 18: PII scrub, batch + streamed
     "t68_pii_scrub", "e37_stream_pii",
     // round-8 part 19: Z-order layout quality
-    "q205_zorder_layout")
+    "q205_zorder_layout",
+    // round-8 part 20: bloom-pruned join, CM join-size estimate
+    "q206_bloom_join", "q207_join_size_cm")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -457,6 +457,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(1200))
   }
 
+  test("q206 bloom join: might_contain filters the probe below the join") {
+    // the Bloom test must run as a plain filter in the probe's scan
+    // stage — if it showed up above the join (or not at all) the
+    // pruning wouldn't shed the probe shuffle
+    val p = plan("q206_bloom_join")
+    assert(p.contains("might_contain"), p.take(1500))
+    val filterLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = p.linesIterator.indexWhere(_.contains("Join"))
+    assert(filterLine > joinLine, s"filter@$filterLine join@$joinLine")
+  }
+
+  test("q207 CM join-size: sketch tables meet by broadcast, never raw keys") {
+    val p = plan("q207_join_size_cm")
+    // the sketch-side join is broadcast (≤4096 rows); the only
+    // key-keyed shuffle join is the exact exhibit
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("t67 overlap matrix: sketch algebra joins only 20-row sides") {
     // the pair matrix is a bounded 20x20 nested-loop over BROADCAST
     // sketch rows (non-equi src_a < src_b — deliberate; the sketch agg
