@@ -164,7 +164,9 @@ object Bench {
     // round-8 part 19: Z-order layout quality
     "q205_zorder_layout",
     // round-8 part 20: bloom-pruned join, CM join-size estimate
-    "q206_bloom_join", "q207_join_size_cm")
+    "q206_bloom_join", "q207_join_size_cm",
+    // round-8 part 21: streamed join-size stat, degree assortativity
+    "e38_stream_join_size", "g14_assortativity")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

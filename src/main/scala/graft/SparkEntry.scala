@@ -54,7 +54,8 @@ object SparkEntry {
       Queries70.sparkQueries ++ Queries71.sparkQueries ++
       Queries72.sparkQueries ++ Queries73.sparkQueries ++
       Queries74.sparkQueries ++ Queries75.sparkQueries ++
-      Queries76.sparkQueries ++ Queries77.sparkQueries
+      Queries76.sparkQueries ++ Queries77.sparkQueries ++
+      Queries78.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +87,5 @@ object SparkEntry {
       Queries68.oracleSql ++ Queries69.oracleSql ++ Queries70.oracleSql ++
       Queries71.oracleSql ++ Queries72.oracleSql ++ Queries73.oracleSql ++
       Queries74.oracleSql ++ Queries75.oracleSql ++ Queries76.oracleSql ++
-      Queries77.oracleSql
+      Queries77.oracleSql ++ Queries78.oracleSql
 }

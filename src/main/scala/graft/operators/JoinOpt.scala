@@ -65,19 +65,26 @@ object JoinOpt {
     * per-row dots for the oracle.
     */
   def cmJoinSizeDots(a: DataFrame, aKey: Column, b: DataFrame,
-                     bKey: Column, depth: Int = 4): DataFrame = {
-    val maskL = 1023L // w = 1024, power of two: mask ≡ unsigned mod
-    def buckets(c: Column) =
-      array((0 until depth).map(j => struct(lit(j).as("j"),
-        Expressions.fnv_hash(c, j.toLong).bitwiseAND(lit(maskL))
-          .as("b"))): _*)
-    def counters(df: DataFrame, k: Column, out: String) = df
-      .select(explode(buckets(k)).as("rb"))
-      .select(col("rb.j").as("j"), col("rb.b").as("b"))
-      .groupBy(col("j"), col("b")).agg(count(lit(1)).as(out))
-    counters(a, aKey, "ca")
-      .join(broadcast(counters(b, bKey, "cb")), Seq("j", "b"))
+                     bKey: Column, depth: Int = 4): DataFrame =
+    cmCounters(a, aKey, "ca", depth)
+      .join(broadcast(cmCounters(b, bKey, "cb", depth)), Seq("j", "b"))
       .groupBy(col("j"))
       .agg(sum(col("ca") * col("cb")).as("dot"))
+
+  /** One side's Count-Min counter table (j, b, `out`): ≤ depth×1024
+    * rows from one map-side-combining pass. Counts are SUMS, so the
+    * same projection+aggregate runs unchanged as a Complete-mode
+    * streaming aggregation (e38 keeps one side live) and equals the
+    * batch table bit-for-bit.
+    */
+  def cmCounters(df: DataFrame, key: Column, out: String,
+                 depth: Int = 4): DataFrame = {
+    val maskL = 1023L // w = 1024, power of two: mask ≡ unsigned mod
+    val buckets = array((0 until depth).map(j => struct(lit(j).as("j"),
+      Expressions.fnv_hash(key, j.toLong).bitwiseAND(lit(maskL))
+        .as("b"))): _*)
+    df.select(explode(buckets).as("rb"))
+      .select(col("rb.j").as("j"), col("rb.b").as("b"))
+      .groupBy(col("j"), col("b")).agg(count(lit(1)).as(out))
   }
 }
