@@ -166,7 +166,11 @@ object Bench {
     // round-8 part 20: bloom-pruned join, CM join-size estimate
     "q206_bloom_join", "q207_join_size_cm",
     // round-8 part 21: streamed join-size stat, degree assortativity
-    "e38_stream_join_size", "g14_assortativity")
+    "e38_stream_join_size", "g14_assortativity",
+    // round-8 part 22: deterministic histogram quantile sketch
+    "q208_hist_quantiles",
+    // round-8 part 23: video near-dup dedup capstone
+    "m16_video_dedup")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

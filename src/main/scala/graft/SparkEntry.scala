@@ -55,7 +55,8 @@ object SparkEntry {
       Queries72.sparkQueries ++ Queries73.sparkQueries ++
       Queries74.sparkQueries ++ Queries75.sparkQueries ++
       Queries76.sparkQueries ++ Queries77.sparkQueries ++
-      Queries78.sparkQueries
+      Queries78.sparkQueries ++ Queries79.sparkQueries ++
+      Queries80.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
       Queries68.oracleSql ++ Queries69.oracleSql ++ Queries70.oracleSql ++
       Queries71.oracleSql ++ Queries72.oracleSql ++ Queries73.oracleSql ++
       Queries74.oracleSql ++ Queries75.oracleSql ++ Queries76.oracleSql ++
-      Queries77.oracleSql ++ Queries78.oracleSql
+      Queries77.oracleSql ++ Queries78.oracleSql ++ Queries79.oracleSql ++
+      Queries80.oracleSql
 }
