@@ -170,7 +170,9 @@ object Bench {
     // round-8 part 22: deterministic histogram quantile sketch
     "q208_hist_quantiles",
     // round-8 part 23: video near-dup dedup capstone
-    "m16_video_dedup")
+    "m16_video_dedup",
+    // round-8 part 24: ANN recall audit
+    "s24_ann_recall")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
