@@ -172,7 +172,9 @@ object Bench {
     // round-8 part 23: video near-dup dedup capstone
     "m16_video_dedup",
     // round-8 part 24: ANN recall audit
-    "s24_ann_recall")
+    "s24_ann_recall",
+    // round-8 part 25: join-key skew diagnostics
+    "q209_skew_profile")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
