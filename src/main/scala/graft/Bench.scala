@@ -174,7 +174,9 @@ object Bench {
     // round-8 part 24: ANN recall audit
     "s24_ann_recall",
     // round-8 part 25: join-key skew diagnostics
-    "q209_skew_profile")
+    "q209_skew_profile",
+    // round-8 part 26: single-pass ANALYZE stats manifest
+    "q210_analyze_stats")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -57,7 +57,7 @@ object SparkEntry {
       Queries76.sparkQueries ++ Queries77.sparkQueries ++
       Queries78.sparkQueries ++ Queries79.sparkQueries ++
       Queries80.sparkQueries ++ Queries81.sparkQueries ++
-      Queries82.sparkQueries
+      Queries82.sparkQueries ++ Queries83.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -90,5 +90,6 @@ object SparkEntry {
       Queries71.oracleSql ++ Queries72.oracleSql ++ Queries73.oracleSql ++
       Queries74.oracleSql ++ Queries75.oracleSql ++ Queries76.oracleSql ++
       Queries77.oracleSql ++ Queries78.oracleSql ++ Queries79.oracleSql ++
-      Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql
+      Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql ++
+      Queries83.oracleSql
 }
