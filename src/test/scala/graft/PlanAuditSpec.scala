@@ -477,6 +477,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("g14 assortativity: degree joins are equi-keyed, no cartesian") {
+    val p = plan("g14_assortativity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
+  test("q208 histogram quantiles: one bounded-domain window, ranks broadcast") {
+    // the only window runs over the <=65536-bucket table (the
+    // months/days bounded-domain precedent); the rank and exact-side
+    // lookups meet by broadcast, and the raw cents never globally sort
+    val p = plan("q208_hist_quantiles")
+    assert(p.linesIterator.count(_.contains("Window")) >= 1, p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("m16 video dedup: pairing is an inverted-index equi-join on the frame key") {
+    val p = plan("m16_video_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("s24 recall audit: no cartesian; assignment argmax is join-free map work") {
+    val p = plan("s24_ann_recall")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q209 skew profile: no single-task global sort of the raw counts") {
+    // top-5 is a TakeOrdered; quantiles ride the range-partitioned
+    // index — the only windows are over bounded domains (5-row top,
+    // per-range-partition index)
+    val p = plan("q209_skew_profile")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q210 analyze stats: one wide sketch aggregate, zero joins") {
+    // six KMV buffers + min/max/count ride ONE ObjectHashAggregate
+    // partial/final pair over ONE scan — the single-pass ANALYZE shape
+    val p = plan("q210_analyze_stats")
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      p.take(1500))
+    assert(!p.toLowerCase.contains("join"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      p.take(1500))
+  }
+
   test("t67 overlap matrix: sketch algebra joins only 20-row sides") {
     // the pair matrix is a bounded 20x20 nested-loop over BROADCAST
     // sketch rows (non-equi src_a < src_b — deliberate; the sketch agg
