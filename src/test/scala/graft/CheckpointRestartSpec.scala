@@ -233,4 +233,64 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(split == both)
     assert(only2 != both) // recovery genuinely mattered on this fixture
   }
+
+  test("typed-Aggregator (KMV) buffer recovers across a checkpoint restart") {
+    // the FOURTH state shape: a TypedImperativeAggregate buffer — the
+    // KMV bottom-k Seq[Long] — serialized INTO the Complete-mode state
+    // store and revived on restart. e34 pinned plain MAX registers;
+    // this pins that a typed udaf's binary buffer round-trips the
+    // store: the post-restart sketch must equal the batch sketch over
+    // ALL files, while file 2 alone cannot reproduce it (file 1's
+    // small hashes survive only in recovered state).
+    val base = Files.createTempDirectory("graft-ckr-kmv").toString
+    val d1 = (1L to 100L).map(i => (i, s"k_$i"))
+    val d2 = (80L to 180L).map(i => (i, s"k_$i"))
+    val schema = d1.toDF("doc_id", "key").schema
+
+    def addDocs(srcDir: String, name: String, mtime: Long,
+                rows: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft-ckr-kmv-stage").toString
+      rows.toDF("doc_id", "key").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      new java.io.File(srcDir).mkdirs()
+      val dst = Paths.get(srcDir, name)
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+
+    def sketchPipeline(df: org.apache.spark.sql.DataFrame) = df
+      .select(functions.Expressions.mix64(
+        functions.Expressions.fnv_hash(col("key"))).as("h"))
+      .agg(functions.Kmv.kmv_sketch(32)(col("h")).as("sk"))
+
+    def runOnce(srcDir: String, ckpt: String, sink: String): Unit = {
+      val q = sketchPipeline(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    val src = s"$base/src"; val ck = s"$base/ckpt"
+    addDocs(src, "f1.parquet", 1000000L, d1)
+    runOnce(src, ck, "ckrkmv_a")
+    addDocs(src, "f2.parquet", 2000000L, d2)
+    runOnce(src, ck, "ckrkmv_b")
+    def sk(rows: Array[org.apache.spark.sql.Row]) =
+      rows(0).getSeq[Long](rows(0).fieldIndex("sk")).toList
+    val split = sk(spark.table("ckrkmv_b").collect())
+    val both = sk(sketchPipeline((d1 ++ d2).toDF("doc_id", "key"))
+      .collect())
+    val only2 = sk(sketchPipeline(d2.toDF("doc_id", "key")).collect())
+    assert(split == both) // bit-identical: the sketch is a set
+    assert(only2 != both) // recovery genuinely mattered
+  }
 }
