@@ -176,7 +176,9 @@ object Bench {
     // round-8 part 25: join-key skew diagnostics
     "q209_skew_profile",
     // round-8 part 26: single-pass ANALYZE stats manifest
-    "q210_analyze_stats")
+    "q210_analyze_stats",
+    // round-8 part 31: merged-partial stats maintenance
+    "q211_analyze_merge")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -52,36 +52,86 @@ object Queries83 {
   private val duckCols = canon("VARCHAR",
     c => s"strftime($c, '%Y-%m-%d')")
 
+  /** The one-pass wide stats aggregate: per column a NATIVE-typed
+    * min/max (rendering happens only at emission, so merges compare
+    * native values, never strings), a non-null count, and a KMV
+    * bottom-256 sketch — plus the row count. One row out.
+    */
+  private def statsAgg(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val aggs = sparkCols.zipWithIndex.flatMap { case ((_, e), i) =>
+      Seq(
+        count(expr(e)).as(s"nn_$i"),
+        min(expr(e)).as(s"mn_$i"),
+        max(expr(e)).as(s"mx_$i"),
+        Kmv.kmv_sketch(256)(
+          Expressions.mix64(Expressions.fnv_hash(
+            expr(e).cast("string")))).as(s"sk_$i"))
+    }
+    df.agg(count(lit(1)).as("n_total"), aggs: _*)
+  }
+
+  /** Emit the per-column manifest rows from a 1-row stats frame. */
+  private def emitRows(stats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = sparkCols.zipWithIndex.map { case ((name, _), i) =>
+      s"""struct('$name' AS col_name,
+         |  n_total - nn_$i AS n_nulls,
+         |  CAST(mn_$i AS STRING) AS min_repr,
+         |  CAST(mx_$i AS STRING) AS max_repr,
+         |  CAST(size(sk_$i) AS BIGINT) AS k_used,
+         |  ${ndvEstimate(s"sk_$i", 256)} AS ndv_est)""".stripMargin
+    }.mkString("array(", ", ", ")")
+    stats.select(explode(expr(rows)).as("r"))
+      .select(col("r.col_name"), col("r.n_nulls"), col("r.min_repr"),
+        col("r.max_repr"), col("r.k_used"), col("r.ndv_est"))
+      .orderBy(col("col_name"))
+  }
+
   val sparkQueries: Map[String, Q] = Map(
-    "q210_analyze_stats" -> ((s, d) => {
-      val aggs = sparkCols.zipWithIndex.flatMap { case ((_, e), i) =>
-        Seq(
-          count(expr(e)).as(s"nn_$i"),
-          min(expr(e)).cast("string").as(s"mn_$i"),
-          max(expr(e)).cast("string").as(s"mx_$i"),
-          Kmv.kmv_sketch(256)(
-            Expressions.mix64(Expressions.fnv_hash(
-              expr(e).cast("string")))).as(s"sk_$i"))
-      }
-      val rows = sparkCols.zipWithIndex.map { case ((name, _), i) =>
-        s"""struct('$name' AS col_name,
-           |  n_total - nn_$i AS n_nulls,
-           |  mn_$i AS min_repr, mx_$i AS max_repr,
-           |  CAST(size(sk_$i) AS BIGINT) AS k_used,
-           |  ${ndvEstimate(s"sk_$i", 256)} AS ndv_est)""".stripMargin
-      }.mkString("array(", ", ", ")")
-      Tables.lineitem(s, d)
-        .agg(count(lit(1)).as("n_total"), aggs: _*)
-        .select(explode(expr(rows)).as("r"))
-        .select(col("r.col_name"), col("r.n_nulls"), col("r.min_repr"),
-          col("r.max_repr"), col("r.k_used"), col("r.ndv_est"))
-        .orderBy(col("col_name"))
+    "q210_analyze_stats" -> ((s, d) =>
+      emitRows(statsAgg(Tables.lineitem(s, d)))),
+
+    // stats MAINTENANCE without rescanning: the table split into two
+    // disjoint halves (early vs late shipdate), each half's manifest
+    // computed independently (at 100 TB: per new ingest partition),
+    // then MERGED by pure algebra — counts add, native min/max take
+    // least/greatest, KMV sketches union via the sign-flip
+    // sort-and-slice (the t67 trick). Declared against q210's
+    // IDENTICAL oracle: the hash match IS the mergeability proof —
+    // merged-partial stats equal whole-table stats bit-for-bit.
+    "q211_analyze_merge" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pivot = "DATE'1995-01-01'"
+      val a = statsAgg(li.filter(expr(s"l_shipdate < $pivot")))
+      val b = statsAgg(li.filter(expr(s"l_shipdate >= $pivot")))
+      def suffixed(df: org.apache.spark.sql.DataFrame, sfx: String) =
+        df.columns.foldLeft(df)((d2, c) => d2.withColumnRenamed(c, c + sfx))
+      val merged = suffixed(a, "_a").crossJoin(broadcast(suffixed(b, "_b")))
+        .select(
+          expr("n_total_a + n_total_b").as("n_total") +:
+          sparkCols.indices.flatMap(i => Seq(
+            expr(s"nn_${i}_a + nn_${i}_b").as(s"nn_$i"),
+            expr(s"least(mn_${i}_a, mn_${i}_b)").as(s"mn_$i"),
+            expr(s"greatest(mx_${i}_a, mx_${i}_b)").as(s"mx_$i"),
+            expr(s"transform(slice(array_sort(transform(" +
+              s"array_distinct(concat(sk_${i}_a, sk_${i}_b)), " +
+              s"x -> x ^ shiftleft(1L, 63))), 1, 256), " +
+              s"x -> x ^ shiftleft(1L, 63))").as(s"sk_$i"))): _*)
+      emitRows(merged)
     }))
 
+  // merged-partial stats must equal whole-table stats exactly —
+  // q210's oracle, verbatim (the mergeability proof)
+  private lazy val analyzeOracle: String = buildAnalyzeOracle
+
   val oracleSql: Map[String, String] = Map(
-    // per column: exact counts/min/max over the same canonical
-    // rendering, and the identical bottom-256 KMV replay
-    "q210_analyze_stats" -> {
+    "q210_analyze_stats" -> analyzeOracle,
+    "q211_analyze_merge" -> analyzeOracle)
+
+  // per column: exact counts/min/max over the same canonical
+  // rendering, and the identical bottom-256 KMV replay
+  private def buildAnalyzeOracle: String = {
       val c255 = (BigInt(255) * (BigInt(1) << 64)).toString
       val blocks = duckCols.map { case (name, e) =>
         s"""SELECT '$name' AS col_name,
@@ -109,5 +159,5 @@ object Queries83 {
            |FROM lineitem""".stripMargin
       }
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    })
+  }
 }

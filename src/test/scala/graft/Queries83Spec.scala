@@ -33,4 +33,14 @@ class Queries83Spec extends SparkSpec {
     val q = rows("l_quantity")
     assert(q.getAs[String]("min_repr").forall(c => c.isDigit || c == '-'))
   }
+
+  test("q211 merged-partial manifest equals the whole-table manifest") {
+    // mergeability end-to-end: counts add, native min/max least/greatest,
+    // sketch union-bottom-k — bit-identical to the one-pass result
+    val whole = SparkEntry.queries("q210_analyze_stats")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val merged = SparkEntry.queries("q211_analyze_merge")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged == whole)
+  }
 }
