@@ -178,7 +178,9 @@ object Bench {
     // round-8 part 26: single-pass ANALYZE stats manifest
     "q210_analyze_stats",
     // round-8 part 31: merged-partial stats maintenance
-    "q211_analyze_merge")
+    "q211_analyze_merge",
+    // round-8 part 33: audio near-dup dedup (multimodal trio complete)
+    "m17_audio_dedup")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
