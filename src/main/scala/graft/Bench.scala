@@ -180,7 +180,9 @@ object Bench {
     // round-8 part 31: merged-partial stats maintenance
     "q211_analyze_merge",
     // round-8 part 33: audio near-dup dedup (multimodal trio complete)
-    "m17_audio_dedup")
+    "m17_audio_dedup",
+    // round-8 part 34: local clustering coefficient
+    "g15_clustering_coeff")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
