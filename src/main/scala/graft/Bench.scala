@@ -182,7 +182,9 @@ object Bench {
     // round-8 part 33: audio near-dup dedup (multimodal trio complete)
     "m17_audio_dedup",
     // round-8 part 34: local clustering coefficient
-    "g15_clustering_coeff")
+    "g15_clustering_coeff",
+    // round-8 part 36: live streamed ANALYZE manifest
+    "e39_stream_analyze")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -57,7 +57,7 @@ object Queries83 {
     * native values, never strings), a non-null count, and a KMV
     * bottom-256 sketch — plus the row count. One row out.
     */
-  private def statsAgg(df: org.apache.spark.sql.DataFrame)
+  private[graft] def statsAgg(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val aggs = sparkCols.zipWithIndex.flatMap { case ((_, e), i) =>
       Seq(
@@ -72,7 +72,7 @@ object Queries83 {
   }
 
   /** Emit the per-column manifest rows from a 1-row stats frame. */
-  private def emitRows(stats: org.apache.spark.sql.DataFrame)
+  private[graft] def emitRows(stats: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val rows = sparkCols.zipWithIndex.map { case ((name, _), i) =>
       s"""struct('$name' AS col_name,
