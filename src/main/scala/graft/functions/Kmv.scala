@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions.udaf
   * probability ~k/i at the i-th distinct value, so total insertions are
   * ~k·ln(ndv) per partition).
   *
-  * Reference behavior: priyanka57/dask-datapipeline has no sketching —
-  * its `drop_duplicates`-based distinct counts (pipeline.py:210-214)
-  * are exact and single-node; this is the 100-TB-scale replacement the
-  * survey's §2C extension column calls for.
+  * Reference behavior: priyanka57/dask-datapipeline has no sketching
+  * and computes no distinct counts anywhere in its 334-line core
+  * (main.py) — SURVEY.md §2B lists distinct/approximate aggregation as
+  * an absent category mandated for the engine; this sketch is the
+  * 100-TB-scale implementation of that mandate.
   */
 object Kmv {
 
