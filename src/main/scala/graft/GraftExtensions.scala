@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // length prefilter (see the rule's scaladoc for the rewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRewrite)
 
+    // stats-driven broadcast decisions from registered ANALYZE
+    // manifests (no-op while the stats registry is empty)
+    ext.injectOptimizerRule(_ => graft.plans.StatsBroadcastRule)
+
     // whole-operator extension: the native as-of join plan node
     // (graft.plans.AsOfJoinPlan) plans through its merge-scan exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

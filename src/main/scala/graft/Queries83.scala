@@ -21,7 +21,7 @@ object Queries83 {
 
   private val two64 = (BigInt(1) << 64).toString
 
-  private def ndvEstimate(arr: String, k: Int): String = {
+  private[graft] def ndvEstimate(arr: String, k: Int): String = {
     val c = (BigInt(k - 1) * (BigInt(1) << 64)).toString
     s"""CASE WHEN size($arr) < $k THEN CAST(size($arr) AS BIGINT)
        |ELSE CAST(CAST($c AS DECIMAL(38,0)) div
@@ -76,6 +76,7 @@ object Queries83 {
       : org.apache.spark.sql.DataFrame = {
     val rows = sparkCols.zipWithIndex.map { case ((name, _), i) =>
       s"""struct('$name' AS col_name,
+         |  n_total AS n_rows,
          |  n_total - nn_$i AS n_nulls,
          |  CAST(mn_$i AS STRING) AS min_repr,
          |  CAST(mx_$i AS STRING) AS max_repr,
@@ -83,8 +84,9 @@ object Queries83 {
          |  ${ndvEstimate(s"sk_$i", 256)} AS ndv_est)""".stripMargin
     }.mkString("array(", ", ", ")")
     stats.select(explode(expr(rows)).as("r"))
-      .select(col("r.col_name"), col("r.n_nulls"), col("r.min_repr"),
-        col("r.max_repr"), col("r.k_used"), col("r.ndv_est"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.min_repr"), col("r.max_repr"), col("r.k_used"),
+        col("r.ndv_est"))
       .orderBy(col("col_name"))
   }
 
@@ -135,6 +137,7 @@ object Queries83 {
       val c255 = (BigInt(255) * (BigInt(1) << 64)).toString
       val blocks = duckCols.map { case (name, e) =>
         s"""SELECT '$name' AS col_name,
+           |  (SELECT COUNT(*) FROM lineitem) AS n_rows,
            |  (SELECT COUNT(*) FROM lineitem)
            |    - COUNT($e) AS n_nulls,
            |  CAST(MIN($e) AS VARCHAR) AS min_repr,

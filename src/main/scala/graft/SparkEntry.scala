@@ -59,7 +59,7 @@ object SparkEntry {
       Queries80.sparkQueries ++ Queries81.sparkQueries ++
       Queries82.sparkQueries ++ Queries83.sparkQueries ++
       Queries84.sparkQueries ++ Queries85.sparkQueries ++
-      Queries86.sparkQueries
+      Queries86.sparkQueries ++ Queries87.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +93,6 @@ object SparkEntry {
       Queries74.oracleSql ++ Queries75.oracleSql ++ Queries76.oracleSql ++
       Queries77.oracleSql ++ Queries78.oracleSql ++ Queries79.oracleSql ++
       Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql ++
-      Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++ Queries86.oracleSql
+      Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++
+      Queries86.oracleSql ++ Queries87.oracleSql
 }

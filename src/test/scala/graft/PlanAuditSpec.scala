@@ -534,4 +534,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("m17 audio dedup pairs via the fingerprint inverted index, never all-pairs") {
+    val p = plan("m17_audio_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("g15 clustering coefficient closes wedges by equi-join, never all-pairs") {
+    val p = plan("g15_clustering_coeff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q211 merge path scans each half once and never rescans the base table") {
+    // two half-manifests (one scan each) merged by PURE algebra: the
+    // only join is the 1-row × 1-row broadcast cross of the two stats
+    // rows — no third scan, no shuffle join
+    val p = plan("q211_analyze_merge")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      p.take(1500))
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 4,
+      p.take(1500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q212 stats decision plans the broadcast it declares") {
+    // the manifest says supplier fits under threshold → the emitted
+    // strategy column says broadcast_right AND the plan shows it
+    val df = SparkEntry.queries("q212_stats_broadcast_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(df.select("strategy").head.getString(0) == "broadcast_right")
+  }
+
+  test("q213 stats-ordered star join broadcasts both small dims") {
+    val p = plan("q213_stats_join_order")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), p.take(1500))
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{StatsPlanner, TableStats, ColStats}
+import graft.plans.StatsRegistry
+
+/** Contract for the stats→planner loop: the ANALYZE manifest parses
+  * back exactly, the decision functions are the pure replayable
+  * arithmetic the q212/q213 oracles encode, and the injected
+  * [[graft.plans.StatsBroadcastRule]] flips an UNMODIFIED join to a
+  * broadcast when (and only when) the registry says a side is small —
+  * with answer identity under both strategies.
+  */
+class StatsPlannerSpec extends SparkSpec {
+
+  test("analyze → tableStats round-trips exact counts and bounded NDV") {
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val st = StatsPlanner.analyzeStats(sup, Seq("s_suppkey"))
+    assert(st.rows == sup.count())
+    val cs = st.cols("s_suppkey")
+    assert(cs.nNulls == 0L)
+    val exact = sup.select(countDistinct("s_suppkey")).head.getLong(0)
+    if (cs.kUsed < 256L) assert(cs.ndvEst == exact)
+    else assert(math.abs(cs.ndvEst - exact).toDouble / exact < 0.32)
+    assert(cs.minRepr ==
+      sup.agg(min("s_suppkey")).head.getLong(0).toString)
+    // bytes estimate: rows × (BIGINT 8 + INTEGER 4)
+    assert(st.estimatedBytes(sup.schema) == st.rows * 12)
+  }
+
+  test("decideBroadcast is the q212 oracle's arithmetic") {
+    assert(StatsPlanner.decideBroadcast(1000, 10, 100) == "broadcast_right")
+    assert(StatsPlanner.decideBroadcast(10, 1000, 100) == "broadcast_left")
+    assert(StatsPlanner.decideBroadcast(500, 600, 100) == "defer_runtime")
+    // ties build right, matching Spark's BuildRight preference
+    assert(StatsPlanner.decideBroadcast(50, 50, 100) == "broadcast_right")
+    // a side over threshold never broadcasts even if smaller
+    assert(StatsPlanner.decideBroadcast(200, 150, 100) == "defer_runtime")
+  }
+
+  test("orderDims is greedy Selinger: ascending reduction factor, " +
+       "name tiebreak") {
+    // factors: a = 100/1000 = 0.1, b = 500/1000 = 0.5 → a first
+    val fact = TableStats(1000000,
+      Map("ka" -> ColStats(0, "", "", 0, 1000L),
+          "kb" -> ColStats(0, "", "", 0, 1000L)))
+    val a = StatsPlanner.Dim("a", Tables.nation(spark, sf), "ka", "k",
+      TableStats(100, Map("k" -> ColStats(0, "", "", 0, 100L))))
+    val b = StatsPlanner.Dim("b", Tables.nation(spark, sf), "kb", "k",
+      TableStats(500, Map("k" -> ColStats(0, "", "", 0, 500L))))
+    assert(StatsPlanner.orderDims(fact, Seq(b, a)).map(_.name) ==
+      Seq("a", "b"))
+    // equal factors → alphabetical
+    val b2 = b.copy(stats = a.stats, name = "z")
+    assert(StatsPlanner.orderDims(fact, Seq(b2, a)).map(_.name) ==
+      Seq("a", "z"))
+  }
+
+  test("q213's fold order matches exact-arithmetic recomputation") {
+    // the filtered-part join must order before the filtered-supplier
+    // join: 206/2000 < 55/100 at every fixture scale (construction)
+    val li = Tables.lineitem(spark, sf)
+    val rowsP = Tables.part(spark, sf).filter(col("p_size") <= 5).count()
+    val rowsS = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") < 13).count()
+    val ndvLp = li.select(countDistinct("l_partkey")).head.getLong(0)
+    val ndvLs = li.select(countDistinct("l_suppkey")).head.getLong(0)
+    // filtered dim keys are unique → ndv(dim) = rows(dim)
+    val fP = rowsP.toDouble / math.max(ndvLp, rowsP)
+    val fS = rowsS.toDouble / math.max(ndvLs, rowsS)
+    assert(fP < fS, s"fixture drifted: $fP !< $fS")
+    val order = SparkEntry.queries("q213_stats_join_order")(spark, sf)
+      .select("join_order").head.getString(0)
+    assert(order == "part,supplier")
+  }
+
+  test("registry rule flips the SAME unmodified join to broadcast; " +
+       "answers identical under both strategies") {
+    val supPath = s"$sf/supplier.parquet"
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // disable Spark's own size-based broadcast so the ONLY way this
+      // join can become a BroadcastHashJoin is our stats decision
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def q() = Tables.lineitem(spark, sf)
+        .select(col("l_suppkey"), col("l_quantity"))
+        .join(spark.read.parquet(supPath)
+                .select(col("s_suppkey"), col("s_nationkey")),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      StatsRegistry.clear()
+      val before = q()
+      val pBefore = before.queryExecution.executedPlan.toString
+      assert(pBefore.contains("SortMergeJoin") &&
+        !pBefore.contains("BroadcastHashJoin"), pBefore.take(1200))
+      val beforeRows = before.collect().map(_.toSeq).sortBy(_.toString)
+
+      // register the ANALYZE manifest for supplier: 100 rows × 12 B —
+      // far under the 10 MiB default threshold → broadcast
+      val manifest = StatsPlanner.analyze(
+        spark.read.parquet(supPath)
+          .select(col("s_suppkey"), col("s_nationkey")),
+        Seq("s_suppkey"))
+      StatsRegistry.register(supPath, StatsPlanner.tableStats(manifest))
+      val after = q()
+      val pAfter = after.queryExecution.executedPlan.toString
+      assert(pAfter.contains("BroadcastHashJoin"), pAfter.take(1200))
+      val afterRows = after.collect().map(_.toSeq).sortBy(_.toString)
+      assert(afterRows.toSeq == beforeRows.toSeq)
+
+      // a registered-but-LARGE side must not flip (threshold respected)
+      StatsRegistry.clear()
+      StatsRegistry.register(supPath,
+        TableStats(100000000L, Map.empty)) // 100M rows × 12 B >> 10 MiB
+      val big = q().queryExecution.executedPlan.toString
+      assert(!big.contains("BroadcastHashJoin"), big.take(1200))
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+}
