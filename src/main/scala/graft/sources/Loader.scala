@@ -114,14 +114,32 @@ object Loader {
     @volatile private[Loader] var dir: Option[String] = None
     def currentDir: Option[String] = dir
   }
+  /** Restart/replay contract (foreachBatch is AT-LEAST-ONCE — Spark
+    * replays the last uncommitted batch with the SAME batch id after a
+    * crash, so idempotence is this sink's burden, discharged by
+    * construction): the prior snapshot is recovered DURABLY as the
+    * largest existing version directory STRICTLY BELOW the current
+    * batch id — never from driver memory. On a clean run that is
+    * exactly the previous batch's directory; after a crash-restart it
+    * recovers the chain a fresh driver has no memory of; and on a
+    * replay of batch `id` it deliberately excludes the (possibly
+    * half-written) `v<id>` itself, so the replay rebuilds `v<id>` from
+    * the identical prior state and overwrites — the snapshot chain a
+    * restarted run produces is bit-equal to an uninterrupted run's
+    * (pinned by CheckpointRestartSpec's fifth shape). Pass
+    * `checkpointDir` for restartable sources; without it a restarted
+    * query renumbers batches from 0 and needs a fresh `baseDir`.
+    */
   def streamUpsertSink(stream: DataFrame, baseDir: String, key: String,
-                       orderCols: Seq[String])
+                       orderCols: Seq[String],
+                       checkpointDir: Option[String] = None,
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, SnapshotHandle) = {
     require(stream.isStreaming, "streamUpsertSink: batch input")
     require(orderCols.nonEmpty, "streamUpsertSink: empty orderCols")
     val handle = new SnapshotHandle
     val spark = stream.sparkSession
-    val q = stream.writeStream.foreachBatch {
+    val writer0 = stream.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(org.apache.spark.sql.functions.col(key))
@@ -132,7 +150,16 @@ object Loader {
             .row_number().over(w))
           .filter(org.apache.spark.sql.functions.col("__rn") === 1)
           .drop("__rn")
-        val merged = handle.dir match {
+        // durable prior-version lookup (see restart contract above):
+        // max committed version < id; a prior version is always a
+        // COMPLETED write because batches execute sequentially
+        val prior = Option(new java.io.File(baseDir).list())
+          .getOrElse(Array.empty[String])
+          .flatMap(n => if (n.startsWith("v"))
+            n.drop(1).toLongOption else None)
+          .filter(_ < id)
+          .maxOption.map(v => s"$baseDir/v$v")
+        val merged = prior match {
           case Some(d) => graft.operators.Upsert.upsert(
             spark.read.parquet(d), latest, key)
           case None => latest
@@ -141,7 +168,11 @@ object Loader {
         merged.write.mode(SaveMode.Overwrite).parquet(next)
         handle.dir = Some(next)
         ()
-    }.start()
+    }
+    val writer1 = checkpointDir.fold(writer0)(d =>
+      writer0.option("checkpointLocation", d))
+    val writer = trigger.fold(writer1)(t => writer1.trigger(t))
+    val q = writer.start()
     (q, handle)
   }
 
