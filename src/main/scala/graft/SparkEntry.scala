@@ -59,7 +59,8 @@ object SparkEntry {
       Queries80.sparkQueries ++ Queries81.sparkQueries ++
       Queries82.sparkQueries ++ Queries83.sparkQueries ++
       Queries84.sparkQueries ++ Queries85.sparkQueries ++
-      Queries86.sparkQueries ++ Queries87.sparkQueries
+      Queries86.sparkQueries ++ Queries87.sparkQueries ++
+      Queries88.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,5 @@ object SparkEntry {
       Queries77.oracleSql ++ Queries78.oracleSql ++ Queries79.oracleSql ++
       Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql ++
       Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++
-      Queries86.oracleSql ++ Queries87.oracleSql
+      Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql
 }
