@@ -184,7 +184,11 @@ object Bench {
     // round-8 part 34: local clustering coefficient
     "g15_clustering_coeff",
     // round-8 part 36: live streamed ANALYZE manifest
-    "e39_stream_analyze")
+    "e39_stream_analyze",
+    // round-9: stats-driven planning (manifest consumption)
+    "q212_stats_broadcast_join", "q213_stats_join_order",
+    // round-9: archive-shard ingestion (WebDataset shape)
+    "m18_tar_shards", "m19_zip_shards")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
@@ -192,7 +196,7 @@ object Bench {
     * 5). Seed = 20260814 + round; PLANS.md records each round's seed
     * and slice.
     */
-  val rotationSeed: Long = 20260814L + 8
+  val rotationSeed: Long = 20260814L + 9
   val rotationSize: Int = 20
 
   def main(args: Array[String]): Unit = {
@@ -259,9 +263,20 @@ object Bench {
       spark.catalog.clearCache()
       elapsed
     }
-    val rotation = new scala.util.Random(rotationSeed)
-      .shuffle(qs.keys.toSeq.filterNot(headline.contains).sorted)
-      .take(rotationSize)
+    // SPARK_GRAFT_BENCH_ALL=1: the full-surface sweep — every declared
+    // query joins the timed set (VERDICT-r8 task 6: one committed floor
+    // for the whole surface), with reps dialed down (default 2: one
+    // past the warm-up pass) since the goal is coverage, not a
+    // cross-round floor. The stdout shedding chain already handles the
+    // larger map; bench_full.json carries everything as always.
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
+      .getOrElse(if (benchAll) 2 else 5)
+    val rotation =
+      if (benchAll) qs.keys.toSeq.filterNot(headline.contains).sorted
+      else new scala.util.Random(rotationSeed)
+        .shuffle(qs.keys.toSeq.filterNot(headline.contains).sorted)
+        .take(rotationSize)
     val declared = headline.filter(qs.contains) ++ rotation
     // JIT/codegen warm-up AT THE TARGET SCALE FACTOR: AQE picks different
     // physical shapes (broadcast vs shuffle joins, coalesced readers) per
@@ -281,7 +296,7 @@ object Bench {
     // (round-1 recorded 3-18x inflation on individual queries from this)
     val workMs = scala.collection.mutable.Map.empty[String, Long]
     val timed = timedOrder.map { name =>
-      val reps = (1 to 5).map { _ =>
+      val repTimes = (1 to reps).map { _ =>
         val t = once(name, sfDir)
         if (name.startsWith("e")) {
           val w = drainStreamMs()
@@ -294,7 +309,7 @@ object Bench {
         }
         t
       }
-      name -> reps.min
+      name -> repTimes.min
     }.toMap
     val results = declared.map(n => n -> timed(n))
     // a failed query's (typically fast) elapsed time must not feed the
