@@ -86,29 +86,34 @@ object Queries35 {
         .orderBy(col("event_type"))),
 
     // Business-day shipping lag: weekdays strictly after the order date
-    // up to and including the ship date, by exploding the date range and
-    // filtering weekday() — mirrored as isodow in the oracle. Output is
-    // the corpus-wide lag histogram. (At 100 TB the per-row sequence
-    // becomes the closed-form full_weeks*5 + edge-offset formula; the
-    // explode form is declared because it mirrors exactly.)
-    "q144_business_lag" -> ((s, d) =>
+    // up to and including the ship date. CLOSED FORM (the 100-TB
+    // shape): W(d) = weekdays in [1970-01-05 (a Monday), d] =
+    // 5·(n div 7) + least(n mod 7 + 1, 5) with n = days since the
+    // anchor (≥ 0 for this data's 1995+ dates); lag = W(ship) −
+    // W(order) — O(1) arithmetic per row, where the pre-round-9
+    // explode form built a multi-year date array per row (19 s at
+    // sf0.1, the whole-surface worst). The ORACLE keeps the
+    // independent generate_series + isodow derivation, so the hash
+    // match proves the closed form equals the definition. Ship dates
+    // at or before the order date (about half this data) take the 0
+    // branch in both engines.
+    "q144_business_lag" -> ((s, d) => {
+      def W(x: String) =
+        s"""(5 * (datediff($x, DATE'1970-01-05') div 7)
+           | + least(datediff($x, DATE'1970-01-05') % 7 + 1, 5))"""
+          .stripMargin
       Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
               col("l_orderkey") === col("o_orderkey"))
-        .select(
-          // guard: Spark's sequence(start, stop) DESCENDS when
-          // stop < start (this data ships ~half its lines at or before
-          // the order date); DuckDB's generate_series is empty there,
-          // so the 0 branch mirrors it
-          when(to_date(col("l_shipdate")) > to_date(col("o_orderdate")),
-            size(filter(
-              sequence(date_add(to_date(col("o_orderdate")), 1),
-                       to_date(col("l_shipdate"))),
-              x => weekday(x) < lit(5))).cast("long"))
-            .otherwise(0L).as("biz_lag"))
+        .select(expr(
+          s"""CASE WHEN to_date(l_shipdate) > to_date(o_orderdate)
+             |THEN CAST(${W("to_date(l_shipdate)")}
+             |          - ${W("to_date(o_orderdate)")} AS BIGINT)
+             |ELSE CAST(0 AS BIGINT) END""".stripMargin).as("biz_lag"))
         .groupBy(col("biz_lag"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("biz_lag")))
+        .orderBy(col("biz_lag"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(

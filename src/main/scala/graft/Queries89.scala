@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StatsPlanner
+
+/** Round-9 part-7 query: statistics-driven FILE SKIPPING — the scan
+  * side of the stats loop (q212/q213 consume manifests at the JOIN;
+  * this consumes them at the SCAN). The table is laid out as one file
+  * per shipdate year (the zone-mapped layout a Z-ordered or
+  * time-partitioned ingest produces — q205's writeParquetZordered is
+  * the authoring side); each file carries its ANALYZE manifest, and a
+  * range predicate prunes files whose [min, max] zone cannot intersect
+  * — BEFORE any scan task launches. The zone test is conservative
+  * (kept ≠ matching; the residual filter still runs), which is exactly
+  * the lakehouse data-skipping contract. The decision is part of the
+  * OUTPUT (n_files_kept / n_files_total) and the oracle replays it
+  * from per-year min/max — a hash match proves both the pruning
+  * arithmetic and answer identity with the unpruned scan.
+  *
+  * Scale shape: the skip decision reads MANIFESTS (O(#files) driver
+  * rows — at 100 TB these are the per-ingest q211 manifests, not
+  * rescans; the fixture recomputes them per file with the same
+  * analyze pass), and the kept-file scan launches tasks only for
+  * surviving files — I/O scales with selectivity, not table size.
+  * Oracle-parity conventions follow [[Queries]]' scaladoc.
+  */
+object Queries89 {
+  import Queries.Q
+
+  private val qtyCents =
+    "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  private val Lo = "1997-03-01"
+  private val Hi = "1997-09-01"
+
+  val sparkQueries: Map[String, Q] = Map(
+    "q214_stats_file_skip" -> ((s, d) => {
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_skip_").toString
+      val li = Tables.lineitem(s, d)
+      val sd = "date_format(l_shipdate, 'yyyy-MM-dd')"
+      val years = li.select(year(col("l_shipdate")).as("y")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: ≤ #distinct years
+      years.foreach { y =>
+        li.filter(year(col("l_shipdate")) === y)
+          .write.mode("overwrite").parquet(s"$work/y$y")
+      }
+      // zone test per file manifest: [min, max] ∩ [Lo, Hi) ≠ ∅ —
+      // canonical yyyy-MM-dd strings compare chronologically
+      val kept = years.filter { y =>
+        val cs = StatsPlanner.analyzeStats(
+          s.read.parquet(s"$work/y$y").selectExpr(s"$sd AS sd"),
+          Seq("sd")).cols("sd")
+        cs.minRepr < Hi && cs.maxRepr >= Lo
+      }
+      s.read.parquet(kept.map(y => s"$work/y$y"): _*)
+        .filter(expr(s"$sd >= '$Lo' AND $sd < '$Hi'")) // residual
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr(qtyCents)).as("qty_cents_sum"))
+        .withColumn("n_files_kept", lit(kept.length.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("l_returnflag"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q214_stats_file_skip" ->
+      s"""WITH zones AS (SELECT year(l_shipdate) AS y,
+         |    MIN(strftime(l_shipdate, '%Y-%m-%d')) AS mn,
+         |    MAX(strftime(l_shipdate, '%Y-%m-%d')) AS mx
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+         |    WHERE mn < '$Hi' AND mx >= '$Lo') AS n_files_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+         |FROM lineitem
+         |WHERE strftime(l_shipdate, '%Y-%m-%d') >= '$Lo'
+         |  AND strftime(l_shipdate, '%Y-%m-%d') < '$Hi'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -60,7 +60,7 @@ object SparkEntry {
       Queries82.sparkQueries ++ Queries83.sparkQueries ++
       Queries84.sparkQueries ++ Queries85.sparkQueries ++
       Queries86.sparkQueries ++ Queries87.sparkQueries ++
-      Queries88.sparkQueries
+      Queries88.sparkQueries ++ Queries89.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -95,5 +95,6 @@ object SparkEntry {
       Queries77.oracleSql ++ Queries78.oracleSql ++ Queries79.oracleSql ++
       Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql ++
       Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++
-      Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql
+      Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql ++
+      Queries89.oracleSql
 }

@@ -75,6 +75,21 @@ class StatsPlannerSpec extends SparkSpec {
     assert(order == "part,supplier")
   }
 
+  test("q214 zone-map skip: the scan touches only surviving files, " +
+       "decision replayed") {
+    val df = SparkEntry.queries("q214_stats_file_skip")(spark, sf)
+    val row = df.head()
+    // predicate [1997-03-01, 1997-09-01) intersects exactly the 1997
+    // zone of the 7 year-files (fixture: shipdates span 1995-2001)
+    assert(row.getAs[Long]("n_files_kept") == 1L)
+    assert(row.getAs[Long]("n_files_total") == 7L)
+    // the pruning must be visible in the PHYSICAL read set, not just
+    // the counters: every input file of the plan is a 1997 zone file
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/y1997/")),
+      files.take(3).mkString(","))
+  }
+
   test("registry rule flips the SAME unmodified join to broadcast; " +
        "answers identical under both strategies") {
     val supPath = s"$sf/supplier.parquet"
