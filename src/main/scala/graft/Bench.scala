@@ -188,7 +188,9 @@ object Bench {
     // round-9: stats-driven planning (manifest consumption)
     "q212_stats_broadcast_join", "q213_stats_join_order",
     // round-9: archive-shard ingestion (WebDataset shape)
-    "m18_tar_shards", "m19_zip_shards")
+    "m18_tar_shards", "m19_zip_shards",
+    // round-9: zone-map file skipping + streamed shard ingestion
+    "q214_stats_file_skip", "e40_stream_shards")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

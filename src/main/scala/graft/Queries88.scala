@@ -31,7 +31,7 @@ object Queries88 {
       ((id * 131 + k * 17) % 251).toByte)
 
   /** Author the fixture shards into a temp dir; returns the dir. */
-  private def writeShards(s: org.apache.spark.sql.SparkSession, d: String,
+  private[graft] def writeShards(s: org.apache.spark.sql.SparkSession, d: String,
                           ext: String,
                           pack: Seq[(String, Array[Byte])] => Array[Byte])
       : String = {
@@ -50,7 +50,7 @@ object Queries88 {
     work
   }
 
-  private def memberReport(members: org.apache.spark.sql.DataFrame,
+  private[graft] def memberReport(members: org.apache.spark.sql.DataFrame,
                            ext: String): org.apache.spark.sql.DataFrame =
     members.select(
       regexp_extract(col("member"), "doc_(\\d+)\\.bin$", 1)
@@ -78,7 +78,7 @@ object Queries88 {
 
   // both formats must decode to the IDENTICAL member bytes — one
   // formula replay serves both queries
-  private val shardOracle: String =
+  private[graft] val shardOracle: String =
     s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id < $Cap),
        |ks AS (SELECT doc_id,
        |    unnest(generate_series(0, 100 + (doc_id*37)%157 - 1)) AS k

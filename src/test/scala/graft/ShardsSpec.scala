@@ -87,6 +87,14 @@ class ShardsSpec extends SparkSpec {
     }
   }
 
+  test("e40 streamed shard expansion equals the batch m18 row-for-row") {
+    val st = SparkEntry.queries("e40_stream_shards")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val ba = SparkEntry.queries("m18_tar_shards")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(st == ba)
+  }
+
   test("tarMembers expands multiple shards in parallel, shard column intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tarspec")
     (0 until 4).foreach { s0 =>
