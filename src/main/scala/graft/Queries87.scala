@@ -24,7 +24,7 @@ object Queries87 {
 
   // The DuckDB replay of StatsPlanner's KMV bottom-256 NDV estimate
   // over `e` drawn from `src` — q210's oracle chain, parameterized.
-  private def ndvKmvSql(src: String, e: String): String = {
+  private[graft] def ndvKmvSql(src: String, e: String): String = {
     val c255 = (BigInt(255) * (BigInt(1) << 64)).toString
     s"""(SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)::HUGEINT
        |     ELSE CAST('$c255' AS HUGEINT) //

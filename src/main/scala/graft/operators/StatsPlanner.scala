@@ -122,20 +122,74 @@ object StatsPlanner {
   def analyzeStats(df: DataFrame, columns: Seq[String]): TableStats =
     tableStats(analyze(df, columns))
 
-  /** The broadcast decision, as a pure replayable function of stats:
-    * pick the smaller side if its estimated bytes fit under
-    * `thresholdBytes`; ties go right (Spark's own BuildRight
-    * preference); neither fits → defer to runtime (AQE re-plans on
-    * ACTUAL shuffle sizes, which beat any prior — a stats-driven
-    * planner should only override the runtime when stats say it is
-    * SAFE to, i.e. when a side is provably small).
+  /** A join side's size estimate as an exact RATIONAL byte count
+    * (rows·width·selNum / selDen): selectivity discounts stay exact
+    * integers so every comparison replays in integer SQL — no float
+    * drift between the planner and its oracle.
     */
+  case class SideEst(rows: BigInt, widthBytes: Long,
+                     selNum: BigInt = 1, selDen: BigInt = 1) {
+    def bytesNum: BigInt = rows * widthBytes * selNum
+    def fitsUnder(t: Long): Boolean = bytesNum <= BigInt(t) * selDen
+    def lte(o: SideEst): Boolean =
+      bytesNum * o.selDen <= o.bytesNum * selDen
+  }
+
+  /** Unfiltered side estimate from table stats. */
+  def estimate(stats: TableStats, schema: StructType): SideEst =
+    SideEst(BigInt(stats.rows),
+      math.max(1L, schema.fields.map(_.dataType.defaultSize.toLong).sum))
+
+  /** Side estimate under equality predicates on `eqCols`: the classic
+    * System R selectivity 1/V(R, col) per equality (Selinger et al.
+    * 1979 §4 — uniformity over distinct values), NDV from the KMV
+    * manifest. This is what lets a FILTERED big table qualify for
+    * broadcast — the FilterEstimation half of a CBO.
+    */
+  def estimateEqFiltered(stats: TableStats, schema: StructType,
+                         eqCols: Seq[String]): SideEst = {
+    val den = eqCols.map(c => BigInt(stats.ndv(c))).product
+    estimate(stats, schema).copy(selDen = den max 1)
+  }
+
+  /** The broadcast decision over rational estimates: pick the smaller
+    * side if its estimated bytes fit under `thresholdBytes`; ties go
+    * right (Spark's own BuildRight preference); neither fits → defer
+    * to runtime (AQE re-plans on ACTUAL shuffle sizes, which beat any
+    * prior — a stats-driven planner should only override the runtime
+    * when stats say it is SAFE to, i.e. when a side is provably
+    * small).
+    */
+  def decideBroadcastEst(l: SideEst, r: SideEst,
+                         thresholdBytes: Long): String =
+    if (r.fitsUnder(thresholdBytes) && r.lte(l)) "broadcast_right"
+    else if (l.fitsUnder(thresholdBytes)) "broadcast_left"
+    else "defer_runtime"
+
+  /** Integer-bytes convenience form (q212's oracle arithmetic). */
   def decideBroadcast(leftBytes: Long, rightBytes: Long,
                       thresholdBytes: Long): String =
-    if (rightBytes <= thresholdBytes && rightBytes <= leftBytes)
-      "broadcast_right"
-    else if (leftBytes <= thresholdBytes) "broadcast_left"
-    else "defer_runtime"
+    decideBroadcastEst(SideEst(BigInt(leftBytes), 1L),
+      SideEst(BigInt(rightBytes), 1L), thresholdBytes)
+
+  /** Stats-driven equi-join over explicit side ESTIMATES (callers
+    * supply selectivity-discounted [[SideEst]]s, e.g. from
+    * [[estimateEqFiltered]] when a side carries equality predicates).
+    */
+  def joinWithEstimates(left: DataFrame, lEst: SideEst,
+                        right: DataFrame, rEst: SideEst,
+                        leftKey: String, rightKey: String,
+                        thresholdBytes: Long = 10L << 20)
+      : (DataFrame, String) = {
+    val cond = left(leftKey) === right(rightKey)
+    val decision = decideBroadcastEst(lEst, rEst, thresholdBytes)
+    val joined = decision match {
+      case "broadcast_right" => left.join(broadcast(right), cond)
+      case "broadcast_left"  => broadcast(left).join(right, cond)
+      case _                 => left.join(right, cond)
+    }
+    (joined, decision)
+  }
 
   /** Stats-driven equi-join: reads both sides' [[TableStats]], applies
     * [[decideBroadcast]], and plans the join accordingly. Returns the

@@ -1,10 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import graft.operators.TableStats
+import graft.operators.{StatsPlanner, TableStats}
 
 /** Driver-side registry of ANALYZE-manifest statistics, keyed by table
   * location — the catalog a CBO reads. Entries are a few hundred bytes
@@ -67,18 +68,33 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Registered stats of the single scan under projections/filters/
-    * aliases of `p`, if any. Multi-root or unregistered scans → None
-    * (the rule stays silent).
+  /** Attribute names compared EQUAL to a literal anywhere in the
+    * conjunction — each contributes the System R 1/V(R, col)
+    * selectivity. Disjunctions and other predicates contribute nothing
+    * (selectivity 1 — conservative: filters only shrink).
     */
-  private def leafStats(p: LogicalPlan): Option[TableStats] = p match {
-    case Project(_, c)         => leafStats(c)
-    case Filter(_, c)          => leafStats(c)
-    case SubqueryAlias(_, c)   => leafStats(c)
+  private def eqAttrs(cond: Expression): Seq[String] = cond match {
+    case And(a, b)                              => eqAttrs(a) ++ eqAttrs(b)
+    case EqualTo(a: AttributeReference, _: Literal) => Seq(a.name)
+    case EqualTo(_: Literal, a: AttributeReference) => Seq(a.name)
+    case _                                      => Seq.empty
+  }
+
+  /** Registered stats of the single scan under projections/filters/
+    * aliases of `p`, plus the equality-filtered columns collected on
+    * the way down. Multi-root or unregistered scans → None (the rule
+    * stays silent).
+    */
+  private def leafStats(p: LogicalPlan, eq: Seq[String] = Nil)
+      : Option[(TableStats, Seq[String])] = p match {
+    case Project(_, c)         => leafStats(c, eq)
+    case Filter(cond, c)       => leafStats(c, eq ++ eqAttrs(cond))
+    case SubqueryAlias(_, c)   => leafStats(c, eq)
     case lr: LogicalRelation   =>
       lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-          case single :: Nil => StatsRegistry.get(single.toString)
+          case single :: Nil =>
+            StatsRegistry.get(single.toString).map(_ -> eq)
           case _             => None
         }
         case _ => None
@@ -86,11 +102,17 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def sideBytes(p: LogicalPlan): Option[Long] = {
-    val width =
-      math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
-    leafStats(p).map(s => s.rows * width)
-  }
+  private def sideEst(p: LogicalPlan): Option[StatsPlanner.SideEst] =
+    leafStats(p).map { case (s, eq) =>
+      val width =
+        math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
+      // only manifest-known columns discount (unknown ndv falls back
+      // to rows, which would over-discount a column we know nothing
+      // about — so restrict to columns the manifest actually carries)
+      val known = eq.filter(s.cols.contains)
+      StatsPlanner.SideEst(BigInt(s.rows), width,
+        selDen = known.map(c => BigInt(s.ndv(c))).product max 1)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (StatsRegistry.isEmpty) plan // fast path: no stats, no effect
@@ -99,15 +121,15 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
         conf.getConfString(ThresholdConf, (10L << 20).toString).toLong
       plan.transformUp {
         case j @ Join(l, r, jt, _, JoinHint.NONE) =>
-          val lB = sideBytes(l).filter(_ <= threshold)
-          val rB = sideBytes(r).filter(_ <= threshold)
+          val lE = sideEst(l).filter(_.fitsUnder(threshold))
+          val rE = sideEst(r).filter(_.fitsUnder(threshold))
           val broadcastHint = Some(HintInfo(strategy = Some(BROADCAST)))
           // prefer the smaller qualifying side; ties build right,
           // matching Spark's own BuildRight preference
-          val pickRight = rB.isDefined && canBuildRight(jt) &&
-            (lB.isEmpty || !canBuildLeft(jt) || rB.get <= lB.get)
+          val pickRight = rE.isDefined && canBuildRight(jt) &&
+            (lE.isEmpty || !canBuildLeft(jt) || rE.get.lte(lE.get))
           if (pickRight) j.copy(hint = JoinHint(None, broadcastHint))
-          else if (lB.isDefined && canBuildLeft(jt))
+          else if (lE.isDefined && canBuildLeft(jt))
             j.copy(hint = JoinHint(broadcastHint, None))
           else j
       }

@@ -570,6 +570,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.select("strategy").head.getString(0) == "broadcast_right")
   }
 
+  test("q215 selectivity-discounted side plans the broadcast it declares") {
+    val df = SparkEntry.queries("q215_stats_filter_broadcast")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(df.select("strategy").head.getString(0) == "broadcast_left")
+  }
+
   test("q213 stats-ordered star join broadcasts both small dims") {
     val p = plan("q213_stats_join_order")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,

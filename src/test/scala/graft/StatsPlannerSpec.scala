@@ -75,6 +75,70 @@ class StatsPlannerSpec extends SparkSpec {
     assert(order == "part,supplier")
   }
 
+  test("SideEst rational arithmetic: selectivity discounts compare exactly") {
+    import StatsPlanner.SideEst
+    // 1000 rows × 10 B = 10000 B raw; /ndv 100 → 100 B effective
+    val filtered = SideEst(BigInt(1000), 10L, selDen = BigInt(100))
+    assert(!SideEst(BigInt(1000), 10L).fitsUnder(5000))
+    assert(filtered.fitsUnder(5000))
+    assert(filtered.lte(SideEst(BigInt(20), 10L))) // 100 ≤ 200
+    assert(!SideEst(BigInt(20), 10L).lte(filtered))
+    // decideBroadcastEst: only the filtered side fits → broadcast it
+    assert(StatsPlanner.decideBroadcastEst(
+      filtered, SideEst(BigInt(1000), 10L), 5000) == "broadcast_left")
+    assert(StatsPlanner.decideBroadcastEst(
+      SideEst(BigInt(1000), 10L), filtered, 5000) == "broadcast_right")
+  }
+
+  test("registry rule applies equality selectivity: a FILTERED big side flips") {
+    val liPath = s"$sf/lineitem.parquet"
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevGraft = spark.conf.getOption(
+      graft.plans.StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, "65536")
+      def q() = spark.read.parquet(liPath)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .filter(col("l_partkey") === 10)
+        .join(Tables.orders(spark, sf)
+                .select(col("o_orderkey"), col("o_orderstatus")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      StatsRegistry.clear()
+      val before = q()
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val beforeRows = before.collect().map(_.toSeq).sortBy(_.toString)
+
+      // raw lineitem (6000 rows × 24 B = 144 kB) fails the 64 KiB
+      // threshold; the l_partkey=10 equality (ndv 200) discounts it to
+      // ~720 B — only the selectivity arithmetic finds this broadcast
+      StatsRegistry.register(liPath, StatsPlanner.analyzeStats(
+        spark.read.parquet(liPath)
+          .select(col("l_orderkey"), col("l_partkey")),
+        Seq("l_orderkey", "l_partkey")))
+      val after = q()
+      assert(after.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        after.queryExecution.executedPlan.toString.take(1200))
+      assert(after.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        beforeRows.toSeq)
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevGraft match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
   test("q214 zone-map skip: the scan touches only surviving files, " +
        "decision replayed") {
     val df = SparkEntry.queries("q214_stats_file_skip")(spark, sf)
