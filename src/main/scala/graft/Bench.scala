@@ -190,7 +190,11 @@ object Bench {
     // round-9: archive-shard ingestion (WebDataset shape)
     "m18_tar_shards", "m19_zip_shards",
     // round-9: zone-map file skipping + streamed shard ingestion
-    "q214_stats_file_skip", "e40_stream_shards")
+    "q214_stats_file_skip", "e40_stream_shards",
+    // round-9: selectivity-aware broadcast, WebDataset samples,
+    // upsert-sink oracle
+    "q215_stats_filter_broadcast", "m20_webdataset_samples",
+    "e41_stream_upsert")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -61,7 +61,8 @@ object SparkEntry {
       Queries84.sparkQueries ++ Queries85.sparkQueries ++
       Queries86.sparkQueries ++ Queries87.sparkQueries ++
       Queries88.sparkQueries ++ Queries89.sparkQueries ++
-      Queries90.sparkQueries ++ Queries91.sparkQueries
+      Queries90.sparkQueries ++ Queries91.sparkQueries ++
+      Queries92.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +98,6 @@ object SparkEntry {
       Queries80.oracleSql ++ Queries81.oracleSql ++ Queries82.oracleSql ++
       Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++
       Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql ++
-      Queries89.oracleSql ++ Queries90.oracleSql ++ Queries91.oracleSql
+      Queries89.oracleSql ++ Queries90.oracleSql ++ Queries91.oracleSql ++
+      Queries92.oracleSql
 }
