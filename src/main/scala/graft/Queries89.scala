@@ -17,12 +17,14 @@ import graft.operators.StatsPlanner
   * from per-year min/max — a hash match proves both the pruning
   * arithmetic and answer identity with the unpruned scan.
   *
-  * Scale shape: the skip decision reads MANIFESTS (O(#files) driver
-  * rows — at 100 TB these are the per-ingest q211 manifests, not
-  * rescans; the fixture recomputes them per file with the same
-  * analyze pass), and the kept-file scan launches tasks only for
-  * surviving files — I/O scales with selectivity, not table size.
-  * Oracle-parity conventions follow [[Queries]]' scaladoc.
+  * Scale shape: the layout is ONE write job (repartition(y) +
+  * partitionBy(y) → exactly one file per year); the per-file zone
+  * manifests are ONE scan grouped by `input_file_name` (at 100 TB
+  * they are the per-ingest q211 manifests, maintained by merge, never
+  * recomputed); the skip decision is an O(#files) driver fetch; and
+  * the kept-file scan launches tasks only for surviving files — I/O
+  * scales with selectivity, not table size. Oracle-parity conventions
+  * follow [[Queries]]' scaladoc.
   */
 object Queries89 {
   import Queries.Q
@@ -38,27 +40,31 @@ object Queries89 {
         .createTempDirectory("graft_skip_").toString
       val li = Tables.lineitem(s, d)
       val sd = "date_format(l_shipdate, 'yyyy-MM-dd')"
-      val years = li.select(year(col("l_shipdate")).as("y")).distinct()
-        .collect().map(_.getInt(0)).sorted // bounded: ≤ #distinct years
-      years.foreach { y =>
-        li.filter(year(col("l_shipdate")) === y)
-          .write.mode("overwrite").parquet(s"$work/y$y")
-      }
-      // zone test per file manifest: [min, max] ∩ [Lo, Hi) ≠ ∅ —
-      // canonical yyyy-MM-dd strings compare chronologically
-      val kept = years.filter { y =>
-        val cs = StatsPlanner.analyzeStats(
-          s.read.parquet(s"$work/y$y").selectExpr(s"$sd AS sd"),
-          Seq("sd")).cols("sd")
-        cs.minRepr < Hi && cs.maxRepr >= Lo
-      }
-      s.read.parquet(kept.map(y => s"$work/y$y"): _*)
+      // zone-mapped layout in ONE write job: repartition(y) puts each
+      // year in exactly one task, partitionBy(y) gives it exactly one
+      // file — the time-clustered ingest layout
+      li.withColumn("y", year(col("l_shipdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(work)
+      // per-FILE zone manifests in ONE scan, grouped by the physical
+      // file — bounded driver fetch: one row per file
+      val zones = s.read.parquet(work)
+        .select(input_file_name().as("f"), expr(sd).as("sd"))
+        .groupBy(col("f"))
+        .agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+        .collect()
+      // zone test: [min, max] ∩ [Lo, Hi) ≠ ∅ — canonical yyyy-MM-dd
+      // strings compare chronologically
+      val kept = zones.filter(z =>
+        z.getAs[String]("mn") < Hi && z.getAs[String]("mx") >= Lo)
+        .map(_.getAs[String]("f")).sorted
+      s.read.parquet(kept.toIndexedSeq: _*)
         .filter(expr(s"$sd >= '$Lo' AND $sd < '$Hi'")) // residual
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
              sum(expr(qtyCents)).as("qty_cents_sum"))
         .withColumn("n_files_kept", lit(kept.length.toLong))
-        .withColumn("n_files_total", lit(years.length.toLong))
+        .withColumn("n_files_total", lit(zones.length.toLong))
         .orderBy(col("l_returnflag"))
     }))
 

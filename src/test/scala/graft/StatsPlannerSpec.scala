@@ -150,7 +150,7 @@ class StatsPlannerSpec extends SparkSpec {
     // the pruning must be visible in the PHYSICAL read set, not just
     // the counters: every input file of the plan is a 1997 zone file
     val files = df.inputFiles
-    assert(files.nonEmpty && files.forall(_.contains("/y1997/")),
+    assert(files.nonEmpty && files.forall(_.contains("y=1997")),
       files.take(3).mkString(","))
   }
 
