@@ -194,7 +194,7 @@ object Bench {
     // round-9: selectivity-aware broadcast, WebDataset samples,
     // upsert-sink oracle
     "q215_stats_filter_broadcast", "m20_webdataset_samples",
-    "e41_stream_upsert")
+    "e41_stream_upsert", "q216_stats_range_broadcast")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -152,6 +152,46 @@ object StatsPlanner {
     estimate(stats, schema).copy(selDen = den max 1)
   }
 
+  /** Rational selectivity of one comparison predicate `col <op>
+    * value` from the manifest: equality is System R 1/V(R, col); the
+    * range forms use interval arithmetic over the manifest's exact
+    * integer [min, max] under the uniformity assumption — the same
+    * model Spark's own CBO FilterEstimation applies, and exactly
+    * replayable in SQL (counts of integers in an interval). Unknown
+    * columns, non-integer renderings, or unknown ops → (1, 1): a
+    * filter we can't price never discounts.
+    */
+  def predSelectivity(stats: TableStats, c: String, op: String,
+                      v: Long): (BigInt, BigInt) = {
+    val cs = stats.cols.get(c).getOrElse(return (BigInt(1), BigInt(1)))
+    if (op == "=") return (BigInt(1), BigInt(stats.ndv(c)))
+    (cs.minRepr.toLongOption, cs.maxRepr.toLongOption) match {
+      case (Some(m), Some(mx)) if mx >= m =>
+        val width = BigInt(mx) - BigInt(m) + 1
+        def clamp(x: BigInt) = x.max(0).min(width)
+        val cnt = op match {
+          case "<"  => clamp(BigInt(v) - m)
+          case "<=" => clamp(BigInt(v) - m + 1)
+          case ">"  => clamp(BigInt(mx) - v)
+          case ">=" => clamp(BigInt(mx) - v + 1)
+          case _    => width
+        }
+        (cnt, width)
+      case _ => (BigInt(1), BigInt(1))
+    }
+  }
+
+  /** Side estimate under arbitrary comparison predicates: rational
+    * selectivities multiply (independence, the Selinger model).
+    */
+  def estimateFiltered(stats: TableStats, schema: StructType,
+                       preds: Seq[(String, String, Long)]): SideEst = {
+    val sels = preds.map { case (c, op, v) => predSelectivity(stats, c, op, v) }
+    estimate(stats, schema).copy(
+      selNum = sels.map(_._1).product,
+      selDen = sels.map(_._2).product max 1)
+  }
+
   /** The broadcast decision over rational estimates: pick the smaller
     * side if its estimated bytes fit under `thresholdBytes`; ties go
     * right (Spark's own BuildRight preference); neither fits → defer

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -68,16 +68,42 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Attribute names compared EQUAL to a literal anywhere in the
-    * conjunction — each contributes the System R 1/V(R, col)
-    * selectivity. Disjunctions and other predicates contribute nothing
-    * (selectivity 1 — conservative: filters only shrink).
+  /** Comparison predicates (col, op, integer literal) collected from a
+    * conjunction — equality contributes the System R 1/V(R, col)
+    * selectivity, ranges contribute interval arithmetic over the
+    * manifest [min, max] ([[StatsPlanner.predSelectivity]]).
+    * Disjunctions, non-integer literals, and other predicates
+    * contribute nothing (selectivity 1 — conservative: filters only
+    * shrink).
     */
-  private def eqAttrs(cond: Expression): Seq[String] = cond match {
-    case And(a, b)                              => eqAttrs(a) ++ eqAttrs(b)
-    case EqualTo(a: AttributeReference, _: Literal) => Seq(a.name)
-    case EqualTo(_: Literal, a: AttributeReference) => Seq(a.name)
-    case _                                      => Seq.empty
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: java.lang.Integer, _) => Some(v.longValue)
+    case Literal(v: java.lang.Long, _)    => Some(v.longValue)
+    case Literal(v: java.lang.Short, _)   => Some(v.longValue)
+    case Literal(v: java.lang.Byte, _)    => Some(v.longValue)
+    case _                                => None
+  }
+  private def flip(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="
+    case ">" => "<"; case ">=" => "<="; case o => o
+  }
+  private def preds(cond: Expression): Seq[(String, String, Long)] = {
+    def one(a: Expression, b: Expression, op: String) = (a, b) match {
+      case (ar: AttributeReference, l: Literal) =>
+        longLit(l).map(v => (ar.name, op, v)).toSeq
+      case (l: Literal, ar: AttributeReference) =>
+        longLit(l).map(v => (ar.name, flip(op), v)).toSeq
+      case _ => Seq.empty
+    }
+    cond match {
+      case And(x, y)                 => preds(x) ++ preds(y)
+      case EqualTo(a, b)             => one(a, b, "=")
+      case LessThan(a, b)            => one(a, b, "<")
+      case LessThanOrEqual(a, b)     => one(a, b, "<=")
+      case GreaterThan(a, b)         => one(a, b, ">")
+      case GreaterThanOrEqual(a, b)  => one(a, b, ">=")
+      case _                         => Seq.empty
+    }
   }
 
   /** Registered stats of the single scan under projections/filters/
@@ -85,16 +111,17 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     * the way down. Multi-root or unregistered scans → None (the rule
     * stays silent).
     */
-  private def leafStats(p: LogicalPlan, eq: Seq[String] = Nil)
-      : Option[(TableStats, Seq[String])] = p match {
-    case Project(_, c)         => leafStats(c, eq)
-    case Filter(cond, c)       => leafStats(c, eq ++ eqAttrs(cond))
-    case SubqueryAlias(_, c)   => leafStats(c, eq)
+  private def leafStats(p: LogicalPlan,
+                        ps: Seq[(String, String, Long)] = Nil)
+      : Option[(TableStats, Seq[(String, String, Long)])] = p match {
+    case Project(_, c)         => leafStats(c, ps)
+    case Filter(cond, c)       => leafStats(c, ps ++ preds(cond))
+    case SubqueryAlias(_, c)   => leafStats(c, ps)
     case lr: LogicalRelation   =>
       lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
           case single :: Nil =>
-            StatsRegistry.get(single.toString).map(_ -> eq)
+            StatsRegistry.get(single.toString).map(_ -> ps)
           case _             => None
         }
         case _ => None
@@ -103,15 +130,17 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
   }
 
   private def sideEst(p: LogicalPlan): Option[StatsPlanner.SideEst] =
-    leafStats(p).map { case (s, eq) =>
+    leafStats(p).map { case (s, ps) =>
       val width =
         math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
-      // only manifest-known columns discount (unknown ndv falls back
-      // to rows, which would over-discount a column we know nothing
-      // about — so restrict to columns the manifest actually carries)
-      val known = eq.filter(s.cols.contains)
+      // predSelectivity returns (1,1) for manifest-unknown columns —
+      // a filter we can't price never discounts
+      val sels = ps.map { case (c, op, v) =>
+        StatsPlanner.predSelectivity(s, c, op, v)
+      }
       StatsPlanner.SideEst(BigInt(s.rows), width,
-        selDen = known.map(c => BigInt(s.ndv(c))).product max 1)
+        selNum = sels.map(_._1).product,
+        selDen = sels.map(_._2).product max 1)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan =

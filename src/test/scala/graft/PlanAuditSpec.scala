@@ -577,6 +577,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.select("strategy").head.getString(0) == "broadcast_left")
   }
 
+  test("q216 range-discounted estimate plans the broadcast it declares") {
+    // at sf0.001 orders itself fits the 256 KiB threshold and is the
+    // smaller ESTIMATE (broadcast_right); from sf0.01 up only the
+    // range-discounted lineitem side fits (broadcast_left) — either
+    // way the decision is a broadcast and the plan must show it
+    val df = SparkEntry.queries("q216_stats_range_broadcast")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(df.select("strategy").head.getString(0)
+      .startsWith("broadcast_"))
+  }
+
   test("q213 stats-ordered star join broadcasts both small dims") {
     val p = plan("q213_stats_join_order")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,

@@ -90,6 +90,74 @@ class StatsPlannerSpec extends SparkSpec {
       SideEst(BigInt(1000), 10L), filtered, 5000) == "broadcast_right")
   }
 
+  test("predSelectivity: interval arithmetic on exact manifest min/max") {
+    val st = TableStats(1000, Map("k" ->
+      ColStats(0, "1", "2000", 256, 2000L)))
+    // 99 of 2000 integers satisfy k < 100
+    assert(StatsPlanner.predSelectivity(st, "k", "<", 100) ==
+      (BigInt(99), BigInt(2000)))
+    assert(StatsPlanner.predSelectivity(st, "k", "<=", 100) ==
+      (BigInt(100), BigInt(2000)))
+    assert(StatsPlanner.predSelectivity(st, "k", ">", 1900) ==
+      (BigInt(100), BigInt(2000)))
+    assert(StatsPlanner.predSelectivity(st, "k", ">=", 1900) ==
+      (BigInt(101), BigInt(2000)))
+    // out-of-range predicates clamp to empty / full
+    assert(StatsPlanner.predSelectivity(st, "k", "<", -5) ==
+      (BigInt(0), BigInt(2000)))
+    assert(StatsPlanner.predSelectivity(st, "k", "<", 99999) ==
+      (BigInt(2000), BigInt(2000)))
+    // equality = 1/ndv; unknown column / non-integer repr → (1, 1)
+    assert(StatsPlanner.predSelectivity(st, "k", "=", 7) ==
+      (BigInt(1), BigInt(2000)))
+    assert(StatsPlanner.predSelectivity(st, "zz", "<", 7) ==
+      (BigInt(1), BigInt(1)))
+    val strSt = TableStats(10, Map("s" -> ColStats(0, "a", "z", 5, 5)))
+    assert(StatsPlanner.predSelectivity(strSt, "s", "<", 7) ==
+      (BigInt(1), BigInt(1)))
+  }
+
+  test("registry rule applies RANGE selectivity from manifest min/max") {
+    val liPath = s"$sf/lineitem.parquet"
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevGraft = spark.conf.getOption(
+      graft.plans.StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, "65536")
+      def q() = spark.read.parquet(liPath)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .filter(col("l_partkey") < 20) // ~19/200 of the key range
+        .join(Tables.orders(spark, sf)
+                .select(col("o_orderkey"), col("o_orderstatus")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      StatsRegistry.clear()
+      assert(!q().queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      StatsRegistry.register(liPath, StatsPlanner.analyzeStats(
+        spark.read.parquet(liPath)
+          .select(col("l_orderkey"), col("l_partkey")),
+        Seq("l_orderkey", "l_partkey")))
+      // raw 6000×24 = 144 kB fails 64 KiB; ×19/200 ≈ 13.7 kB passes —
+      // only the interval arithmetic finds this broadcast
+      val p = q().queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevGraft match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
   test("registry rule applies equality selectivity: a FILTERED big side flips") {
     val liPath = s"$sf/lineitem.parquet"
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
