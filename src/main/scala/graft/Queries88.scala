@@ -35,8 +35,7 @@ object Queries88 {
                           ext: String,
                           pack: Seq[(String, Array[Byte])] => Array[Byte])
       : String = {
-    val work = java.nio.file.Files
-      .createTempDirectory(s"graft_shards_${ext}_").toString
+    val work = Scratch.fresh(s"shards_$ext", d)
     val ids = Tables.documents(s, d).filter(col("doc_id") < Cap)
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     ids.groupBy(_ / PerShard).toSeq.sortBy(_._1).foreach {

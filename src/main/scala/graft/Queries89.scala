@@ -36,8 +36,7 @@ object Queries89 {
 
   val sparkQueries: Map[String, Q] = Map(
     "q214_stats_file_skip" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_skip_").toString
+      val work = Scratch.fresh("q214_skip", d)
       val li = Tables.lineitem(s, d)
       val sd = "date_format(l_shipdate, 'yyyy-MM-dd')"
       // zone-mapped layout in ONE write job: repartition(y) puts each
@@ -53,12 +52,26 @@ object Queries89 {
         .groupBy(col("f"))
         .agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
         .collect()
+      // the oracle replays n_files_total as the distinct-year count, so
+      // a layout drift to multiple files per year (a maxRecordsPerFile
+      // conf, say) must fail loudly here, not as an oracle mismatch
+      val distinctYears = zones
+        .map(_.getAs[String]("f").replaceAll(".*/y=(\\d+)/.*", "$1"))
+        .distinct.length
+      require(zones.length == distinctYears,
+        s"q214: expected one file per year, got ${zones.length} files " +
+        s"for $distinctYears years")
       // zone test: [min, max] ∩ [Lo, Hi) ≠ ∅ — canonical yyyy-MM-dd
       // strings compare chronologically
       val kept = zones.filter(z =>
         z.getAs[String]("mn") < Hi && z.getAs[String]("mx") >= Lo)
         .map(_.getAs[String]("f")).sorted
-      s.read.parquet(kept.toIndexedSeq: _*)
+      // a window intersecting no zone must yield an empty frame, not an
+      // unable-to-infer-schema throw from a zero-path read
+      val pruned =
+        if (kept.isEmpty) s.read.parquet(work).filter(lit(false))
+        else s.read.parquet(kept.toIndexedSeq: _*)
+      pruned
         .filter(expr(s"$sd >= '$Lo' AND $sd < '$Hi'")) // residual
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

@@ -31,8 +31,7 @@ object Queries92 {
 
   val sparkQueries: Map[String, Q] = Map(
     "m20_webdataset_samples" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_wds_").toString
+      val work = Scratch.fresh("m20_wds", d)
       val ids = Tables.documents(s, d).filter(col("doc_id") < Cap)
         .select(col("doc_id")).collect().map(_.getLong(0)).sorted
       ids.groupBy(_ / PerShard).toSeq.sortBy(_._1).foreach {
@@ -64,8 +63,10 @@ object Queries92 {
     }),
 
     "e41_stream_upsert" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e41_").toString
+      // wiped per invocation: the checkpoint must NOT survive between
+      // invocations (a committed checkpoint over an unchanged source
+      // would make the restarted stream a no-op and leave no snapshot)
+      val work = Scratch.fresh("e41_upsert", d)
       // single-file fixtures link into a dir; Spark-directory fixtures
       // stream straight from the table dir (the streamedComplete shape)
       val table = new java.io.File(s"$d/events.parquet")
