@@ -53,8 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // length prefilter (see the rule's scaladoc for the rewrite)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRewrite)
 
-    // stats-driven broadcast decisions from registered ANALYZE
-    // manifests (no-op while the stats registry is empty)
+    // stats-driven join ORDER, then broadcast decisions, from
+    // registered ANALYZE manifests (no-ops while the stats registry is
+    // empty). Order matters: reordering matches only hint-free joins,
+    // so it must see the chain before the broadcast rule stamps hints
+    // within the same fixed-point iteration.
+    ext.injectOptimizerRule(_ => graft.plans.StatsJoinOrderRule)
     ext.injectOptimizerRule(_ => graft.plans.StatsBroadcastRule)
 
     // whole-operator extension: the native as-of join plan node

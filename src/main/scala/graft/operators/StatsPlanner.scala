@@ -152,20 +152,34 @@ object StatsPlanner {
     estimate(stats, schema).copy(selDen = den max 1)
   }
 
+  /** Integer reading of a manifest min/max rendering: a plain integer
+    * as itself, a canonical `yyyy-MM-dd` DATE rendering as
+    * days-since-epoch — the unit DATE literals already carry in
+    * Catalyst, so date-range predicates (the most common filters in a
+    * time-series corpus: shipdate windows, ingest-day cutoffs) price
+    * through the same interval arithmetic as integer ranges.
+    */
+  private def renderLong(r: String): Option[Long] =
+    r.toLongOption.orElse(
+      try Some(java.time.LocalDate.parse(r).toEpochDay)
+      catch { case _: Exception => None })
+
   /** Rational selectivity of one comparison predicate `col <op>
     * value` from the manifest: equality is System R 1/V(R, col); the
     * range forms use interval arithmetic over the manifest's exact
     * integer [min, max] under the uniformity assumption — the same
     * model Spark's own CBO FilterEstimation applies, and exactly
-    * replayable in SQL (counts of integers in an interval). Unknown
-    * columns, non-integer renderings, or unknown ops → (1, 1): a
-    * filter we can't price never discounts.
+    * replayable in SQL (counts of integers in an interval). DATE
+    * renderings price as days-since-epoch (`v` in the same unit, as
+    * Catalyst date literals are). Unknown columns, unpriceable
+    * renderings, or unknown ops → (1, 1): a filter we can't price
+    * never discounts.
     */
   def predSelectivity(stats: TableStats, c: String, op: String,
                       v: Long): (BigInt, BigInt) = {
     val cs = stats.cols.get(c).getOrElse(return (BigInt(1), BigInt(1)))
     if (op == "=") return (BigInt(1), BigInt(stats.ndv(c)))
-    (cs.minRepr.toLongOption, cs.maxRepr.toLongOption) match {
+    (renderLong(cs.minRepr), renderLong(cs.maxRepr)) match {
       case (Some(m), Some(mx)) if mx >= m =>
         val width = BigInt(mx) - BigInt(m) + 1
         def clamp(x: BigInt) = x.max(0).min(width)

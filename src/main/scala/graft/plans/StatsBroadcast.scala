@@ -12,12 +12,28 @@ import graft.operators.{StatsPlanner, TableStats}
   * each ([[TableStats]] holds counts and renderings, never data), so
   * the registry is O(#tables) however large the tables are. Populate
   * it at ingest time from q210/q211 manifests via
-  * `StatsPlanner.tableStats`; [[StatsBroadcastRule]] then applies the
-  * stats to every subsequent UNMODIFIED `df.join(...)` in the session.
+  * `StatsPlanner.tableStats`; [[StatsBroadcastRule]] and
+  * [[StatsJoinOrderRule]] then apply the stats to every subsequent
+  * UNMODIFIED `df.join(...)` in the session.
+  *
+  * Staleness guard: `register` snapshots the table's file listing
+  * (data-file count + total bytes — a cheap metadata read, no data
+  * scan) at registration time, and the rules re-check the snapshot
+  * against the SCAN's own file index before trusting an entry. A
+  * manifest registered at ingest keeps asserting "small" after the
+  * table grows; a stale small-side estimate on a now-huge table is the
+  * one way a stats-stamped broadcast could OOM an executor at scale —
+  * on mismatch the rules stay silent until a re-ANALYZE re-registers.
   */
 object StatsRegistry {
-  private val byPath =
-    new java.util.concurrent.ConcurrentHashMap[String, TableStats]()
+
+  /** Cheap table-growth fingerprint: data-file count + total bytes
+    * (hidden files excluded, matching what `InMemoryFileIndex` lists).
+    */
+  final case class TableSnapshot(nFiles: Long, totalBytes: Long)
+
+  private val byPath = new java.util.concurrent.ConcurrentHashMap[
+    String, (TableStats, Option[TableSnapshot])]()
 
   /** Normalize "file:/p", "/p/", "/p" to one key so registration by
     * local path matches `HadoopFsRelation.location.rootPaths`.
@@ -25,11 +41,145 @@ object StatsRegistry {
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  def register(path: String, stats: TableStats): Unit =
-    byPath.put(norm(path), stats)
-  def get(path: String): Option[TableStats] = Option(byPath.get(norm(path)))
+  /** Snapshot a table directory's data files through the Hadoop
+    * FileSystem API (any scheme). Mirrors `InMemoryFileIndex`'s data-
+    * file filter: names starting with '_' or '.' are metadata, not data.
+    */
+  def snapshot(path: String): TableSnapshot = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    var n = 0L; var bytes = 0L
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else { n += 1; bytes += st.getLen }
+        }
+      }
+    walk(p)
+    TableSnapshot(n, bytes)
+  }
+
+  /** Register a manifest with the current file-listing snapshot (the
+    * normal ingest-time path: ANALYZE, then register).
+    */
+  def register(path: String, stats: TableStats): Unit = {
+    val snap = try Some(snapshot(path)) catch { case _: Exception => None }
+    byPath.put(norm(path), (stats, snap))
+    ()
+  }
+
+  def get(path: String): Option[TableStats] =
+    Option(byPath.get(norm(path))).map(_._1)
+  def getSnapshot(path: String): Option[TableSnapshot] =
+    Option(byPath.get(norm(path))).flatMap(_._2)
   def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty
+}
+
+/** Shared scan-side stats resolution for the injected stats rules:
+  * walk a join side down through projections/filters/aliases to its
+  * single registered scan, collecting priceable comparison predicates
+  * on the way, and turn the registered manifest into a rational
+  * [[StatsPlanner.SideEst]].
+  */
+private[plans] object StatsLeaf {
+
+  /** Integer rendering of a literal a manifest can price. DATE
+    * literals carry days-since-epoch ints — the same unit
+    * [[StatsPlanner.predSelectivity]] parses date renderings into.
+    */
+  def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v: java.lang.Integer, _) => Some(v.longValue)
+    case Literal(v: java.lang.Long, _)    => Some(v.longValue)
+    case Literal(v: java.lang.Short, _)   => Some(v.longValue)
+    case Literal(v: java.lang.Byte, _)    => Some(v.longValue)
+    case _                                => None
+  }
+  private def flip(op: String): String = op match {
+    case "<" => ">"; case "<=" => ">="
+    case ">" => "<"; case ">=" => "<="; case o => o
+  }
+
+  /** Comparison predicates (col, op, integer literal) collected from a
+    * conjunction — equality contributes the System R 1/V(R, col)
+    * selectivity, ranges contribute interval arithmetic over the
+    * manifest [min, max] ([[StatsPlanner.predSelectivity]]).
+    * Disjunctions, non-integer literals, and other predicates
+    * contribute nothing (selectivity 1 — conservative: filters only
+    * shrink).
+    */
+  def preds(cond: Expression): Seq[(String, String, Long)] = {
+    def one(a: Expression, b: Expression, op: String) = (a, b) match {
+      case (ar: AttributeReference, l: Literal) =>
+        longLit(l).map(v => (ar.name, op, v)).toSeq
+      case (l: Literal, ar: AttributeReference) =>
+        longLit(l).map(v => (ar.name, flip(op), v)).toSeq
+      case _ => Seq.empty
+    }
+    cond match {
+      case And(x, y)                 => preds(x) ++ preds(y)
+      case EqualTo(a, b)             => one(a, b, "=")
+      case LessThan(a, b)            => one(a, b, "<")
+      case LessThanOrEqual(a, b)     => one(a, b, "<=")
+      case GreaterThan(a, b)         => one(a, b, ">")
+      case GreaterThanOrEqual(a, b)  => one(a, b, ">=")
+      case _                         => Seq.empty
+    }
+  }
+
+  /** Registered (and snapshot-fresh) stats of the single scan under
+    * projections/filters/aliases of `p`, plus the comparison
+    * predicates collected on the way down. Multi-root scans,
+    * unregistered scans, and scans whose CURRENT file listing no
+    * longer matches the registration-time snapshot → None (the rules
+    * stay silent — stale stats must never stamp a plan).
+    */
+  def leafStats(p: LogicalPlan,
+                ps: Seq[(String, String, Long)] = Nil)
+      : Option[(TableStats, Seq[(String, String, Long)])] = p match {
+    case Project(_, c)         => leafStats(c, ps)
+    case Filter(cond, c)       => leafStats(c, ps ++ preds(cond))
+    case SubqueryAlias(_, c)   => leafStats(c, ps)
+    case lr: LogicalRelation   =>
+      lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+          case single :: Nil =>
+            val path = single.toString
+            StatsRegistry.get(path).filter { _ =>
+              // freshness: the scan's own (driver-cached) listing must
+              // match the registration-time snapshot — no extra I/O
+              StatsRegistry.getSnapshot(path).forall(snap =>
+                snap.nFiles == fs.location.inputFiles.length.toLong &&
+                snap.totalBytes == fs.location.sizeInBytes)
+            }.map(_ -> ps)
+          case _             => None
+        }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Rational size estimate of a join side from its registered scan:
+    * rows × output width, discounted by the collected predicates'
+    * selectivities. Duplicate (col, op, value) conjuncts are priced
+    * ONCE — stacked/re-collected copies of the same filter must not
+    * compound the discount under the independence assumption.
+    */
+  def sideEst(p: LogicalPlan): Option[StatsPlanner.SideEst] =
+    leafStats(p).map { case (s, ps) =>
+      val width =
+        math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
+      // predSelectivity returns (1,1) for manifest-unknown columns —
+      // a filter we can't price never discounts
+      val sels = ps.distinct.map { case (c, op, v) =>
+        StatsPlanner.predSelectivity(s, c, op, v)
+      }
+      StatsPlanner.SideEst(BigInt(s.rows), width,
+        selNum = sels.map(_._1).product,
+        selDen = sels.map(_._2).product max 1)
+    }
 }
 
 /** Injected optimizer rule (the `LevenshteinBoundRewrite` deployment
@@ -50,10 +200,11 @@ object StatsRegistry {
   * CBO trusts. The rule is deliberately conservative at 100 TB scale:
   * it fires only on Join nodes carrying NO user hint, only UPWARD
   * through Project/Filter/alias (filters only shrink a side, so the
-  * scan's bytes upper-bound the side), and only to ADD a broadcast —
-  * never to forbid one — so a wrong manifest can at worst broadcast a
-  * table the user could have broadcast by hand, and AQE's runtime
-  * re-planning still applies everywhere the rule stays silent.
+  * scan's bytes upper-bound the side), only on SNAPSHOT-FRESH stats
+  * (see [[StatsRegistry]]), and only to ADD a broadcast — never to
+  * forbid one — so a wrong manifest can at worst broadcast a table the
+  * user could have broadcast by hand, and AQE's runtime re-planning
+  * still applies everywhere the rule stays silent.
   */
 object StatsBroadcastRule extends Rule[LogicalPlan] {
 
@@ -68,81 +219,6 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Comparison predicates (col, op, integer literal) collected from a
-    * conjunction — equality contributes the System R 1/V(R, col)
-    * selectivity, ranges contribute interval arithmetic over the
-    * manifest [min, max] ([[StatsPlanner.predSelectivity]]).
-    * Disjunctions, non-integer literals, and other predicates
-    * contribute nothing (selectivity 1 — conservative: filters only
-    * shrink).
-    */
-  private def longLit(e: Expression): Option[Long] = e match {
-    case Literal(v: java.lang.Integer, _) => Some(v.longValue)
-    case Literal(v: java.lang.Long, _)    => Some(v.longValue)
-    case Literal(v: java.lang.Short, _)   => Some(v.longValue)
-    case Literal(v: java.lang.Byte, _)    => Some(v.longValue)
-    case _                                => None
-  }
-  private def flip(op: String): String = op match {
-    case "<" => ">"; case "<=" => ">="
-    case ">" => "<"; case ">=" => "<="; case o => o
-  }
-  private def preds(cond: Expression): Seq[(String, String, Long)] = {
-    def one(a: Expression, b: Expression, op: String) = (a, b) match {
-      case (ar: AttributeReference, l: Literal) =>
-        longLit(l).map(v => (ar.name, op, v)).toSeq
-      case (l: Literal, ar: AttributeReference) =>
-        longLit(l).map(v => (ar.name, flip(op), v)).toSeq
-      case _ => Seq.empty
-    }
-    cond match {
-      case And(x, y)                 => preds(x) ++ preds(y)
-      case EqualTo(a, b)             => one(a, b, "=")
-      case LessThan(a, b)            => one(a, b, "<")
-      case LessThanOrEqual(a, b)     => one(a, b, "<=")
-      case GreaterThan(a, b)         => one(a, b, ">")
-      case GreaterThanOrEqual(a, b)  => one(a, b, ">=")
-      case _                         => Seq.empty
-    }
-  }
-
-  /** Registered stats of the single scan under projections/filters/
-    * aliases of `p`, plus the equality-filtered columns collected on
-    * the way down. Multi-root or unregistered scans → None (the rule
-    * stays silent).
-    */
-  private def leafStats(p: LogicalPlan,
-                        ps: Seq[(String, String, Long)] = Nil)
-      : Option[(TableStats, Seq[(String, String, Long)])] = p match {
-    case Project(_, c)         => leafStats(c, ps)
-    case Filter(cond, c)       => leafStats(c, ps ++ preds(cond))
-    case SubqueryAlias(_, c)   => leafStats(c, ps)
-    case lr: LogicalRelation   =>
-      lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-          case single :: Nil =>
-            StatsRegistry.get(single.toString).map(_ -> ps)
-          case _             => None
-        }
-        case _ => None
-      }
-    case _ => None
-  }
-
-  private def sideEst(p: LogicalPlan): Option[StatsPlanner.SideEst] =
-    leafStats(p).map { case (s, ps) =>
-      val width =
-        math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
-      // predSelectivity returns (1,1) for manifest-unknown columns —
-      // a filter we can't price never discounts
-      val sels = ps.map { case (c, op, v) =>
-        StatsPlanner.predSelectivity(s, c, op, v)
-      }
-      StatsPlanner.SideEst(BigInt(s.rows), width,
-        selNum = sels.map(_._1).product,
-        selDen = sels.map(_._2).product max 1)
-    }
-
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (StatsRegistry.isEmpty) plan // fast path: no stats, no effect
     else {
@@ -150,8 +226,8 @@ object StatsBroadcastRule extends Rule[LogicalPlan] {
         conf.getConfString(ThresholdConf, (10L << 20).toString).toLong
       plan.transformUp {
         case j @ Join(l, r, jt, _, JoinHint.NONE) =>
-          val lE = sideEst(l).filter(_.fitsUnder(threshold))
-          val rE = sideEst(r).filter(_.fitsUnder(threshold))
+          val lE = StatsLeaf.sideEst(l).filter(_.fitsUnder(threshold))
+          val rE = StatsLeaf.sideEst(r).filter(_.fitsUnder(threshold))
           val broadcastHint = Some(HintInfo(strategy = Some(BROADCAST)))
           // prefer the smaller qualifying side; ties build right,
           // matching Spark's own BuildRight preference

@@ -589,6 +589,30 @@ class PlanAuditSpec extends SparkSpec {
       .startsWith("broadcast_"))
   }
 
+  test("q217 injected rule reorders the user's chain to the stats order " +
+       "and broadcasts both dims") {
+    // the user writes supplier-first; the manifests dictate part-first
+    // (5/50 of p_size survives vs 13/25 of s_nationkey) — the OPTIMIZED
+    // tree must follow the manifest, and the emitted order column is
+    // read off that tree, so the driver's oracle replays the same flip
+    val df = SparkEntry.queries("q217_stats_join_reorder")(spark, sfDir)
+    assert(df.select("join_order").head.getString(0) == "part,supplier")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q218 date-discounted estimate plans the broadcast it declares") {
+    // shipdate >= 2001-06-01 discounts lineitem to ~6% of its raw
+    // size: under the 1 MiB threshold only the date interval
+    // arithmetic finds the broadcast at this scale
+    val df = SparkEntry.queries("q218_stats_date_broadcast")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(df.select("strategy").head.getString(0) == "broadcast_left")
+  }
+
   test("q213 stats-ordered star join broadcasts both small dims") {
     val p = plan("q213_stats_join_order")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
