@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.StatsJoinOrderRule)
     ext.injectOptimizerRule(_ => graft.plans.StatsBroadcastRule)
 
+    // manifest-backed zone-map FILE SKIPPING on unmodified scans (no-op
+    // while the zone registry is empty)
+    ext.injectOptimizerRule(_ => graft.plans.ZoneSkipRule)
+
     // whole-operator extension: the native as-of join plan node
     // (graft.plans.AsOfJoinPlan) plans through its merge-scan exec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.Zones
+
+/** Round-10 queries: zone-map file skipping promoted into the SCAN
+  * PATH. q214 proved the pruning arithmetic behind an explicit API
+  * (collect zones, hand-build the pruned read); these close the loop
+  * the lakehouse way:
+  *
+  * q219 — the table is laid out one flat file per shipdate year, its
+  * per-file zone manifest is written as a parquet METADATA TABLE and
+  * registered, and then a PLAIN `spark.read.parquet(dir).filter(window)`
+  * — zero graft calls in the query — gets its file listing pruned by
+  * the injected [[graft.plans.ZoneSkipRule]] before any task launches.
+  * The kept-file count is read off the OPTIMIZED plan and rides the
+  * output; the oracle replays the zone arithmetic per year AND the
+  * unpruned answer, so a hash match proves both that pruning happened
+  * and that it hid no rows.
+  *
+  * q220 — the metadata table itself as a declared, queryable output
+  * (the 10⁶-file shape stores file-grain zones in a table, not a
+  * driver array): one row per file × zone column, its min/max
+  * renderings replayed per year by the oracle.
+  *
+  * Scale shape: the layout is ONE write job (repartition(y) +
+  * partitionBy(y), flattened by driver moves — bounded by #years); the
+  * manifest is ONE scan grouped by `input_file_name`; registration is
+  * a scan of the metadata table collecting one row per file × column —
+  * the same driver fetch any FileIndex pays to plan a scan. Oracle-
+  * parity conventions follow [[Queries]]' scaladoc.
+  */
+object Queries94 {
+  import Queries.Q
+
+  private val qtyCents =
+    "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  private val Lo = "1997-03-01"
+  private val Hi = "1997-09-01"
+
+  /** One flat parquet file per shipdate year + registered zone
+    * metadata table; returns (layoutDir, metaDir, years).
+    */
+  private def zoneLayout(s: org.apache.spark.sql.SparkSession, d: String,
+                         tag: String): (String, String, Array[Int]) = {
+    val work = Scratch.fresh(tag, d)
+    val layout = s"$work/table"; val meta = s"$work/zones_meta"
+    val stage = s"$work/stage"
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_shipdate").cast("date").as("l_sdate"),
+        expr(qtyCents).as("qty_cents"))
+      .withColumn("y", year(col("l_sdate")))
+      .repartition(col("y"))
+      .write.mode("overwrite").partitionBy("y").parquet(stage)
+    // flatten to one deterministic file per year: partition dirs would
+    // make Spark infer a partition column; zones add value on DATA
+    // columns of a flat layout
+    new java.io.File(layout).mkdirs()
+    val years = new java.io.File(stage).listFiles()
+      .filter(_.getName.startsWith("y=")).map(_.getName.drop(2).toInt)
+      .sorted
+    for (y <- years) {
+      val parts = new java.io.File(s"$stage/y=$y").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+                     f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"zoneLayout: expected one file for year $y, got ${parts.length}")
+      java.nio.file.Files.move(parts(0).toPath,
+        java.nio.file.Paths.get(s"$layout/y$y.parquet"))
+    }
+    Zones.analyzeAndRegister(s, layout, meta, Seq("l_sdate"))
+    (layout, meta, years)
+  }
+
+  val sparkQueries: Map[String, Q] = Map(
+    "q219_zone_skip_plain" -> ((s, d) => {
+      val (layout, _, years) = zoneLayout(s, d, "q219_zones")
+      // the user's query: a PLAIN read + filter + aggregate — no graft
+      // calls; the injected rule prunes the file listing from the
+      // registered manifest
+      val res = s.read.parquet(layout)
+        .filter(col("l_sdate") >= lit(java.sql.Date.valueOf(Lo)) &&
+                col("l_sdate") < lit(java.sql.Date.valueOf(Hi)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      // the decision, read off the optimized plan's surviving listing
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case fs: HadoopFsRelation =>
+          fs.location.inputFiles.length }.sum
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q220_zone_metadata" -> ((s, d) => {
+      val (_, meta, _) = zoneLayout(s, d, "q220_zones")
+      // the manifest is itself a queryable table: one scan, one row per
+      // file × zone column, year recoverable from the deterministic
+      // file name
+      s.read.parquet(meta)
+        .select(
+          regexp_extract(col("file"), "y(\\d+)\\.parquet$", 1)
+            .cast("long").as("y"),
+          col("col_name"), col("min_repr"), col("max_repr"))
+        .orderBy(col("y"), col("col_name"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // kept = years whose [min, max] day-zone intersects [Lo, Hi) — the
+    // rule's epoch-day test, replayed on canonical yyyy-MM-dd strings
+    // (chronological = lexicographic); the aggregate replays the
+    // UNPRUNED answer, so pruning provably hid no rows
+    "q219_zone_skip_plain" ->
+      s"""WITH zones AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
+         |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
+         |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+         |    WHERE mx >= '$Lo' AND mn < '$Hi') AS n_files_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '$Lo'
+         |  AND CAST(l_shipdate AS DATE) < DATE '$Hi'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q220_zone_metadata" ->
+      s"""SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+         |  'l_sdate' AS col_name,
+         |  MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS min_repr,
+         |  MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS max_repr
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation, PartitionSpec}
+import org.apache.spark.sql.functions._
+
+/** Driver-side registry of per-FILE zone maps (min/max renderings per
+  * column), keyed by table location — the data-skipping half of a
+  * lakehouse manifest. Entries are O(#files × #zone-columns) driver
+  * strings; the 10⁶-file shape keeps the manifest AS A PARQUET
+  * METADATA TABLE ([[Zones.writeMetadata]]) and loads the registry
+  * from a scan of it ([[Zones.registerFromMetadata]]) — the same
+  * bounded driver fetch any FileIndex performs to plan a scan.
+  */
+object ZoneRegistry {
+
+  /** file path (URI-normalized) → column → (minRepr, maxRepr). */
+  final case class ZoneManifest(
+      files: Map[String, Map[String, (String, String)]])
+
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, ZoneManifest]()
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** Canonical file key: the URI path, so `input_file_name()`
+    * renderings ("file:///p") and FileIndex renderings ("file:/p")
+    * meet on one form.
+    */
+  private[plans] def fileKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  def register(tableDir: String, m: ZoneManifest): Unit = {
+    byPath.put(norm(tableDir), m); ()
+  }
+  def get(tableDir: String): Option[ZoneManifest] =
+    Option(byPath.get(norm(tableDir)))
+  def clear(): Unit = byPath.clear()
+  def isEmpty: Boolean = byPath.isEmpty
+}
+
+/** Zone-manifest authoring and registration — the q210 ANALYZE shape
+  * at per-file grain, stored as a queryable parquet metadata table.
+  */
+object Zones {
+
+  /** Per-file zone manifest of `df` over `cols` in ONE scan, grouped
+    * by the physical file: (file, col_name, min_repr, max_repr), one
+    * row per file × column. Renderings are canonical `CAST(c AS
+    * STRING)` (dates as yyyy-MM-dd), the same forms
+    * [[graft.operators.StatsPlanner.predSelectivity]] prices.
+    */
+  def analyzeFiles(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "Zones.analyzeFiles: no columns")
+    // min/max in the column's NATIVE type, rendered after — a string
+    // min over integer renderings would be lexicographic ("9" > "24")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(expr(s"CAST(MIN($c) AS STRING)").as(s"mn_$i"),
+          expr(s"CAST(MAX($c) AS STRING)").as(s"mx_$i"))
+    }
+    val wide = df.select(input_file_name().as("file") +:
+        cols.map(col): _*)
+      .groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      s"struct('$c' AS col_name, mn_$i AS min_repr, mx_$i AS max_repr)"
+    }.mkString("array(", ", ", ")")
+    wide.select(col("file"), explode(expr(rows)).as("z"))
+      .select(col("file"), col("z.col_name"), col("z.min_repr"),
+        col("z.max_repr"))
+      .orderBy(col("file"), col("col_name"))
+  }
+
+  /** Persist a zone manifest as the table's parquet metadata table. */
+  def writeMetadata(zones: DataFrame, metaDir: String): Unit =
+    zones.write.mode("overwrite").parquet(metaDir)
+
+  /** Load a metadata table (a Spark SCAN of the manifest parquet — at
+    * 10⁶ files this is the only pass over file-grain metadata) and
+    * register its zones for `tableDir`, enabling [[ZoneSkipRule]] on
+    * every subsequent unmodified read of that path. The collect is one
+    * row per file × zone-column — the size of any scan's file listing.
+    */
+  def registerFromMetadata(spark: SparkSession, tableDir: String,
+                           metaDir: String): Unit = {
+    val rows = spark.read.parquet(metaDir)
+      .select(col("file"), col("col_name"), col("min_repr"),
+        col("max_repr"))
+      .collect()
+    val files = rows.groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+      .map { case (f, rs) =>
+        f -> rs.map(r => r.getString(1) -> (r.getString(2), r.getString(3)))
+          .toMap
+      }
+    ZoneRegistry.register(tableDir, ZoneRegistry.ZoneManifest(files))
+  }
+
+  /** ANALYZE + persist + register in one call (the ingest-time step). */
+  def analyzeAndRegister(spark: SparkSession, tableDir: String,
+                         metaDir: String, cols: Seq[String]): Unit = {
+    writeMetadata(analyzeFiles(spark.read.parquet(tableDir), cols), metaDir)
+    registerFromMetadata(spark, tableDir, metaDir)
+  }
+}
+
+/** Injected optimizer rule that promotes zone-map file skipping into
+  * the SCAN PATH: a `Filter` directly above a parquet scan of a
+  * registered table is rewritten so the relation's file listing keeps
+  * only files whose [min, max] zones can intersect the filter — BEFORE
+  * any task launches, for plans the user wrote with zero graft calls
+  * (q214 proved the arithmetic behind an explicit API; this applies it
+  * to a plain `spark.read.parquet(dir).filter(...)`).
+  *
+  * The contract is the lakehouse data-skipping one: zones are
+  * CONSERVATIVE (a kept file may still contain no matching rows — the
+  * residual filter stays in place and still runs), pruning only ever
+  * REMOVES files that provably cannot match, and anything unpriceable
+  * keeps the file: predicates on columns without zones, renderings
+  * that parse as neither integer nor date, disjunctions, non-literal
+  * comparisons. Files the listing has that the manifest lacks are kept
+  * too, so a stale manifest can hide skipping but never rows.
+  *
+  * Idempotence in the fixed-point batch: the rule fires only when the
+  * pruned listing is STRICTLY smaller than the current one; the
+  * rewritten relation's listing equals its survivor set, so the second
+  * pass is a no-op. Flat (non-dir-partitioned) layouts only —
+  * partition pruning on directory keys is Spark's own job; zones add
+  * value on DATA columns.
+  */
+object ZoneSkipRule extends Rule[LogicalPlan] {
+
+  /** Integer reading of a zone bound or literal: plain integers, or
+    * dates as days-since-epoch (the unit DATE literals carry).
+    */
+  private def renderLong(r: String): Option[Long] =
+    r.toLongOption.orElse(
+      try Some(java.time.LocalDate.parse(r).toEpochDay)
+      catch { case _: Exception => None })
+
+  /** Can a file with zone [mn, mx] contain a row with `col op v`? */
+  private def zoneMayMatch(zone: (String, String), op: String,
+                           v: Long): Boolean =
+    (renderLong(zone._1), renderLong(zone._2)) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "="  => mn <= v && v <= mx
+        case "<"  => mn < v
+        case "<=" => mn <= v
+        case ">"  => mx > v
+        case ">=" => mx >= v
+        case _    => true
+      }
+      case _ => true // unpriceable rendering: keep
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ZoneRegistry.isEmpty) plan // fast path: no zones, no effect
+    else plan.transformUp {
+      case f @ Filter(cond, lr: LogicalRelation) =>
+        lr.relation match {
+          case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
+            fs.location.rootPaths.toList match {
+              case single :: Nil =>
+                ZoneRegistry.get(single.toString) match {
+                  case Some(manifest) =>
+                    val ps = StatsLeaf.preds(cond).distinct
+                    if (ps.isEmpty) f
+                    else {
+                      val files = fs.location.inputFiles
+                      val survivors = files.filter { file =>
+                        manifest.files.get(ZoneRegistry.fileKey(file)) match {
+                          case Some(zones) => ps.forall { case (c, op, v) =>
+                            zones.get(c)
+                              .forall(z => zoneMayMatch(z, op, v))
+                          }
+                          case None => true // unmanifested file: keep
+                        }
+                      }
+                      if (survivors.length >= files.length) f
+                      else {
+                        val ss = fs.sparkSession
+                        val idx = new InMemoryFileIndex(ss,
+                          survivors.toIndexedSeq
+                            .map(new org.apache.hadoop.fs.Path(_)),
+                          Map.empty, Some(fs.dataSchema),
+                          userSpecifiedPartitionSpec =
+                            Some(PartitionSpec.emptySpec))
+                        val pruned =
+                          lr.copy(relation = fs.copy(location = idx)(ss))
+                        Filter(cond, pruned) // residual filter stays
+                      }
+                    }
+                  case None => f
+                }
+              case _ => f
+            }
+          case _ => f
+        }
+    }
+}

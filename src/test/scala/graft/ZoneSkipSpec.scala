@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.plans.{ZoneRegistry, Zones}
+
+/** Contract for [[graft.plans.ZoneSkipRule]]: a registered table's
+  * PLAIN `spark.read.parquet(dir).filter(...)` — zero graft calls —
+  * scans only files whose zones can intersect the predicate, with
+  * answer identity against the unpruned twin, a clean empty frame when
+  * nothing intersects, and conservative keep-everything behavior for
+  * anything unpriceable.
+  */
+class ZoneSkipSpec extends SparkSpec {
+
+  /** 4 flat files, k ∈ [0,25), [25,50), [50,75), [75,100), one file
+    * each, deterministic names; registered zone metadata on k.
+    */
+  private def layout(): (String, String) = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zoneskip").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    new java.io.File(table).mkdirs()
+    for (b <- 0 until 4) {
+      val stage = s"$base/stage$b"
+      spark.range(b * 25, (b + 1) * 25)
+        .select(col("id").as("k"), (col("id") * 10).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/f$b.parquet"))
+    }
+    Zones.analyzeAndRegister(spark, table, meta, Seq("k"))
+    (table, meta)
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .collect { case lr: LogicalRelation => lr.relation }
+      .collect { case fs: HadoopFsRelation => fs.location.inputFiles.toSeq }
+      .flatten
+
+  test("plain filtered read scans only zone-surviving files; answer " +
+       "identical to the unpruned twin") {
+    val (table, _) = layout()
+    try {
+      def q() = spark.read.parquet(table).filter(col("k") >= 60)
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"))
+      val pruned = q()
+      val files = scannedFiles(pruned)
+      // k >= 60 can only live in [50,75) and [75,100)
+      assert(files.length == 2 &&
+        files.forall(f => f.contains("f2.parquet") || f.contains("f3.parquet")),
+        files.toString)
+      val prunedRows = pruned.collect().map(_.toSeq).toSeq
+      ZoneRegistry.clear()
+      val plain = q()
+      assert(scannedFiles(plain).length == 4)
+      assert(plain.collect().map(_.toSeq).toSeq == prunedRows)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("Dataset.inputFiles reflects the pruned listing on the plain read") {
+    val (table, _) = layout()
+    try {
+      val df = spark.read.parquet(table)
+        .filter(col("k") === 30).select(col("v"))
+      assert(df.inputFiles.toSeq.forall(_.contains("f1.parquet")) &&
+        df.inputFiles.length == 1, df.inputFiles.mkString(","))
+    } finally ZoneRegistry.clear()
+  }
+
+  test("a window intersecting no zone yields an empty frame, not a throw") {
+    val (table, _) = layout()
+    try {
+      val df = spark.read.parquet(table).filter(col("k") >= 1000)
+      assert(scannedFiles(df).isEmpty)
+      assert(df.count() == 0L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("unpriceable predicates and unregistered tables keep every file") {
+    val (table, _) = layout()
+    try {
+      // modulo predicate: not a comparison the manifest can price
+      val unpriceable = spark.read.parquet(table)
+        .filter(col("k") % 7 === 0)
+      assert(scannedFiles(unpriceable).length == 4)
+      // disjunction: conservative, keeps all
+      val disj = spark.read.parquet(table)
+        .filter(col("k") < 10 || col("k") > 90)
+      assert(scannedFiles(disj).length == 4)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("the residual filter still runs: zones are conservative, not exact") {
+    val (table, _) = layout()
+    try {
+      // k = 30 keeps file f1 (zone [25,50)) but only ONE row matches
+      val df = spark.read.parquet(table).filter(col("k") === 30)
+      assert(scannedFiles(df).length == 1)
+      assert(df.count() == 1L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("zone manifest round-trips through the parquet metadata table") {
+    val (table, meta) = layout()
+    try {
+      val m = spark.read.parquet(meta).collect()
+      assert(m.length == 4) // one row per file × 1 zone column
+      val byFile = m.map(r => r.getString(0).split('/').last ->
+        (r.getString(2), r.getString(3))).toMap
+      assert(byFile("f0.parquet") == ("0", "24"))
+      assert(byFile("f3.parquet") == ("75", "99"))
+    } finally ZoneRegistry.clear()
+  }
+}
