@@ -92,7 +92,7 @@ object Queries92 {
         checkpointDir = Some(s"$work/ckpt"),
         trigger = Some(Trigger.AvailableNow()))
       q.awaitTermination()
-      s.read.parquet(handle.currentDir.get)
+      sources.Loader.readSnapshot(s, handle.currentDir.get)
         .select(col("user_id"), col("event_id"), col("cents"))
         .orderBy(col("user_id"))
     }))

@@ -101,72 +101,168 @@ object Loader {
     * if it is older by event time — that is the upsert contract. For
     * event-time "latest wins, late data never regresses" semantics, run
     * [[graft.streaming.Streams.latestPerKey]] upstream of this sink
-    * instead. Plain parquet needs no
-    * row-mutation table format; snapshots are VERSIONED directories
-    * (v0, v1, ...) because overwriting the directory a lazy plan still
-    * reads would corrupt the merge — the returned handle exposes the
-    * current version's path. At scale the snapshot rewrite per batch is
-    * the cost: partition the snapshot and pair with partition overwrite
-    * so only touched partitions rewrite (noted, not implemented — the
-    * testdata has no partitioned snapshot).
+    * instead.
+    *
+    * Copy-on-write layout (the pruning every table format does): the
+    * snapshot is partitioned into `nBuckets` key-hash buckets; a batch
+    * reads and rewrites ONLY the buckets its keys touch, so the
+    * per-batch cost is O(touched buckets + delta), not O(snapshot) —
+    * at a 100×-scale keyed snapshot an untouched bucket's files are
+    * never read, never rewritten, and never copied. Versions are
+    * directories `v<id>/<bucket dirs>` plus a MANIFEST mapping every
+    * bucket to the version whose directory holds its current files
+    * (untouched buckets point at older versions); the manifest is
+    * written LAST and doubles as the commit marker. Read a snapshot
+    * back with [[readSnapshot]] — the version dir alone holds only the
+    * buckets that batch rewrote. Size `nBuckets` so a bucket fits a
+    * comfortable rewrite unit (the bucket count is the granularity of
+    * copy-on-write, exactly a table format's file-group sizing).
     */
   final class SnapshotHandle {
     @volatile private[Loader] var dir: Option[String] = None
     def currentDir: Option[String] = dir
   }
+
+  private val BucketCol = "graft_bucket"
+  private val ManifestName = "graft_manifest"
+
+  private def fsFor(path: String,
+                    spark: org.apache.spark.sql.SparkSession) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            versionDir: String,
+                            m: Map[Int, Long]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(versionDir, ManifestName), true)
+    try out.write(m.toSeq.sorted.map { case (b, v) => s"$b $v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           versionDir: String): Map[Int, Long] = {
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(versionDir, ManifestName))
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toString("UTF-8")
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, v) = l.split(' ')
+      b.toInt -> v.toLong
+    }.toMap
+  }
+
+  /** Resolve a [[streamUpsertSink]] version directory through its
+    * manifest to the full current snapshot (bucket dirs may live in
+    * older versions — copy-on-write never copies untouched buckets).
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   versionDir: String): DataFrame = {
+    val fs = fsFor(versionDir, spark)
+    val base = new org.apache.hadoop.fs.Path(versionDir)
+      .getParent.toString
+    val dirs = readManifest(fs, versionDir).toSeq.sorted.map {
+      case (b, v) => s"$base/v$v/$BucketCol=$b"
+    }
+    require(dirs.nonEmpty,
+      s"readSnapshot: $versionDir has an empty manifest")
+    spark.read.parquet(dirs: _*)
+  }
+
   /** Restart/replay contract (foreachBatch is AT-LEAST-ONCE — Spark
     * replays the last uncommitted batch with the SAME batch id after a
     * crash, so idempotence is this sink's burden, discharged by
     * construction): the prior snapshot is recovered DURABLY as the
-    * largest existing version directory STRICTLY BELOW the current
-    * batch id — never from driver memory. On a clean run that is
-    * exactly the previous batch's directory; after a crash-restart it
+    * largest COMMITTED version (manifest present) STRICTLY BELOW the
+    * current batch id — never from driver memory, listed through the
+    * Hadoop FileSystem API so the recovery works on any scheme
+    * (hdfs://, s3a://), not just local paths. On a clean run that is
+    * exactly the previous batch's version; after a crash-restart it
     * recovers the chain a fresh driver has no memory of; and on a
     * replay of batch `id` it deliberately excludes the (possibly
-    * half-written) `v<id>` itself, so the replay rebuilds `v<id>` from
-    * the identical prior state and overwrites — the snapshot chain a
-    * restarted run produces is bit-equal to an uninterrupted run's
-    * (pinned by CheckpointRestartSpec's fifth shape). Pass
-    * `checkpointDir` for restartable sources; without it a restarted
-    * query renumbers batches from 0 and needs a fresh `baseDir`.
+    * half-written) `v<id>` itself — the static partition overwrite
+    * truncates the stale attempt and the manifest is rewritten last —
+    * so the snapshot chain a restarted run produces equals an
+    * uninterrupted run's version-for-version (pinned by
+    * CheckpointRestartSpec's fifth shape). Pass `checkpointDir` for
+    * restartable sources; without it a restarted query renumbers
+    * batches from 0 and needs a fresh `baseDir`.
     */
   def streamUpsertSink(stream: DataFrame, baseDir: String, key: String,
                        orderCols: Seq[String],
                        checkpointDir: Option[String] = None,
-                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                       nBuckets: Int = 8)
       : (org.apache.spark.sql.streaming.StreamingQuery, SnapshotHandle) = {
     require(stream.isStreaming, "streamUpsertSink: batch input")
     require(orderCols.nonEmpty, "streamUpsertSink: empty orderCols")
+    require(nBuckets >= 1, "streamUpsertSink: nBuckets must be >= 1")
+    require(!stream.columns.contains(BucketCol),
+      s"streamUpsertSink: reserved column name $BucketCol collides " +
+      "with an input column")
     val handle = new SnapshotHandle
     val spark = stream.sparkSession
     val writer0 = stream.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
+        import org.apache.spark.sql.functions._
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(org.apache.spark.sql.functions.col(key))
-          .orderBy(orderCols.map(c =>
-            org.apache.spark.sql.functions.col(c).desc): _*)
+          .partitionBy(col(key))
+          .orderBy(orderCols.map(c => col(c).desc): _*)
+        val dataCols = batch.columns.toIndexedSeq
         val latest = batch
-          .withColumn("__rn", org.apache.spark.sql.functions
-            .row_number().over(w))
-          .filter(org.apache.spark.sql.functions.col("__rn") === 1)
-          .drop("__rn")
-        // durable prior-version lookup (see restart contract above):
-        // max committed version < id; a prior version is always a
-        // COMPLETED write because batches execute sequentially
-        val prior = Option(new java.io.File(baseDir).list())
-          .getOrElse(Array.empty[String])
-          .flatMap(n => if (n.startsWith("v"))
-            n.drop(1).toLongOption else None)
-          .filter(_ < id)
-          .maxOption.map(v => s"$baseDir/v$v")
-        val merged = prior match {
-          case Some(d) => graft.operators.Upsert.upsert(
-            spark.read.parquet(d), latest, key)
-          case None => latest
-        }
-        val next = s"$baseDir/v$id"
-        merged.write.mode(SaveMode.Overwrite).parquet(next)
-        handle.dir = Some(next)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn(BucketCol, pmod(hash(col(key)), lit(nBuckets)))
+          .persist()
+        try {
+          // the buckets this delta touches: bounded by nBuckets
+          val touched = latest.select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val fs = fsFor(baseDir, spark)
+          val basePath = new org.apache.hadoop.fs.Path(baseDir)
+          // durable prior-version lookup (see restart contract above)
+          val priorMap = {
+            val committed =
+              (if (fs.exists(basePath)) fs.listStatus(basePath).toSeq
+               else Seq.empty)
+                .map(_.getPath.getName)
+                .filter(_.startsWith("v"))
+                .flatMap(_.drop(1).toLongOption)
+                .filter(_ < id)
+                .filter(j => fs.exists(new org.apache.hadoop.fs.Path(
+                  s"$baseDir/v$j", ManifestName)))
+            committed.maxOption
+              .map(j => readManifest(fs, s"$baseDir/v$j"))
+              .getOrElse(Map.empty[Int, Long])
+          }
+          // copy-on-write: read ONLY the touched buckets' current files
+          val priorDirs = touched.toIndexedSeq.flatMap(b =>
+            priorMap.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
+          val batchData = latest.select(dataCols.map(col): _*)
+          val merged =
+            if (priorDirs.isEmpty) batchData
+            else graft.operators.Upsert.upsert(
+              spark.read.parquet(priorDirs: _*)
+                .select(dataCols.map(col): _*),
+              batchData, key)
+          val next = s"$baseDir/v$id"
+          // STATIC partition overwrite truncates a stale replay attempt
+          merged
+            .withColumn(BucketCol, pmod(hash(col(key)), lit(nBuckets)))
+            .repartition(col(BucketCol))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy(BucketCol).parquet(next)
+          // manifest last = commit marker: touched buckets live here,
+          // untouched buckets keep pointing at their current version
+          writeManifest(fs, next, priorMap ++ touched.map(_ -> id))
+          handle.dir = Some(next)
+        } finally { latest.unpersist(); () }
         ()
     }
     val writer1 = checkpointDir.fold(writer0)(d =>

@@ -321,7 +321,7 @@ class CheckpointRestartSpec extends SparkSpec {
       Option(new java.io.File(dir).list()).getOrElse(Array.empty)
         .filter(_.startsWith("v")).sorted.toSeq
     def snap(dir: String, v: String): Seq[Seq[Any]] =
-      spark.read.parquet(s"$dir/$v").collect()
+      graft.sources.Loader.readSnapshot(spark, s"$dir/$v").collect()
         .map(_.toSeq).sortBy(_.toString).toSeq
 
     // SPLIT RUN: file 1, stop, add file 2, restart (same ckpt + sink)
@@ -354,5 +354,70 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(versions(sink) == Seq("v0", "v1"), // no doubled epoch
       versions(sink).toString)
     assert(snap(sink, "v1") == snap(sink2, "v1"))
+  }
+
+  test("upsert sink copy-on-write: a batch rewrites only the buckets it " +
+       "touches; untouched bucket files stay byte-identical") {
+    val base = Files.createTempDirectory("graft-ckr-cow").toString
+    val schema = batch1.toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    def runSink(srcDir: String, sinkDir: String, ckpt: String): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val (q, _) = graft.sources.Loader.streamUpsertSink(
+        src, sinkDir, key = "user_id",
+        orderCols = Seq("ts", "event_id"), checkpointDir = Some(ckpt),
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    val src = s"$base/src"; val sink = s"$base/sink"; val ck = s"$base/ck"
+    // batch 1: all 7 users; batch 2: ONLY user 3 (ids ≡ 3 mod 7)
+    addFile(src, "f1.parquet", 1000000L, batch1)
+    runSink(src, sink, ck)
+    def bucketDirs(v: String): Map[String, Map[String, Array[Byte]]] =
+      new java.io.File(s"$sink/$v").listFiles()
+        .filter(_.getName.startsWith("graft_bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> Files.readAllBytes(f.toPath)).toMap)
+        .toMap
+    val v0Buckets = bucketDirs("v0")
+    assert(v0Buckets.nonEmpty)
+
+    addFile(src, "f2.parquet", 2000000L, Seq(ev(3L), ev(10L)))
+    runSink(src, sink, ck)
+    // user 3's bucket, computed the way the sink computes it
+    import spark.implicits._
+    val b3 = spark.range(1).select(
+      pmod(hash(lit(3L)), lit(8)).as("b")).as[Int].head()
+    // v1 holds ONLY the touched bucket; the manifest points every other
+    // bucket at its v0 files
+    assert(bucketDirs("v1").keySet == Set(s"graft_bucket=$b3"),
+      bucketDirs("v1").keySet.toString)
+    val manifest = new String(Files.readAllBytes(
+      Paths.get(s"$sink/v1/graft_manifest")), "UTF-8")
+      .linesIterator.filter(_.nonEmpty)
+      .map { l => val Array(b, v) = l.split(' '); b.toInt -> v.toLong }
+      .toMap
+    assert(manifest(b3) == 1L)
+    assert(manifest.filter(_._1 != b3).values.forall(_ == 0L), manifest.toString)
+    // untouched buckets: the SAME files, byte-identical (copy-on-write
+    // references them; it never copies or rewrites)
+    val v0After = bucketDirs("v0")
+    for ((d, files) <- v0Buckets if d != s"graft_bucket=$b3") {
+      assert(v0After(d).keySet == files.keySet)
+      for ((f, bytes) <- files)
+        assert(java.util.Arrays.equals(v0After(d)(f), bytes), s"$d/$f changed")
+    }
+    // and the resolved snapshot is still latest-per-key over ALL input
+    val got = graft.sources.Loader.readSnapshot(spark, s"$sink/v1")
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .collect().toMap
+    // arrival-order upsert: batch 2's latest (by ts, event_id) replaces
+    // user 3; every other user keeps batch 1's latest
+    val b1Latest = batch1.groupBy(_._3).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._2.getTime, r._1))._1 }
+    val expected = b1Latest ++ Map(3L -> 10L)
+    assert(got == expected)
   }
 }

@@ -64,7 +64,8 @@ class Queries15Spec extends SparkSpec {
       q.processAllAvailable()
       input.addData((2L, 3L, 22.0), (3L, 1L, 30.0), (1L, 0L, 9.0))
       q.processAllAvailable()
-      val snap = spark.read.parquet(handle.currentDir.get)
+      val snap = graft.sources.Loader
+        .readSnapshot(spark, handle.currentDir.get)
         .select("user_id", "value").as[(Long, Double)].collect().toMap
       // user 1: seq 0 in batch 2 is older than seq 2 from batch 1 — but
       // per-batch latest upserts, so the batch-2 row (the only one for
