@@ -73,6 +73,18 @@ object Queries88 {
       memberReport(Shards.zipMembers(
         sources.Extractor.readBinaryFiles(s, work,
           pathGlob = Some("*.zip"))), "zip")
+    }),
+
+    // the PRODUCTION shard path: tasks stream each shard off a
+    // FileSystem open (memory high-water = one member, not one shard;
+    // no 2 GiB binaryFile ceiling) — same fixture, same formula oracle
+    // as m18, so the hash match proves the streaming walk byte-equal
+    // to the in-memory reader
+    "m21_tar_shard_stream" -> ((s, d) => {
+      val work = writeShards(s, d, "tar", Shards.tarShard)
+      memberReport(Shards.tarMembersFromPaths(
+        sources.Extractor.readBinaryFiles(s, work,
+          pathGlob = Some("*.tar")).select(col("path"))), "tar")
     }))
 
   // both formats must decode to the IDENTICAL member bytes — one
@@ -97,5 +109,6 @@ object Queries88 {
 
   val oracleSql: Map[String, String] = Map(
     "m18_tar_shards" -> shardOracle,
-    "m19_zip_shards" -> shardOracle)
+    "m19_zip_shards" -> shardOracle,
+    "m21_tar_shard_stream" -> shardOracle)
 }

@@ -74,57 +74,145 @@ object Shards {
     }(enc)
   }
 
+  /** Expand tar shards FROM PATHS: each task opens its shard as a
+    * bounded-buffer `FileSystem` stream and walks the ustar layout
+    * incrementally ([[parseTarStream]]), so the task's memory high-
+    * water mark is ONE MEMBER, not one shard — this is the production
+    * path at the WebDataset ~1 GB/shard convention (32 concurrent
+    * whole-shard arrays was the in-memory reader's spike) and it lifts
+    * `binaryFile`'s 2 GiB per-file ceiling. Input is any frame with a
+    * shard-path column (e.g. `readBinaryFiles(...).select("path")` —
+    * the binaryFile source never materializes `content` when only
+    * `path` is projected).
+    */
+  def tarMembersFromPaths(shards: DataFrame,
+                          pathCol: String = "path"): DataFrame = {
+    val enc = SparkEncoders.row(memberSchema)
+    shards.select(pathCol).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val path = r.getString(0)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        parseTarStream(fs.open(p), path, closeAtEnd = true)
+          .map { case (name, bytes) => Row(path, name, bytes) }
+      }
+    }(enc)
+  }
+
   /** Lazy member iterator over one in-memory tar archive: (name,
     * bytes) for each regular-file member, in archive order.
     */
   private[graft] def parseTar(a: Array[Byte])
       : Iterator[(String, Array[Byte])] =
+    parseTarStream(new java.io.ByteArrayInputStream(a),
+      "<in-memory shard>")
+
+  /** Streaming ustar walk: 512-byte headers (name at 0, octal size at
+    * 124, chksum at 148, typeflag at 156, prefix at 345), data padded
+    * to 512, two zero blocks terminate. Hardened against corrupt or
+    * crafted archives: every header's checksum is VERIFIED (unsigned
+    * sum with the chksum field as spaces; the signed-sum variant some
+    * historical writers produced is accepted too), all offset
+    * arithmetic stays in Long (an oversized size field can no longer
+    * overflow into a negative offset), and truncation — of member
+    * data, padding, or a SKIPPED non-regular entry — fails loudly with
+    * the shard identified. Memory: one header buffer + the CURRENT
+    * member's bytes; the stream is never buffered whole.
+    *
+    * @param closeAtEnd close `in` when the terminator (or EOF) is
+    *        reached — the [[tarMembersFromPaths]] task shape, where
+    *        the iterator owns the stream and is always exhausted.
+    */
+  private[graft] def parseTarStream(in: java.io.InputStream, src: String,
+                                    closeAtEnd: Boolean = false)
+      : Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
-      private var off = 0
+      private val hdr = new Array[Byte](512)
       private var nextMember: (String, Array[Byte]) = null
+      private var done = false
       advance()
 
-      private def str(at: Int, len: Int): String = {
-        var end = at
-        val stop = at + len
-        while (end < stop && a(end) != 0) end += 1
-        new String(a, at, end - at, java.nio.charset.StandardCharsets.UTF_8)
-      }
-      private def octal(at: Int, len: Int): Long = {
-        var v = 0L; var i = at; val stop = at + len
-        while (i < stop && (a(i) == ' ' || a(i) == 0)) i += 1
-        while (i < stop && a(i) >= '0' && a(i) <= '7') {
-          v = v * 8 + (a(i) - '0'); i += 1
-        }
-        v
-      }
-      private def zeroBlock(at: Int): Boolean = {
-        var i = at
-        while (i < at + 512 && i < a.length) {
-          if (a(i) != 0) return false
-          i += 1
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var off = 0
+        while (off < len) {
+          val n = in.read(buf, off, len - off)
+          if (n < 0) return false
+          off += n
         }
         true
       }
+      private def skipFully(n: Long): Boolean = {
+        val junk = new Array[Byte](8192)
+        var left = n
+        while (left > 0) {
+          val r = in.read(junk, 0, math.min(left, 8192L).toInt)
+          if (r < 0) return false
+          left -= r
+        }
+        true
+      }
+      private def str(at: Int, len: Int): String = {
+        var end = at
+        val stop = at + len
+        while (end < stop && hdr(end) != 0) end += 1
+        new String(hdr, at, end - at,
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      private def octal(at: Int, len: Int): Long = {
+        var v = 0L; var i = at; val stop = at + len
+        while (i < stop && (hdr(i) == ' ' || hdr(i) == 0)) i += 1
+        while (i < stop && hdr(i) >= '0' && hdr(i) <= '7') {
+          v = v * 8 + (hdr(i) - '0'); i += 1
+        }
+        v
+      }
+      private def verifyChecksum(): Unit = {
+        val stored = octal(148, 8)
+        var unsigned = 0L; var signed = 0L
+        var i = 0
+        while (i < 512) {
+          val b = if (i >= 148 && i < 156) ' '.toByte else hdr(i)
+          unsigned += b & 0xff; signed += b
+          i += 1
+        }
+        require(stored == unsigned || stored == signed,
+          s"Shards.parseTar: header checksum mismatch in $src " +
+          s"(stored=$stored computed=$unsigned)")
+      }
+      private def finish(): Unit = {
+        done = true
+        if (closeAtEnd) { try in.close() catch { case _: Exception => () } }
+      }
+
       @annotation.tailrec
       private def advance(): Unit = {
         nextMember = null
-        if (off + 512 > a.length || zeroBlock(off)) return
-        val name0 = str(off, 100)
-        val size = octal(off + 124, 12)
-        val typeflag = a(off + 156)
-        val prefix = str(off + 345, 155)
+        if (done) return
+        if (!readFully(hdr, 512) || hdr.forall(_ == 0)) { finish(); return }
+        verifyChecksum()
+        val name0 = str(0, 100)
+        val size = octal(124, 12) // Long end-to-end: never narrowed
+        val typeflag = hdr(156)
+        val prefix = str(345, 155)
         val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
-        val dataStart = off + 512
-        val dataBlocks = ((size + 511) / 512).toInt
-        off = dataStart + dataBlocks * 512
+        val pad = (512L - size % 512L) % 512L
         if (typeflag == '0'.toByte || typeflag == 0.toByte) {
-          require(dataStart + size <= a.length,
-            s"Shards.parseTar: truncated member '$name'")
-          nextMember =
-            (name, java.util.Arrays.copyOfRange(
-              a, dataStart, dataStart + size.toInt))
-        } else advance() // directories, links, pax headers: skip
+          require(size <= Int.MaxValue.toLong,
+            s"Shards.parseTar: member '$name' in $src exceeds the " +
+            s"2 GiB byte-array ceiling ($size bytes)")
+          val data = new Array[Byte](size.toInt)
+          require(readFully(data, size.toInt),
+            s"Shards.parseTar: truncated member '$name' in $src")
+          require(skipFully(pad),
+            s"Shards.parseTar: truncated padding after '$name' in $src")
+          nextMember = (name, data)
+        } else {
+          // non-regular entries (directories, links, pax headers) skip
+          // their data under the SAME truncation contract
+          require(skipFully(size + pad),
+            s"Shards.parseTar: truncated non-regular entry '$name' in $src")
+          advance()
+        }
       }
 
       override def hasNext: Boolean = nextMember != null

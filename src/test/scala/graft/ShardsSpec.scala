@@ -95,6 +95,75 @@ class ShardsSpec extends SparkSpec {
     assert(st == ba)
   }
 
+  /** Recompute a header's checksum in place (chksum field spaced,
+    * unsigned sum, NUL+space terminator) — the fixture-mangling helper.
+    */
+  private def fixChecksum(h: Array[Byte], at: Int = 0): Unit = {
+    java.util.Arrays.fill(h, at + 148, at + 156, ' '.toByte)
+    val sum = (at until at + 512).foldLeft(0L)((s, i) => s + (h(i) & 0xff))
+    val oct = java.lang.Long.toOctalString(sum)
+    ("0" * (6 - oct.length) + oct).getBytes.zipWithIndex
+      .foreach { case (b, i) => h(at + 148 + i) = b }
+    h(at + 154) = 0; h(at + 155) = ' '.toByte
+  }
+
+  test("tarMembersFromPaths streams off the filesystem, byte-equal to " +
+       "the in-memory reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarstream")
+    (0 until 3).foreach { s0 =>
+      java.nio.file.Files.write(dir.resolve(s"shard_$s0.tar"),
+        Shards.tarShard((0 until 6).map(i =>
+          (s"m_${s0}_$i.bin",
+           Array.tabulate(100 + i * 137)(k => ((s0 + i * 7 + k) % 251).toByte)))))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("member"), md5(col("content")).as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inMem = rows(Shards.tarMembers(
+      sources.Extractor.readBinaryFiles(spark, dir.toString,
+        pathGlob = Some("*.tar"))))
+    val streamed = rows(Shards.tarMembersFromPaths(
+      sources.Extractor.readBinaryFiles(spark, dir.toString,
+        pathGlob = Some("*.tar")).select(col("path"))))
+    assert(streamed.nonEmpty && streamed == inMem)
+  }
+
+  test("a corrupted header checksum is rejected, not misparsed") {
+    val bad = Shards.tarShard(Seq(("f.bin", Array[Byte](1, 2, 3))))
+    bad(0) = 'X'.toByte // mangle the name WITHOUT fixing the checksum
+    val e = intercept[IllegalArgumentException] {
+      Shards.parseTar(bad).toSeq
+    }
+    assert(e.getMessage.contains("checksum"), e.getMessage)
+  }
+
+  test("a crafted oversized size field fails cleanly — no Int overflow " +
+       "into negative offsets") {
+    val h = Shards.tarShard(Seq(("huge.bin", Array[Byte](1))))
+    // size = 0o77777777777 = 8 GiB: above the byte-array ceiling and
+    // far above the archive length
+    "77777777777".getBytes.zipWithIndex.foreach { case (b, i) =>
+      h(124 + i) = b }
+    fixChecksum(h)
+    val e = intercept[IllegalArgumentException] {
+      Shards.parseTar(h).toSeq
+    }
+    assert(e.getMessage.contains("2 GiB") ||
+           e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("a truncated non-regular entry is detected too") {
+    val h = Shards.tarShard(Seq(("link.bin", new Array[Byte](600))))
+    h(156) = '2'.toByte // symlink typeflag: data must still be skipped
+    fixChecksum(h)
+    val cut = java.util.Arrays.copyOf(h, 512 + 100)
+    val e = intercept[IllegalArgumentException] {
+      Shards.parseTar(cut).toSeq
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
   test("tarMembers expands multiple shards in parallel, shard column intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tarspec")
     (0 until 4).foreach { s0 =>
