@@ -194,7 +194,11 @@ object Bench {
     // round-9: selectivity-aware broadcast, WebDataset samples,
     // upsert-sink oracle
     "q215_stats_filter_broadcast", "m20_webdataset_samples",
-    "e41_stream_upsert", "q216_stats_range_broadcast")
+    "e41_stream_upsert", "q216_stats_range_broadcast",
+    // round-10: injected-rule join reorder, date-range selectivity,
+    // zone-skip scan path + metadata table, streamed tar walk
+    "q217_stats_join_reorder", "q218_stats_date_broadcast",
+    "q219_zone_skip_plain", "q220_zone_metadata", "m21_tar_shard_stream")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
@@ -202,7 +206,7 @@ object Bench {
     * 5). Seed = 20260814 + round; PLANS.md records each round's seed
     * and slice.
     */
-  val rotationSeed: Long = 20260814L + 9
+  val rotationSeed: Long = 20260814L + 10
   val rotationSize: Int = 20
 
   def main(args: Array[String]): Unit = {
