@@ -198,7 +198,8 @@ object Bench {
     // round-10: injected-rule join reorder, date-range selectivity,
     // zone-skip scan path + metadata table, streamed tar walk
     "q217_stats_join_reorder", "q218_stats_date_broadcast",
-    "q219_zone_skip_plain", "q220_zone_metadata", "m21_tar_shard_stream")
+    "q219_zone_skip_plain", "q220_zone_metadata", "m21_tar_shard_stream",
+    "q221_lakehouse_capstone")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -71,7 +71,7 @@ object Queries52 {
     "q183_pivot_multi" -> ((s, d) => {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
                      "MACHINERY")
-      Tables.customer(s, d)
+      val pivoted = Tables.customer(s, d)
         .join(Tables.nation(s, d),
               col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
@@ -79,6 +79,11 @@ object Queries52 {
         .agg(count(lit(1)).as("n"),
              sum(expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"))
                .as("cents"))
+      // a pivot cell with no rows is NULL in Spark but 0 under the
+      // oracle's COUNT(CASE ...) — visible only on sparse fixtures
+      // (sf0.001 has fewer customers than nation × segment cells)
+      segs.foldLeft(pivoted)((df, sg) =>
+          df.withColumn(s"${sg}_n", coalesce(col(s"${sg}_n"), lit(0L))))
         .orderBy(col("n_name"))
     }))
 

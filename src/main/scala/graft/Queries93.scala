@@ -114,31 +114,38 @@ object Queries93 {
         .orderBy(col("o_orderstatus"))
     }))
 
+  /** The rule's order decision, replayed in DuckDB: reduction factors
+    * with UNFILTERED registered NDVs and interval-arithmetic
+    * filtered-row estimates (the rule prices the leg's filter, not a
+    * re-ANALYZE of the filtered frame):
+    *   factorP = cP·cntP / (widthP · max(ndvL_pk, ndvP_pk))
+    *   factorS = cS·cntS / (widthS · max(ndvL_sk, ndvS_sk))
+    * part joins first iff factorP < factorS strictly (stable sort: a
+    * tie keeps the user's supplier-first order). Shared by q217 and
+    * the q221 capstone (whose registered layout carries the same
+    * lineitem columns).
+    */
+  private[graft] lazy val orderCaseSql: String = {
+    val mP = "(SELECT MIN(p_size) FROM part)"
+    val xP = "(SELECT MAX(p_size) FROM part)"
+    val widthP = s"($xP - $mP + 1)"
+    val cntP = s"GREATEST(0, LEAST(5 - $mP + 1, $widthP))"
+    val mS = "(SELECT MIN(s_nationkey) FROM supplier)"
+    val xS = "(SELECT MAX(s_nationkey) FROM supplier)"
+    val widthS = s"($xS - $mS + 1)"
+    val cntS = s"GREATEST(0, LEAST(13 - $mS, $widthS))"
+    val denP = s"""GREATEST(${Queries87.ndvKmvSql("lineitem", "l_partkey")},
+      ${Queries87.ndvKmvSql("part", "p_partkey")})"""
+    val denS = s"""GREATEST(${Queries87.ndvKmvSql("lineitem", "l_suppkey")},
+      ${Queries87.ndvKmvSql("supplier", "s_suppkey")})"""
+    s"""CASE WHEN (SELECT COUNT(*) FROM part) * $cntP * $widthS * $denS
+       |     < (SELECT COUNT(*) FROM supplier) * $cntS * $widthP * $denP
+       |     THEN 'part,supplier' ELSE 'supplier,part' END""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q217_stats_join_reorder" -> {
-      // reduction factors with UNFILTERED registered NDVs and interval-
-      // arithmetic filtered-row estimates (the rule prices the leg's
-      // filter, not a re-ANALYZE of the filtered frame):
-      //   factorP = cP·cntP / (widthP · max(ndvL_pk, ndvP_pk))
-      //   factorS = cS·cntS / (widthS · max(ndvL_sk, ndvS_sk))
-      // part joins first iff factorP < factorS strictly (stable sort:
-      // a tie keeps the user's supplier-first order).
-      val mP = "(SELECT MIN(p_size) FROM part)"
-      val xP = "(SELECT MAX(p_size) FROM part)"
-      val widthP = s"($xP - $mP + 1)"
-      val cntP = s"GREATEST(0, LEAST(5 - $mP + 1, $widthP))"
-      val mS = "(SELECT MIN(s_nationkey) FROM supplier)"
-      val xS = "(SELECT MAX(s_nationkey) FROM supplier)"
-      val widthS = s"($xS - $mS + 1)"
-      val cntS = s"GREATEST(0, LEAST(13 - $mS, $widthS))"
-      val denP = s"""GREATEST(${Queries87.ndvKmvSql("lineitem", "l_partkey")},
-        ${Queries87.ndvKmvSql("part", "p_partkey")})"""
-      val denS = s"""GREATEST(${Queries87.ndvKmvSql("lineitem", "l_suppkey")},
-        ${Queries87.ndvKmvSql("supplier", "s_suppkey")})"""
-      val order =
-        s"""CASE WHEN (SELECT COUNT(*) FROM part) * $cntP * $widthS * $denS
-           |     < (SELECT COUNT(*) FROM supplier) * $cntS * $widthP * $denP
-           |     THEN 'part,supplier' ELSE 'supplier,part' END""".stripMargin
+      val order = orderCaseSql
       s"""SELECT s_nationkey,
          |  CAST(SUM($priceCents) AS BIGINT) AS rev_cents,
          |  ($order) AS join_order

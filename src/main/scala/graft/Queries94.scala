@@ -36,22 +36,25 @@ object Queries94 {
 
   private val qtyCents =
     "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  private val priceCents =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
   private val Lo = "1997-03-01"
   private val Hi = "1997-09-01"
+  private val CapLo = "1996-01-01" // q221 window: 2 of the 7 years
+  private val CapHi = "1998-01-01"
 
   /** One flat parquet file per shipdate year + registered zone
-    * metadata table; returns (layoutDir, metaDir, years).
+    * metadata table; returns (layoutDir, metaDir, years). `df` must
+    * carry an `l_sdate` DATE column.
     */
-  private def zoneLayout(s: org.apache.spark.sql.SparkSession, d: String,
-                         tag: String): (String, String, Array[Int]) = {
+  private def zoneLayoutOf(s: org.apache.spark.sql.SparkSession,
+                           df: org.apache.spark.sql.DataFrame,
+                           tag: String, d: String)
+      : (String, String, Array[Int]) = {
     val work = Scratch.fresh(tag, d)
     val layout = s"$work/table"; val meta = s"$work/zones_meta"
     val stage = s"$work/stage"
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"),
-        col("l_shipdate").cast("date").as("l_sdate"),
-        expr(qtyCents).as("qty_cents"))
-      .withColumn("y", year(col("l_sdate")))
+    df.withColumn("y", year(col("l_sdate")))
       .repartition(col("y"))
       .write.mode("overwrite").partitionBy("y").parquet(stage)
     // flatten to one deterministic file per year: partition dirs would
@@ -73,6 +76,14 @@ object Queries94 {
     Zones.analyzeAndRegister(s, layout, meta, Seq("l_sdate"))
     (layout, meta, years)
   }
+
+  private def zoneLayout(s: org.apache.spark.sql.SparkSession, d: String,
+                         tag: String): (String, String, Array[Int]) =
+    zoneLayoutOf(s,
+      Tables.lineitem(s, d).select(col("l_returnflag"),
+        col("l_shipdate").cast("date").as("l_sdate"),
+        expr(qtyCents).as("qty_cents")),
+      tag, d)
 
   val sparkQueries: Map[String, Q] = Map(
     "q219_zone_skip_plain" -> ((s, d) => {
@@ -107,6 +118,66 @@ object Queries94 {
             .cast("long").as("y"),
           col("col_name"), col("min_repr"), col("max_repr"))
         .orderBy(col("y"), col("col_name"))
+    }),
+
+    // the CAPSTONE: all three injected stats rules composing on ONE
+    // unmodified plan — a zone-mapped, ANALYZEd fact filtered by a date
+    // window and joined to two filtered dims in the WRONG user order.
+    // ZoneSkipRule prunes the fact's file listing to the window's
+    // years, StatsJoinOrderRule flips the chain to the Selinger order,
+    // StatsBroadcastRule broadcasts both dims (rule injection order:
+    // reorder prices the still-single-root fact BEFORE zone skip swaps
+    // its listing — see GraftExtensions). Both observable decisions
+    // ride the output, replayed by the oracle; the aggregate replays
+    // the unpruned, order-free answer.
+    "q221_lakehouse_capstone" -> ((s, d) => {
+      val (layout, _, years) = zoneLayoutOf(s,
+        Tables.lineitem(s, d).select(
+          col("l_partkey"), col("l_suppkey"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(priceCents).as("cents")),
+        "q221_capstone", d)
+      val work = new java.io.File(layout).getParent
+      graft.plans.StatsRegistry.register(layout,
+        graft.operators.StatsPlanner.analyzeStats(
+          s.read.parquet(layout), Seq("l_partkey", "l_suppkey")))
+      Tables.part(s, d).select(col("p_partkey"), col("p_size"))
+        .write.mode("overwrite").parquet(s"$work/part")
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .write.mode("overwrite").parquet(s"$work/supplier")
+      for ((t, cols) <- Seq("part" -> Seq("p_partkey", "p_size"),
+                            "supplier" -> Seq("s_suppkey", "s_nationkey")))
+        graft.plans.StatsRegistry.register(s"$work/$t",
+          graft.operators.StatsPlanner.analyzeStats(
+            s.read.parquet(s"$work/$t"), cols))
+      // the user's plan: plain reads, wrong dim order, zero graft calls
+      val fact = s.read.parquet(layout).filter(
+        col("l_sdate") >= lit(java.sql.Date.valueOf(CapLo)) &&
+        col("l_sdate") < lit(java.sql.Date.valueOf(CapHi)))
+      val dimS = s.read.parquet(s"$work/supplier")
+        .filter(col("s_nationkey") < 13)
+      val dimP = s.read.parquet(s"$work/part").filter(col("p_size") <= 5)
+      val agg = fact
+        .join(dimS, col("l_suppkey") === col("s_suppkey"))
+        .join(dimP, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sum(col("cents")).as("rev_cents"))
+      // both decisions, read off the one optimized plan
+      def nameOf(root: String): String =
+        if (root.contains("/table")) "fact" else root.split('/').last
+      val rels = agg.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case h: HadoopFsRelation =>
+          (nameOf(h.location.rootPaths.head.toString),
+           h.location.inputFiles.length) }
+      require(rels.length == 3 && rels.head._1 == "fact",
+        s"q221: unexpected leaf sequence ${rels.map(_._1).mkString(",")}")
+      agg
+        .withColumn("join_order",
+          lit(rels.drop(1).map(_._1).mkString(",")))
+        .withColumn("n_files_kept", lit(rels.head._2.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("s_nationkey"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -135,5 +206,29 @@ object Queries94 {
          |  'l_sdate' AS col_name,
          |  MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS min_repr,
          |  MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS max_repr
-         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // order factors identical to q217's replay (the layout copies carry
+    // lineitem's columns); kept files = years whose zone intersects the
+    // window; the aggregate replays the unpruned, order-free answer
+    "q221_lakehouse_capstone" ->
+      s"""WITH zones AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
+         |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
+         |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s_nationkey,
+         |  CAST(SUM($priceCents) AS BIGINT) AS rev_cents,
+         |  (${Queries93.orderCaseSql}) AS join_order,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+         |    WHERE mx >= '$CapLo' AND mn < '$CapHi') AS n_files_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+         |FROM lineitem
+         |JOIN (SELECT s_suppkey, s_nationkey FROM supplier
+         |      WHERE s_nationkey < 13)
+         |  ON l_suppkey = s_suppkey
+         |JOIN (SELECT p_partkey FROM part WHERE p_size <= 5)
+         |  ON l_partkey = p_partkey
+         |WHERE CAST(l_shipdate AS DATE) >= DATE '$CapLo'
+         |  AND CAST(l_shipdate AS DATE) < DATE '$CapHi'
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
 }

@@ -613,6 +613,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.select("strategy").head.getString(0) == "broadcast_left")
   }
 
+  test("q221 capstone: zone skip + reorder + broadcast compose on one " +
+       "unmodified plan") {
+    val df = SparkEntry.queries("q221_lakehouse_capstone")(spark, sfDir)
+    val row = df.head()
+    assert(row.getAs[String]("join_order") == "part,supplier")
+    assert(row.getAs[Long]("n_files_kept") == 2L)
+    assert(row.getAs[Long]("n_files_total") == 7L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      p.take(1500))
+  }
+
   test("q213 stats-ordered star join broadcasts both small dims") {
     val p = plan("q213_stats_join_order")
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
