@@ -120,6 +120,63 @@ object Queries94 {
         .orderBy(col("y"), col("col_name"))
     }),
 
+    // incremental MAINTENANCE of the zone metadata table (q211's shape
+    // at file grain): a newly ingested file contributes its zones by
+    // scanning ONLY ITSELF — one pass over the delta appended to the
+    // metadata table, history never rescanned — and the re-registered
+    // manifest immediately prunes a plain read down to the new file.
+    "q222_zone_incremental" -> ((s, d) => {
+      val work = Scratch.fresh("q222_zones", d)
+      val layout = s"$work/table"; val meta = s"$work/zones_meta"
+      val stage = s"$work/stage"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("y", year(col("l_sdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(stage)
+      new java.io.File(layout).mkdirs()
+      val years = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("y=")).map(_.getName.drop(2).toInt)
+        .sorted
+      def moveYear(y: Int): Unit = {
+        val parts = new java.io.File(s"$stage/y=$y").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"q222: expected one file for year $y, got ${parts.length}")
+        java.nio.file.Files.move(parts(0).toPath,
+          java.nio.file.Paths.get(s"$layout/y$y.parquet"))
+      }
+      // ingest #1: all years but the last; full ANALYZE once
+      years.init.foreach(moveYear)
+      Zones.analyzeAndRegister(s, layout, meta, Seq("l_sdate"))
+      // ingest #2: the newest year arrives — its zones come from ONE
+      // pass over the NEW FILE alone, appended to the metadata table
+      val newest = years.last
+      moveYear(newest)
+      Zones.analyzeFiles(
+          s.read.parquet(s"$layout/y$newest.parquet"), Seq("l_sdate"))
+        .write.mode("append").parquet(meta)
+      Zones.registerFromMetadata(s, layout, meta)
+      // a window inside the NEW year: the merged manifest must prune
+      // the plain read down to exactly the delta file
+      val res = s.read.parquet(layout)
+        .filter(col("l_sdate") >=
+                lit(java.sql.Date.valueOf(s"$newest-01-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case fs: HadoopFsRelation =>
+          fs.location.inputFiles.length }.sum
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // the CAPSTONE: all three injected stats rules composing on ONE
     // unmodified plan — a zone-mapped, ANALYZEd fact filtered by a date
     // window and joined to two filtered dims in the WRONG user order.
@@ -207,6 +264,28 @@ object Queries94 {
          |  MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS min_repr,
          |  MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS max_repr
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the newest-year window must keep exactly the delta file whose
+    // zones arrived by the incremental append; MATERIALIZED: zones/lo
+    // are multi-referenced (DuckDB would re-inline them)
+    "q222_zone_incremental" ->
+      s"""WITH zones AS MATERIALIZED (
+         |  SELECT year(CAST(l_shipdate AS DATE)) AS y,
+         |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
+         |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+         |  FROM lineitem GROUP BY 1),
+         |lo AS MATERIALIZED (
+         |  SELECT (CAST(MAX(y) AS VARCHAR) || '-01-01') AS lod FROM zones)
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+         |    WHERE mx >= (SELECT lod FROM lo)) AS n_files_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+         |FROM lineitem
+         |WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+         |      >= (SELECT lod FROM lo)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // order factors identical to q217's replay (the layout copies carry
     // lineitem's columns); kept files = years whose zone intersects the

@@ -107,6 +107,70 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("incremental zone maintenance scans only the delta file") {
+    val (table, meta) = layout()
+    try {
+      // a new file arrives: its zones come from one pass over ITSELF
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-zinc").toString
+      spark.range(100, 125).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail("no part file"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/f4.parquet"))
+      val delta = Zones.analyzeFiles(
+        spark.read.parquet(s"$table/f4.parquet"), Seq("k"))
+      // the maintenance pass reads exactly the delta file
+      assert(scannedFiles(delta.filter(lit(true)))
+        .forall(_.contains("f4.parquet")))
+      delta.write.mode("append").parquet(meta)
+      Zones.registerFromMetadata(spark, table, meta)
+      // the merged manifest prunes a plain read down to the delta
+      val df = spark.read.parquet(table).filter(col("k") >= 110)
+      val files = scannedFiles(df)
+      assert(files.length == 1 && files.head.contains("f4.parquet"),
+        files.toString)
+      assert(df.count() == 15L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("multi-column zones prune on EITHER column's predicate") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zone2col").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    new java.io.File(table).mkdirs()
+    // 2 files clustered on BOTH columns: (k, t) = ([0,50), [100,150))
+    // and ([50,100), [150,200)) — a Z-ordered layout's extent shape
+    for (b <- 0 until 2) {
+      val stage = s"$base/stage$b"
+      spark.range(b * 50, (b + 1) * 50)
+        .select(col("id").as("k"), (col("id") + 100).as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/f$b.parquet"))
+    }
+    Zones.analyzeAndRegister(spark, table, meta, Seq("k", "t"))
+    try {
+      val byK = spark.read.parquet(table).filter(col("k") < 10)
+      assert(scannedFiles(byK).forall(_.contains("f0.parquet")) &&
+        scannedFiles(byK).length == 1)
+      val byT = spark.read.parquet(table).filter(col("t") >= 160)
+      assert(scannedFiles(byT).forall(_.contains("f1.parquet")) &&
+        scannedFiles(byT).length == 1)
+      // conjunction across both columns composes the tests
+      val both = spark.read.parquet(table)
+        .filter(col("k") < 10 && col("t") >= 160)
+      assert(scannedFiles(both).isEmpty && both.count() == 0L)
+    } finally ZoneRegistry.clear()
+  }
+
   test("zone manifest round-trips through the parquet metadata table") {
     val (table, meta) = layout()
     try {
