@@ -177,6 +177,82 @@ object Queries94 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the STREAMING twin of q222: files arrive as micro-batches, each
+    // batch lands in the table AND contributes its zones — computed by
+    // scanning only the files that batch wrote — to the metadata table,
+    // live (e39's ANALYZE loop at file grain). After the stream drains,
+    // the accumulated manifest prunes the same plain newest-year read;
+    // the oracle is IDENTICAL to q222's, so streamed == batch is part
+    // of the hash match.
+    "e42_stream_zone_ingest" -> ((s, d) => {
+      val work = Scratch.fresh("e42_zones", d)
+      val srcDir = s"$work/src"; val layout = s"$work/table"
+      val meta = s"$work/meta"; val stage = s"$work/stage"
+      // stage the source as one file per year (the arrival unit)
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("y", year(col("l_sdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(stage)
+      new java.io.File(srcDir).mkdirs()
+      new java.io.File(layout).mkdirs()
+      val years = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("y=")).map(_.getName.drop(2).toInt)
+        .sorted
+      for (y <- years) {
+        val parts = new java.io.File(s"$stage/y=$y").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1, s"e42: ${parts.length} files for $y")
+        java.nio.file.Files.move(parts(0).toPath,
+          java.nio.file.Paths.get(s"$srcDir/y$y.parquet"))
+      }
+      def dataFiles(dir: String): Set[String] =
+        Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+                       !n.startsWith("."))
+          .toSet
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val before = dataFiles(layout)
+            b.coalesce(1).write.mode("append").parquet(layout)
+            val fresh = (dataFiles(layout) -- before).toSeq.sorted
+              .map(n => s"$layout/$n")
+            // the batch's zones come from ONE pass over the files IT
+            // wrote — never a rescan of the table
+            if (fresh.nonEmpty)
+              Zones.analyzeFiles(s.read.parquet(fresh: _*), Seq("l_sdate"))
+                .write.mode("append").parquet(meta)
+            ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Zones.registerFromMetadata(s, layout, meta)
+      val newest = years.last
+      val res = s.read.parquet(layout)
+        .filter(col("l_sdate") >=
+                lit(java.sql.Date.valueOf(s"$newest-01-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case fs: HadoopFsRelation =>
+          fs.location.inputFiles.length }.sum
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // the CAPSTONE: all three injected stats rules composing on ONE
     // unmodified plan — a zone-mapped, ANALYZEd fact filtered by a date
     // window and joined to two filtered dims in the WRONG user order.
@@ -237,6 +313,25 @@ object Queries94 {
         .orderBy(col("s_nationkey"))
     }))
 
+  private lazy val incrementalZoneOracle: String =
+    s"""WITH zones AS MATERIALIZED (
+       |  SELECT year(CAST(l_shipdate AS DATE)) AS y,
+       |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
+       |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+       |  FROM lineitem GROUP BY 1),
+       |lo AS MATERIALIZED (
+       |  SELECT (CAST(MAX(y) AS VARCHAR) || '-01-01') AS lod FROM zones)
+       |SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+       |    WHERE mx >= (SELECT lod FROM lo)) AS n_files_kept,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+       |FROM lineitem
+       |WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+       |      >= (SELECT lod FROM lo)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // kept = years whose [min, max] day-zone intersects [Lo, Hi) — the
     // rule's epoch-day test, replayed on canonical yyyy-MM-dd strings
@@ -267,25 +362,11 @@ object Queries94 {
 
     // the newest-year window must keep exactly the delta file whose
     // zones arrived by the incremental append; MATERIALIZED: zones/lo
-    // are multi-referenced (DuckDB would re-inline them)
-    "q222_zone_incremental" ->
-      s"""WITH zones AS MATERIALIZED (
-         |  SELECT year(CAST(l_shipdate AS DATE)) AS y,
-         |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
-         |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
-         |  FROM lineitem GROUP BY 1),
-         |lo AS MATERIALIZED (
-         |  SELECT (CAST(MAX(y) AS VARCHAR) || '-01-01') AS lod FROM zones)
-         |SELECT l_returnflag,
-         |  CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
-         |    WHERE mx >= (SELECT lod FROM lo)) AS n_files_kept,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
-         |FROM lineitem
-         |WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
-         |      >= (SELECT lod FROM lo)
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // are multi-referenced (DuckDB would re-inline them). e42 (the
+    // STREAMED ingest) shares the oracle verbatim — streamed == batch
+    // is part of the hash match.
+    "q222_zone_incremental" -> incrementalZoneOracle,
+    "e42_stream_zone_ingest" -> incrementalZoneOracle,
 
     // order factors identical to q217's replay (the layout copies carry
     // lineitem's columns); kept files = years whose zone intersects the

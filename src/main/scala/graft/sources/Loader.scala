@@ -175,6 +175,40 @@ object Loader {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Remove [[streamUpsertSink]] snapshot versions that the CURRENT
+    * manifest no longer references — the VACUUM every copy-on-write
+    * table format pairs with its writer. A version is live iff it is
+    * the latest committed version or some bucket of the latest
+    * manifest still points into it; everything older is unreachable
+    * (future batches chain only off the latest). Returns the removed
+    * version ids. Run it while the stream is STOPPED — an in-flight
+    * batch may be writing the next (uncommitted) version, which this
+    * deliberately never touches.
+    */
+  def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String): Seq[Long] = {
+    val fs = fsFor(baseDir, spark)
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    if (!fs.exists(basePath)) return Seq.empty
+    val committed = fs.listStatus(basePath).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(_.drop(1).toLongOption)
+      .filter(j => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$baseDir/v$j", ManifestName)))
+      .sorted
+    committed.lastOption match {
+      case None => Seq.empty
+      case Some(current) =>
+        val live = readManifest(fs, s"$baseDir/v$current")
+          .values.toSet + current
+        val dead = committed.filterNot(live.contains)
+        dead.foreach(v => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true))
+        dead
+    }
+  }
+
   /** Restart/replay contract (foreachBatch is AT-LEAST-ONCE — Spark
     * replays the last uncommitted batch with the SAME batch id after a
     * crash, so idempotence is this sink's burden, discharged by

@@ -420,4 +420,43 @@ class CheckpointRestartSpec extends SparkSpec {
     val expected = b1Latest ++ Map(3L -> 10L)
     assert(got == expected)
   }
+
+  test("vacuumSnapshots removes only versions the current manifest no " +
+       "longer references") {
+    val base = Files.createTempDirectory("graft-ckr-vac").toString
+    val schema = batch1.toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    def runSink(srcDir: String, sinkDir: String, ckpt: String): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val (q, _) = graft.sources.Loader.streamUpsertSink(
+        src, sinkDir, key = "user_id",
+        orderCols = Seq("ts", "event_id"), checkpointDir = Some(ckpt),
+        trigger = Some(Trigger.AvailableNow()))
+      q.awaitTermination()
+    }
+    val src = s"$base/src"; val sink = s"$base/sink"; val ck = s"$base/ck"
+    // v0: all 7 users; v1 and v2 each touch ONLY user 3's bucket, so
+    // after v2 no bucket points at v1 — it is unreachable
+    addFile(src, "f1.parquet", 1000000L, batch1)
+    runSink(src, sink, ck)
+    addFile(src, "f2.parquet", 2000000L, Seq(ev(3L), ev(10L)))
+    runSink(src, sink, ck)
+    addFile(src, "f3.parquet", 3000000L, Seq(ev(17L), ev(24L)))
+    runSink(src, sink, ck)
+    def versions(): Seq[String] =
+      Option(new java.io.File(sink).list()).getOrElse(Array.empty)
+        .filter(_.startsWith("v")).sorted.toSeq
+    assert(versions() == Seq("v0", "v1", "v2"))
+    val before = graft.sources.Loader.readSnapshot(spark, s"$sink/v2")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+    val dead = graft.sources.Loader.vacuumSnapshots(spark, sink)
+    assert(dead == Seq(1L), dead.toString)
+    assert(versions() == Seq("v0", "v2"))
+    // the surviving snapshot resolves identically after the vacuum
+    val after = graft.sources.Loader.readSnapshot(spark, s"$sink/v2")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before)
+  }
 }
