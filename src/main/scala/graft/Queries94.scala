@@ -177,6 +177,43 @@ object Queries94 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // zone skip on a DIR-PARTITIONED layout — the production shape: the
+    // table partitions by ingest year, zones live on the DATA column,
+    // and the predicate names only the data column, so Spark's own
+    // partition pruning can do nothing — the pruned listing DELEGATES
+    // to the partition-aware index (ZonePrunedFileIndex), composing
+    // both prunings. Same window and oracle as q219.
+    "q223_zone_skip_partitioned" -> ((s, d) => {
+      val work = Scratch.fresh("q223_zones", d)
+      val layout = s"$work/table"; val meta = s"$work/meta"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("y", year(col("l_sdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(layout)
+      Zones.analyzeAndRegister(s, layout, meta, Seq("l_sdate"))
+      val nFiles = s.read.parquet(meta).count()
+      val nYears = new java.io.File(layout).listFiles()
+        .count(_.getName.startsWith("y="))
+      require(nFiles == nYears.toLong,
+        s"q223: expected one file per year, got $nFiles for $nYears")
+      val res = s.read.parquet(layout)
+        .filter(col("l_sdate") >= lit(java.sql.Date.valueOf(Lo)) &&
+                col("l_sdate") < lit(java.sql.Date.valueOf(Hi)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case fs: HadoopFsRelation =>
+          fs.location.inputFiles.length }.sum
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(nFiles))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // the STREAMING twin of q222: files arrive as micro-batches, each
     // batch lands in the table AND contributes its zones — computed by
     // scanning only the files that batch wrote — to the metadata table,
@@ -332,26 +369,30 @@ object Queries94 {
        |      >= (SELECT lod FROM lo)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  private lazy val windowZoneOracle: String =
+    s"""WITH zones AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
+       |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
+       |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
+       |    WHERE mx >= '$Lo' AND mn < '$Hi') AS n_files_kept,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '$Lo'
+       |  AND CAST(l_shipdate AS DATE) < DATE '$Hi'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // kept = years whose [min, max] day-zone intersects [Lo, Hi) — the
     // rule's epoch-day test, replayed on canonical yyyy-MM-dd strings
     // (chronological = lexicographic); the aggregate replays the
-    // UNPRUNED answer, so pruning provably hid no rows
-    "q219_zone_skip_plain" ->
-      s"""WITH zones AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
-         |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
-         |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
-         |  FROM lineitem GROUP BY 1)
-         |SELECT l_returnflag,
-         |  CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones
-         |    WHERE mx >= '$Lo' AND mn < '$Hi') AS n_files_kept,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM zones) AS n_files_total
-         |FROM lineitem
-         |WHERE CAST(l_shipdate AS DATE) >= DATE '$Lo'
-         |  AND CAST(l_shipdate AS DATE) < DATE '$Hi'
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // UNPRUNED answer, so pruning provably hid no rows. q223 (the
+    // dir-partitioned layout) shares the oracle verbatim.
+    "q219_zone_skip_plain" -> windowZoneOracle,
+    "q223_zone_skip_partitioned" -> windowZoneOracle,
 
     "q220_zone_metadata" ->
       s"""SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,

@@ -1,10 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Driver-side registry of per-FILE zone maps (min/max renderings per
   * column), keyed by table location — the data-skipping half of a
@@ -105,6 +107,34 @@ object Zones {
   }
 }
 
+/** A [[FileIndex]] that delegates to the scan's own index and drops
+  * files outside `keep` — the zone-pruned listing. Delegation (rather
+  * than re-listing into a fresh index) preserves the PARTITION SPEC,
+  * so dir-partitioned tables prune on DATA-column zones while Spark's
+  * own partition pruning keeps working on the directory keys, and no
+  * filesystem round-trip happens at rewrite time.
+  */
+private[plans] case class ZonePrunedFileIndex(
+    underlying: FileIndex, keep: Set[String]) extends FileIndex {
+  private def kept(p: org.apache.hadoop.fs.Path): Boolean =
+    keep.contains(ZoneRegistry.fileKey(p.toString))
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    underlying.rootPaths
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] =
+    underlying.listFiles(partitionFilters, dataFilters)
+      .map(pd => pd.copy(files = pd.files.filter(f => kept(f.getPath))))
+      .filter(_.files.nonEmpty)
+  override def inputFiles: Array[String] =
+    underlying.inputFiles.filter(f =>
+      keep.contains(ZoneRegistry.fileKey(f)))
+  override def refresh(): Unit = underlying.refresh()
+  override def sizeInBytes: Long =
+    listFiles(Nil, Nil).flatMap(_.files).map(_.getLen).sum
+  override def partitionSchema: StructType = underlying.partitionSchema
+}
+
 /** Injected optimizer rule that promotes zone-map file skipping into
   * the SCAN PATH: a `Filter` directly above a parquet scan of a
   * registered table is rewritten so the relation's file listing keeps
@@ -122,12 +152,15 @@ object Zones {
   * comparisons. Files the listing has that the manifest lacks are kept
   * too, so a stale manifest can hide skipping but never rows.
   *
+  * Works on flat AND dir-partitioned layouts: the pruned index
+  * DELEGATES to the scan's own ([[ZonePrunedFileIndex]]), so the
+  * partition spec survives and zone pruning on data columns COMPOSES
+  * with Spark's partition pruning on directory keys.
+  *
   * Idempotence in the fixed-point batch: the rule fires only when the
   * pruned listing is STRICTLY smaller than the current one; the
   * rewritten relation's listing equals its survivor set, so the second
-  * pass is a no-op. Flat (non-dir-partitioned) layouts only —
-  * partition pruning on directory keys is Spark's own job; zones add
-  * value on DATA columns.
+  * pass is a no-op.
   */
 object ZoneSkipRule extends Rule[LogicalPlan] {
 
@@ -159,7 +192,7 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
     else plan.transformUp {
       case f @ Filter(cond, lr: LogicalRelation) =>
         lr.relation match {
-          case fs: HadoopFsRelation if fs.partitionSchema.isEmpty =>
+          case fs: HadoopFsRelation =>
             fs.location.rootPaths.toList match {
               case single :: Nil =>
                 ZoneRegistry.get(single.toString) match {
@@ -179,15 +212,11 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
                       }
                       if (survivors.length >= files.length) f
                       else {
-                        val ss = fs.sparkSession
-                        val idx = new InMemoryFileIndex(ss,
-                          survivors.toIndexedSeq
-                            .map(new org.apache.hadoop.fs.Path(_)),
-                          Map.empty, Some(fs.dataSchema),
-                          userSpecifiedPartitionSpec =
-                            Some(PartitionSpec.emptySpec))
-                        val pruned =
-                          lr.copy(relation = fs.copy(location = idx)(ss))
+                        val keep = survivors
+                          .map(ZoneRegistry.fileKey).toSet
+                        val idx = ZonePrunedFileIndex(fs.location, keep)
+                        val pruned = lr.copy(relation =
+                          fs.copy(location = idx)(fs.sparkSession))
                         Filter(cond, pruned) // residual filter stays
                       }
                     }

@@ -171,6 +171,36 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("dir-partitioned layout: data-column zones compose with Spark's " +
+       "partition pruning") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zonepart").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    import spark.implicits._
+    // p=0 holds k ∈ [0,50), p=1 holds k ∈ [50,100) — one file each
+    (0 until 100).map(i => (i.toLong, i / 50))
+      .toDF("k", "p")
+      .repartition(col("p"))
+      .write.mode("overwrite").partitionBy("p").parquet(table)
+    Zones.analyzeAndRegister(spark, table, meta, Seq("k"))
+    try {
+      // predicate on the DATA column only: partition pruning can do
+      // nothing; the zone rule prunes to p=1's file
+      val byK = spark.read.parquet(table).filter(col("k") >= 60)
+      val files = scannedFiles(byK)
+      assert(files.length == 1 && files.head.contains("p=1"),
+        files.toString)
+      assert(byK.count() == 40L)
+      // the partition column still reads back through the pruned index
+      assert(byK.select(col("p")).distinct().as[Int].collect().toSeq ==
+        Seq(1))
+      // and a partition-column predicate composes with the zone prune
+      val both = spark.read.parquet(table)
+        .filter(col("k") >= 60 && col("p") === 0)
+      assert(both.count() == 0L)
+    } finally ZoneRegistry.clear()
+  }
+
   test("zone manifest round-trips through the parquet metadata table") {
     val (table, meta) = layout()
     try {
