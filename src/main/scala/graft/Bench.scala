@@ -200,7 +200,8 @@ object Bench {
     "q217_stats_join_reorder", "q218_stats_date_broadcast",
     "q219_zone_skip_plain", "q220_zone_metadata", "m21_tar_shard_stream",
     "q221_lakehouse_capstone", "q222_zone_incremental",
-    "e42_stream_zone_ingest", "q223_zone_skip_partitioned")
+    "e42_stream_zone_ingest", "q223_zone_skip_partitioned",
+    "q224_stats_agg_broadcast")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

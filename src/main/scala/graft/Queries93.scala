@@ -43,6 +43,9 @@ object Queries93 {
 
   private val DateLo = "2001-06-01" // q218 cutoff
   private val T218 = 1048576L       // 1 MiB
+  private val totCents =
+    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+  private val T224 = 524288L        // 512 KiB (q224)
 
   val sparkQueries: Map[String, Q] = Map(
     "q217_stats_join_reorder" -> ((s, d) => {
@@ -85,6 +88,35 @@ object Queries93 {
         s"q217: unexpected leaf sequence ${names.mkString(",")}")
       agg.withColumn("join_order", lit(names.drop(1).mkString(",")))
         .orderBy(col("s_nationkey"))
+    }),
+
+    // aggregate-cardinality estimation: the AGGREGATED side's output
+    // rows are bounded by min(input rows, Π ndv(group cols)) — the CBO
+    // bound that lets a per-customer rollup of the whole orders table
+    // broadcast when its raw row count never would. The decision rides
+    // the output; the oracle replays LEAST(count, KMV-ndv) × width and
+    // the cross-multiplied comparison.
+    "q224_stats_agg_broadcast" -> ((s, d) => {
+      val ordAgg = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(expr(totCents)).as("spend_cents"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val oStats = StatsPlanner.analyzeStats(
+        Tables.orders(s, d).select(col("o_custkey")), Seq("o_custkey"))
+      val cStats = StatsPlanner.analyzeStats(
+        cust.select(col("c_custkey")), Seq("c_custkey"))
+      val lEst = StatsPlanner.estimateAggregated(
+        oStats, ordAgg.schema, Seq("o_custkey"))
+      val rEst = StatsPlanner.estimate(cStats, cust.schema)
+      val (joined, decision) = StatsPlanner.joinWithEstimates(
+        ordAgg, lEst, cust, rEst, "o_custkey", "c_custkey", T224)
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("spend_cents")).as("seg_cents"))
+        .withColumn("strategy", lit(decision))
+        .orderBy(col("c_mktsegment"))
     }),
 
     "q218_stats_date_broadcast" -> ((s, d) => {
@@ -156,6 +188,34 @@ object Queries93 {
          |JOIN (SELECT p_partkey FROM part WHERE p_size <= 5)
          |  ON l_partkey = p_partkey
          |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+    },
+
+    "q224_stats_agg_broadcast" -> {
+      // aggRows = LEAST(count(orders), KMV-ndv(o_custkey)); widths:
+      // left (o_custkey 8 + n_orders 8 + spend_cents 8) = 24, right
+      // (c_custkey 8 + c_mktsegment STRING 20) = 28. No selectivity
+      // rationals here (no predicates), so the decideBroadcastEst
+      // comparisons are plain integers.
+      val aggRows = s"""LEAST((SELECT COUNT(*) FROM orders),
+        ${Queries87.ndvKmvSql("orders", "o_custkey")})"""
+      val decision =
+        s"""CASE WHEN (SELECT COUNT(*) FROM customer) * 28 <= $T224
+           |      AND (SELECT COUNT(*) FROM customer) * 28
+           |          <= $aggRows * 24
+           |     THEN 'broadcast_right'
+           |     WHEN $aggRows * 24 <= $T224
+           |     THEN 'broadcast_left'
+           |     ELSE 'defer_runtime' END""".stripMargin
+      s"""WITH oa AS (SELECT o_custkey,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM($totCents) AS BIGINT) AS spend_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+         |  CAST(SUM(spend_cents) AS BIGINT) AS seg_cents,
+         |  ($decision) AS strategy
+         |FROM oa JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     },
 
     "q218_stats_date_broadcast" -> {

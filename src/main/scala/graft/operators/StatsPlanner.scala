@@ -206,6 +206,27 @@ object StatsPlanner {
       selDen = sels.map(_._2).product max 1)
   }
 
+  /** Side estimate for an AGGREGATED side: output rows are bounded by
+    * BOTH the (selectivity-discounted) input rows and the product of
+    * the group columns' NDVs — the CBO aggregate-cardinality model
+    * (`|γ_G(R)| ≤ min(|R|, Π V(R, g))`), which is what lets a huge
+    * fact's group-by qualify for broadcast when its raw row count
+    * never would. Exact rational min by cross-multiplication; group
+    * columns missing from the manifest contribute their no-information
+    * bound (ndv = rows), so an unpriceable grouping never shrinks the
+    * estimate below the safe input-rows bound.
+    */
+  def estimateAggregated(stats: TableStats, outSchema: StructType,
+                         groupCols: Seq[String],
+                         preds: Seq[(String, String, Long)] = Nil)
+      : SideEst = {
+    val base = estimateFiltered(stats, outSchema, preds)
+    val cap = groupCols.map(c => BigInt(stats.ndv(c))).product max 1
+    if (base.rows * base.selNum > cap * base.selDen)
+      SideEst(cap, base.widthBytes)
+    else base
+  }
+
   /** The broadcast decision over rational estimates: pick the smaller
     * side if its estimated bytes fit under `thresholdBytes`; ties go
     * right (Spark's own BuildRight preference); neither fits → defer

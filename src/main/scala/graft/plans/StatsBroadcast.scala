@@ -129,6 +129,54 @@ private[plans] object StatsLeaf {
     }
   }
 
+  /** A join side resolved to its single registered scan: the scan's
+    * stats, the comparison predicates collected on the way down, and
+    * the group-column sets of any Aggregates passed through (each one
+    * caps the side's output rows at Π ndv(group col) — the CBO
+    * aggregate-cardinality bound; an Aggregate always shrinks, so
+    * walking through it keeps the estimate a safe upper bound even
+    * when its grouping is unpriceable).
+    */
+  private[plans] case class Resolved(
+      stats: TableStats,
+      ps: Seq[(String, String, Long)],
+      groupCaps: Seq[Seq[String]])
+
+  private def resolve(p: LogicalPlan,
+                      ps: Seq[(String, String, Long)] = Nil,
+                      caps: Seq[Seq[String]] = Nil): Option[Resolved] =
+    p match {
+      case Project(_, c)         => resolve(c, ps, caps)
+      case Filter(cond, c)       => resolve(c, ps ++ preds(cond), caps)
+      case SubqueryAlias(_, c)   => resolve(c, ps, caps)
+      case a: Aggregate          =>
+        // attribute groupings cap at Π ndv; derived groupings add no
+        // cap (output ≤ input still holds — safe upper bound)
+        val gc = a.groupingExpressions.collect {
+          case ar: AttributeReference => ar.name
+        }
+        val cap = if (gc.length == a.groupingExpressions.length &&
+                      gc.nonEmpty) Seq(gc) else Nil
+        resolve(a.child, ps, caps ++ cap)
+      case lr: LogicalRelation   =>
+        lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+            case single :: Nil =>
+              val path = single.toString
+              StatsRegistry.get(path).filter { _ =>
+                // freshness: the scan's own (driver-cached) listing
+                // must match the registration-time snapshot — no I/O
+                StatsRegistry.getSnapshot(path).forall(snap =>
+                  snap.nFiles == fs.location.inputFiles.length.toLong &&
+                  snap.totalBytes == fs.location.sizeInBytes)
+              }.map(Resolved(_, ps, caps))
+            case _             => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
   /** Registered (and snapshot-fresh) stats of the single scan under
     * projections/filters/aliases of `p`, plus the comparison
     * predicates collected on the way down. Multi-root scans,
@@ -136,39 +184,19 @@ private[plans] object StatsLeaf {
     * longer matches the registration-time snapshot → None (the rules
     * stay silent — stale stats must never stamp a plan).
     */
-  def leafStats(p: LogicalPlan,
-                ps: Seq[(String, String, Long)] = Nil)
-      : Option[(TableStats, Seq[(String, String, Long)])] = p match {
-    case Project(_, c)         => leafStats(c, ps)
-    case Filter(cond, c)       => leafStats(c, ps ++ preds(cond))
-    case SubqueryAlias(_, c)   => leafStats(c, ps)
-    case lr: LogicalRelation   =>
-      lr.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
-          case single :: Nil =>
-            val path = single.toString
-            StatsRegistry.get(path).filter { _ =>
-              // freshness: the scan's own (driver-cached) listing must
-              // match the registration-time snapshot — no extra I/O
-              StatsRegistry.getSnapshot(path).forall(snap =>
-                snap.nFiles == fs.location.inputFiles.length.toLong &&
-                snap.totalBytes == fs.location.sizeInBytes)
-            }.map(_ -> ps)
-          case _             => None
-        }
-        case _ => None
-      }
-    case _ => None
-  }
+  def leafStats(p: LogicalPlan)
+      : Option[(TableStats, Seq[(String, String, Long)])] =
+    resolve(p).map(r => (r.stats, r.ps))
 
   /** Rational size estimate of a join side from its registered scan:
     * rows × output width, discounted by the collected predicates'
-    * selectivities. Duplicate (col, op, value) conjuncts are priced
-    * ONCE — stacked/re-collected copies of the same filter must not
-    * compound the discount under the independence assumption.
+    * selectivities, capped by any Aggregate's Π ndv(group cols) bound.
+    * Duplicate (col, op, value) conjuncts are priced ONCE —
+    * stacked/re-collected copies of the same filter must not compound
+    * the discount under the independence assumption.
     */
   def sideEst(p: LogicalPlan): Option[StatsPlanner.SideEst] =
-    leafStats(p).map { case (s, ps) =>
+    resolve(p).map { case Resolved(s, ps, caps) =>
       val width =
         math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
       // predSelectivity returns (1,1) for manifest-unknown columns —
@@ -176,9 +204,15 @@ private[plans] object StatsLeaf {
       val sels = ps.distinct.map { case (c, op, v) =>
         StatsPlanner.predSelectivity(s, c, op, v)
       }
-      StatsPlanner.SideEst(BigInt(s.rows), width,
+      val base = StatsPlanner.SideEst(BigInt(s.rows), width,
         selNum = sels.map(_._1).product,
         selDen = sels.map(_._2).product max 1)
+      caps.foldLeft(base) { (e, gc) =>
+        val cap = gc.map(c => BigInt(s.ndv(c))).product max 1
+        if (e.rows * e.selNum > cap * e.selDen)
+          StatsPlanner.SideEst(cap, e.widthBytes)
+        else e
+      }
     }
 }
 

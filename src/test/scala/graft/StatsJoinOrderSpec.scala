@@ -202,6 +202,55 @@ class StatsJoinOrderSpec extends SparkSpec {
     }
   }
 
+  test("an AGGREGATED side prices at the Π ndv(group cols) cap") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-aggcap").toString
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevGraft = spark.conf.getOption(
+      graft.plans.StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // 10000 input rows × 16 B = 160 kB raw, but γ_k output ≤ ndv(k)
+      // = 50 exactly (KMV is exact below 256) → 800 B. Threshold 4096:
+      // ONLY the aggregate-cardinality cap can find this broadcast
+      spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, "4096")
+      val fact = s"$base/fact"
+      spark.range(10000).select((col("id") % 50).as("k"),
+          col("id").as("v"))
+        .write.mode("overwrite").parquet(fact)
+      StatsRegistry.register(fact, StatsPlanner.analyzeStats(
+        spark.read.parquet(fact), Seq("k")))
+      def q() = spark.range(50).select(col("id").as("r_k"))
+        .join(spark.read.parquet(fact).groupBy(col("k"))
+                .agg(sum(col("v")).as("sv")),
+              col("r_k") === col("k"))
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"),
+          sum(col("sv")).as("tot"))
+      val withCap = q()
+      assert(withCap.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        withCap.queryExecution.executedPlan.toString.take(1200))
+      val rows = withCap.collect().map(_.toSeq).toSeq
+      StatsRegistry.clear()
+      val plain = q()
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(plain.collect().map(_.toSeq).toSeq == rows)
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevGraft match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
   test("predSelectivity prices DATE renderings as epoch-day intervals") {
     import graft.operators.{TableStats, ColStats}
     // manifest over a DATE column renders canonical yyyy-MM-dd
