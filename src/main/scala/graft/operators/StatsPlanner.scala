@@ -160,9 +160,11 @@ object StatsPlanner {
     * through the same interval arithmetic as integer ranges.
     */
   private def renderLong(r: String): Option[Long] =
-    r.toLongOption.orElse(
-      try Some(java.time.LocalDate.parse(r).toEpochDay)
-      catch { case _: Exception => None })
+    // null rendering (an all-NULL column's MIN/MAX) is unpriceable, not
+    // an NPE — the filter simply never discounts
+    Option(r).flatMap(s => s.toLongOption.orElse(
+      try Some(java.time.LocalDate.parse(s).toEpochDay)
+      catch { case _: Exception => None }))
 
   /** Rational selectivity of one comparison predicate `col <op>
     * value` from the manifest: equality is System R 1/V(R, col); the

@@ -47,7 +47,13 @@ object StatsRegistry {
     */
   def snapshot(path: String): TableSnapshot = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the SESSION's Hadoop conf, so spark.hadoop.* settings (s3a
+    // credentials, endpoints) reach the listing on remote filesystems
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     var n = 0L; var bytes = 0L
     def walk(dir: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(dir).foreach { st =>
@@ -160,15 +166,24 @@ private[plans] object StatsLeaf {
         resolve(a.child, ps, caps ++ cap)
       case lr: LogicalRelation   =>
         lr.relation match {
-          case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
+          case fs: HadoopFsRelation =>
+            // unwrap a zone-pruned listing to the scan's ORIGINAL index:
+            // the registration snapshot describes the whole table, so a
+            // ZoneSkipRule rewrite in an earlier fixed-point iteration
+            // must not read as table growth and silence the stats rules
+            val loc = fs.location match {
+              case z: ZonePrunedFileIndex => z.underlying
+              case o                      => o
+            }
+            loc.rootPaths.toList match {
             case single :: Nil =>
               val path = single.toString
               StatsRegistry.get(path).filter { _ =>
                 // freshness: the scan's own (driver-cached) listing
                 // must match the registration-time snapshot — no I/O
                 StatsRegistry.getSnapshot(path).forall(snap =>
-                  snap.nFiles == fs.location.inputFiles.length.toLong &&
-                  snap.totalBytes == fs.location.sizeInBytes)
+                  snap.nFiles == loc.inputFiles.length.toLong &&
+                  snap.totalBytes == loc.sizeInBytes)
               }.map(Resolved(_, ps, caps))
             case _             => None
           }

@@ -168,9 +168,11 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
     * dates as days-since-epoch (the unit DATE literals carry).
     */
   private def renderLong(r: String): Option[Long] =
-    r.toLongOption.orElse(
-      try Some(java.time.LocalDate.parse(r).toEpochDay)
-      catch { case _: Exception => None })
+    // null rendering (an all-NULL column's file zone) is unpriceable,
+    // not an NPE — the file is kept
+    Option(r).flatMap(s => s.toLongOption.orElse(
+      try Some(java.time.LocalDate.parse(s).toEpochDay)
+      catch { case _: Exception => None }))
 
   /** Can a file with zone [mn, mx] contain a row with `col op v`? */
   private def zoneMayMatch(zone: (String, String), op: String,

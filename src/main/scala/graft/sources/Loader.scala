@@ -125,6 +125,19 @@ object Loader {
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
+  private[sources] val HashName = "fnv1a64" // the layout's bucket hash
+
+  /** A committed version's manifest: bucket → version holding its
+    * current files, plus the LAYOUT parameters (bucket count and hash —
+    * a restart with different values would rehash keys into different
+    * buckets and silently miss prior rows, so they are persisted and
+    * `require`d to match) and the source batch id `txn` that produced
+    * the version (-1 for maintenance commits like compaction) — the
+    * idempotence marker an at-least-once replay checks before
+    * re-applying a batch.
+    */
+  private[sources] final case class Manifest(buckets: Map[Int, Long],
+                                             nBuckets: Int, txn: Long)
 
   private def fsFor(path: String,
                     spark: org.apache.spark.sql.SparkSession) =
@@ -133,16 +146,18 @@ object Loader {
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             versionDir: String,
-                            m: Map[Int, Long]): Unit = {
+                            m: Manifest): Unit = {
     val out = fs.create(
       new org.apache.hadoop.fs.Path(versionDir, ManifestName), true)
-    try out.write(m.toSeq.sorted.map { case (b, v) => s"$b $v" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val header = s"#buckets ${m.nBuckets} $HashName\n#txn ${m.txn}\n"
+    try out.write((header + m.buckets.toSeq.sorted
+      .map { case (b, v) => s"$b $v" }
+      .mkString("", "\n", "\n")).getBytes("UTF-8"))
     finally out.close()
   }
 
-  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
-                           versionDir: String): Map[Int, Long] = {
+  private[sources] def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                    versionDir: String): Manifest = {
     val in = fs.open(
       new org.apache.hadoop.fs.Path(versionDir, ManifestName))
     val text = try {
@@ -152,10 +167,50 @@ object Loader {
       while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
       bos.toString("UTF-8")
     } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(b, v) = l.split(' ')
-      b.toInt -> v.toLong
+    var nBuckets = -1; var txn = -1L
+    val buckets = text.linesIterator.filter(_.nonEmpty).flatMap { l =>
+      val parts = l.split(' ')
+      parts(0) match {
+        case "#buckets" =>
+          nBuckets = parts(1).toInt
+          require(parts.length < 3 || parts(2) == HashName,
+            s"readManifest: layout $versionDir was written with bucket " +
+            s"hash '${parts(2)}'; this engine buckets with '$HashName'")
+          None
+        case "#txn" => txn = parts(1).toLong; None
+        case b      => Some(b.toInt -> parts(1).toLong)
+      }
     }.toMap
+    Manifest(buckets, nBuckets, txn)
+  }
+
+  /** Committed (manifest-present) version ids under `baseDir`, sorted. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                baseDir: String): Seq[Long] = {
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    (if (fs.exists(basePath)) fs.listStatus(basePath).toSeq else Seq.empty)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(_.drop(1).toLongOption)
+      .filter(j => fs.exists(new org.apache.hadoop.fs.Path(
+        s"$baseDir/v$j", ManifestName)))
+      .sorted
+  }
+
+  /** The layout's bucket of a key column: FNV-1a of the key's canonical
+    * string rendering, mod `n`. Deliberately the engine's own hash, not
+    * `hash()` (Murmur3): a persisted layout must survive engine
+    * upgrades, and the graft FNV chain is also exactly replayable in
+    * external SQL (the oracle convention). NULL keys render as '' —
+    * a bucket collision, not an identity collision (upsert matches on
+    * the key VALUE; the bucket only scopes which files a batch reads).
+    */
+  private def bucketOf(key: String, nBuckets: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(graft.functions.Expressions.fnv_hash(
+      coalesce(col(key).cast("string"), lit(""))), lit(nBuckets.toLong))
+      .cast("int")
   }
 
   /** Resolve a [[streamUpsertSink]] version directory through its
@@ -167,7 +222,7 @@ object Loader {
     val fs = fsFor(versionDir, spark)
     val base = new org.apache.hadoop.fs.Path(versionDir)
       .getParent.toString
-    val dirs = readManifest(fs, versionDir).toSeq.sorted.map {
+    val dirs = readManifest(fs, versionDir).buckets.toSeq.sorted.map {
       case (b, v) => s"$base/v$v/$BucketCol=$b"
     }
     require(dirs.nonEmpty,
@@ -188,20 +243,12 @@ object Loader {
   def vacuumSnapshots(spark: org.apache.spark.sql.SparkSession,
                       baseDir: String): Seq[Long] = {
     val fs = fsFor(baseDir, spark)
-    val basePath = new org.apache.hadoop.fs.Path(baseDir)
-    if (!fs.exists(basePath)) return Seq.empty
-    val committed = fs.listStatus(basePath).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("v"))
-      .flatMap(_.drop(1).toLongOption)
-      .filter(j => fs.exists(new org.apache.hadoop.fs.Path(
-        s"$baseDir/v$j", ManifestName)))
-      .sorted
+    val committed = committedVersions(fs, baseDir)
     committed.lastOption match {
       case None => Seq.empty
       case Some(current) =>
         val live = readManifest(fs, s"$baseDir/v$current")
-          .values.toSet + current
+          .buckets.values.toSet + current
         val dead = committed.filterNot(live.contains)
         dead.foreach(v => fs.delete(
           new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true))
@@ -212,21 +259,26 @@ object Loader {
   /** Restart/replay contract (foreachBatch is AT-LEAST-ONCE — Spark
     * replays the last uncommitted batch with the SAME batch id after a
     * crash, so idempotence is this sink's burden, discharged by
-    * construction): the prior snapshot is recovered DURABLY as the
-    * largest COMMITTED version (manifest present) STRICTLY BELOW the
-    * current batch id — never from driver memory, listed through the
-    * Hadoop FileSystem API so the recovery works on any scheme
-    * (hdfs://, s3a://), not just local paths. On a clean run that is
-    * exactly the previous batch's version; after a crash-restart it
-    * recovers the chain a fresh driver has no memory of; and on a
-    * replay of batch `id` it deliberately excludes the (possibly
-    * half-written) `v<id>` itself — the static partition overwrite
-    * truncates the stale attempt and the manifest is rewritten last —
-    * so the snapshot chain a restarted run produces equals an
+    * construction): versions are a SEQUENCE of commit slots `v<seq>`
+    * decoupled from batch ids; each committed manifest carries the
+    * source batch id as a `txn` marker (the Delta/Iceberg transaction-
+    * identifier pattern), so maintenance commits (compaction, txn -1)
+    * can interleave without ever colliding with a future replayed
+    * batch. The prior snapshot is recovered DURABLY as the latest
+    * committed manifest — never from driver memory, listed through the
+    * Hadoop FileSystem API so recovery works on any scheme (hdfs://,
+    * s3a://). A replayed batch whose txn is already committed is
+    * SKIPPED (it fully applied; only the checkpoint commit was lost);
+    * a half-written attempt left no manifest, so the retry lands on
+    * the same slot and the static partition overwrite truncates it —
+    * the snapshot chain a restarted run produces equals an
     * uninterrupted run's version-for-version (pinned by
-    * CheckpointRestartSpec's fifth shape). Pass `checkpointDir` for
-    * restartable sources; without it a restarted query renumbers
-    * batches from 0 and needs a fresh `baseDir`.
+    * CheckpointRestartSpec's fifth shape). The layout's bucket count
+    * and hash are persisted in every manifest and `require`d to match
+    * on restart — a different bucketing would silently miss prior
+    * rows. Pass `checkpointDir` for restartable sources; without it a
+    * restarted query renumbers batches from 0 and needs a fresh
+    * `baseDir`.
     */
   def streamUpsertSink(stream: DataFrame, baseDir: String, key: String,
                        orderCols: Seq[String],
@@ -245,6 +297,33 @@ object Loader {
     val writer0 = stream.writeStream.foreachBatch {
       (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.functions._
+        val fs = fsFor(baseDir, spark)
+        val committed = committedVersions(fs, baseDir)
+        val priorManifest = committed.lastOption
+          .map(v => readManifest(fs, s"$baseDir/v$v"))
+        // the layout guard runs before anything else: a different
+        // bucketing would rehash keys into different buckets and
+        // silently miss existing rows on every subsequent merge
+        priorManifest.foreach { pm =>
+          require(pm.nBuckets < 0 || pm.nBuckets == nBuckets,
+            s"streamUpsertSink: layout $baseDir was written with " +
+            s"nBuckets=${pm.nBuckets}; restarting with $nBuckets " +
+            "would rehash keys into different buckets and miss " +
+            "existing rows — pass the layout's bucket count")
+        }
+        // idempotent replay (the txn marker): walk committed versions
+        // from the tail to the newest DATA version — if it already
+        // carries this batch id, the batch fully applied and only the
+        // checkpoint commit was lost; re-applying would double it.
+        // Data txns are the stream's strictly increasing batch ids, so
+        // one data version decides; maintenance commits (txn -1,
+        // compaction) in between are skipped over.
+        val lastData = committed.reverseIterator
+          .map(v => v -> readManifest(fs, s"$baseDir/v$v"))
+          .find(_._2.txn >= 0)
+        lastData.filter(_._2.txn == id) match {
+          case Some((v, _)) => handle.dir = Some(s"$baseDir/v$v")
+          case None =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
           .orderBy(orderCols.map(c => col(c).desc): _*)
@@ -252,29 +331,21 @@ object Loader {
         val latest = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-          .withColumn(BucketCol, pmod(hash(col(key)), lit(nBuckets)))
+          .withColumn(BucketCol, bucketOf(key, nBuckets))
           .persist()
         try {
           // the buckets this delta touches: bounded by nBuckets
           val touched = latest.select(col(BucketCol)).distinct()
             .collect().map(_.getInt(0)).sorted
-          val fs = fsFor(baseDir, spark)
-          val basePath = new org.apache.hadoop.fs.Path(baseDir)
-          // durable prior-version lookup (see restart contract above)
-          val priorMap = {
-            val committed =
-              (if (fs.exists(basePath)) fs.listStatus(basePath).toSeq
-               else Seq.empty)
-                .map(_.getPath.getName)
-                .filter(_.startsWith("v"))
-                .flatMap(_.drop(1).toLongOption)
-                .filter(_ < id)
-                .filter(j => fs.exists(new org.apache.hadoop.fs.Path(
-                  s"$baseDir/v$j", ManifestName)))
-            committed.maxOption
-              .map(j => readManifest(fs, s"$baseDir/v$j"))
-              .getOrElse(Map.empty[Int, Long])
-          }
+          // durable prior-version lookup (see restart contract above):
+          // the latest committed manifest IS the current state — data
+          // or maintenance commit alike
+          val priorMap = priorManifest.map(_.buckets)
+            .getOrElse(Map.empty[Int, Long])
+          // the next version SLOT, independent of the batch id: a
+          // half-written attempt (no manifest) sits at this same slot
+          // and is truncated by the static overwrite below
+          val seq = committed.lastOption.getOrElse(-1L) + 1
           // copy-on-write: read ONLY the touched buckets' current files
           val priorDirs = touched.toIndexedSeq.flatMap(b =>
             priorMap.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
@@ -285,18 +356,20 @@ object Loader {
               spark.read.parquet(priorDirs: _*)
                 .select(dataCols.map(col): _*),
               batchData, key)
-          val next = s"$baseDir/v$id"
+          val next = s"$baseDir/v$seq"
           // STATIC partition overwrite truncates a stale replay attempt
           merged
-            .withColumn(BucketCol, pmod(hash(col(key)), lit(nBuckets)))
+            .withColumn(BucketCol, bucketOf(key, nBuckets))
             .repartition(col(BucketCol))
             .write.mode(SaveMode.Overwrite)
             .partitionBy(BucketCol).parquet(next)
           // manifest last = commit marker: touched buckets live here,
           // untouched buckets keep pointing at their current version
-          writeManifest(fs, next, priorMap ++ touched.map(_ -> id))
+          writeManifest(fs, next,
+            Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, id))
           handle.dir = Some(next)
         } finally { latest.unpersist(); () }
+        }
         ()
     }
     val writer1 = checkpointDir.fold(writer0)(d =>

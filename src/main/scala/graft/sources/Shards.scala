@@ -88,12 +88,25 @@ object Shards {
   def tarMembersFromPaths(shards: DataFrame,
                           pathCol: String = "path"): DataFrame = {
     val enc = SparkEncoders.row(memberSchema)
+    // ship the SESSION's Hadoop conf to the tasks (Configuration is not
+    // Serializable; SerializableConfiguration writes it as XML), so
+    // spark.hadoop.* settings — s3a credentials, endpoints — reach the
+    // executor-side FileSystem exactly as they would a normal scan
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      shards.sparkSession.sessionState.newHadoopConf())
     shards.select(pathCol).mapPartitions { rows =>
       rows.flatMap { r =>
         val path = r.getString(0)
         val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        parseTarStream(fs.open(p), path, closeAtEnd = true)
+        val fs = p.getFileSystem(hconf.value)
+        val in = fs.open(p)
+        // a partially-consumed iterator (limit/take, task failure mid-
+        // shard) must not leak the stream for the executor's lifetime
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: Exception => () }
+          })
+        parseTarStream(in, path, closeAtEnd = true)
           .map { case (name, bytes) => Row(path, name, bytes) }
       }
     }(enc)

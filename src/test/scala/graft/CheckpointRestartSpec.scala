@@ -386,17 +386,23 @@ class CheckpointRestartSpec extends SparkSpec {
 
     addFile(src, "f2.parquet", 2000000L, Seq(ev(3L), ev(10L)))
     runSink(src, sink, ck)
-    // user 3's bucket, computed the way the sink computes it
+    // user 3's bucket, computed the way the sink computes it (FNV-1a of
+    // the key's string rendering — the persisted layout's hash)
     import spark.implicits._
     val b3 = spark.range(1).select(
-      pmod(hash(lit(3L)), lit(8)).as("b")).as[Int].head()
+      pmod(graft.functions.Expressions.fnv_hash(lit("3")), lit(8L))
+        .cast("int").as("b")).as[Int].head()
     // v1 holds ONLY the touched bucket; the manifest points every other
     // bucket at its v0 files
     assert(bucketDirs("v1").keySet == Set(s"graft_bucket=$b3"),
       bucketDirs("v1").keySet.toString)
-    val manifest = new String(Files.readAllBytes(
+    val manifestText = new String(Files.readAllBytes(
       Paths.get(s"$sink/v1/graft_manifest")), "UTF-8")
-      .linesIterator.filter(_.nonEmpty)
+    // the layout header persists the bucket count + hash (restart guard)
+    assert(manifestText.linesIterator.contains("#buckets 8 fnv1a64"),
+      manifestText)
+    val manifest = manifestText
+      .linesIterator.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l => val Array(b, v) = l.split(' '); b.toInt -> v.toLong }
       .toMap
     assert(manifest(b3) == 1L)
@@ -419,6 +425,39 @@ class CheckpointRestartSpec extends SparkSpec {
       u -> rows.maxBy(r => (r._2.getTime, r._1))._1 }
     val expected = b1Latest ++ Map(3L -> 10L)
     assert(got == expected)
+  }
+
+  test("upsert sink refuses a restart with a different nBuckets") {
+    // the persisted-layout guard: restarting the sink on an existing
+    // baseDir with a different bucket count would rehash keys into
+    // different buckets — the merge would read the wrong prior dirs and
+    // silently miss existing rows, so the sink must fail loudly instead
+    val base = Files.createTempDirectory("graft-ckr-nbuckets").toString
+    val schema = batch1.toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    def runSink(n: Int): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val (q, _) = graft.sources.Loader.streamUpsertSink(
+        src, s"$base/sink", key = "user_id",
+        orderCols = Seq("ts", "event_id"),
+        checkpointDir = Some(s"$base/ck"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = n)
+      q.awaitTermination()
+    }
+    addFile(s"$base/src", "f1.parquet", 1000000L, batch1)
+    runSink(8)
+    addFile(s"$base/src", "f2.parquet", 2000000L, Seq(ev(3L), ev(10L)))
+    val e = intercept[Exception] { runSink(4) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("nBuckets=8")), msgs(e).toString)
+    // the matching count still works and sees both files' rows
+    runSink(8)
+    val got = graft.sources.Loader.readSnapshot(spark, s"$base/sink/v1")
+      .count()
+    assert(got == 7L, got.toString)
   }
 
   test("vacuumSnapshots removes only versions the current manifest no " +

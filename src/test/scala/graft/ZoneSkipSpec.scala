@@ -97,6 +97,43 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("an all-NULL zone column keeps the file instead of failing the " +
+       "optimizer") {
+    // a file whose zone column is entirely NULL manifests MIN/MAX = NULL
+    // renderings; those are unpriceable — the file is conservatively
+    // kept, and every plain read of the table still plans
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zonenull").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    new java.io.File(table).mkdirs()
+    def one(stageTag: String, df: org.apache.spark.sql.DataFrame,
+            out: String): Unit = {
+      val stage = s"$base/$stageTag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/$out"))
+    }
+    one("s0", spark.range(0, 25)
+      .select(col("id").cast("long").as("k"), (col("id") * 10).as("v")),
+      "f0.parquet")
+    one("s1", spark.range(25, 50)
+      .select(lit(null).cast("long").as("k"), (col("id") * 10).as("v")),
+      "fnull.parquet")
+    try {
+      Zones.analyzeAndRegister(spark, table, meta, Seq("k"))
+      val df = spark.read.parquet(table).filter(col("k") >= 1000)
+      // f0's zone excludes; the NULL-zone file is kept (conservative)
+      val files = scannedFiles(df)
+      assert(files.length == 1 && files.head.contains("fnull.parquet"),
+        files.toString)
+      assert(df.count() == 0L) // residual filter: NULL matches nothing
+    } finally ZoneRegistry.clear()
+  }
+
   test("the residual filter still runs: zones are conservative, not exact") {
     val (table, _) = layout()
     try {
