@@ -25,6 +25,43 @@ import graft.operators.{StatsPlanner, TableStats}
   * one way a stats-stamped broadcast could OOM an executor at scale —
   * on mismatch the rules stay silent until a re-ANALYZE re-registers.
   */
+/** Shared registry-key resolution for the injected stats/zone rules: a
+  * scan is identified EITHER by its catalog-table identity (a
+  * `saveAsTable`/`spark.table` plan) or by its root-path SET — one path
+  * for a plain directory read, many for a multi-root read like a
+  * snapshot resolved across copy-on-write versions
+  * ([[graft.sources.Loader.readSnapshot]]). Catalog identity is tried
+  * first: it survives table relocation, and a catalog table's rootPath
+  * is an implementation detail the user never typed.
+  */
+private[plans] object RegistryKeys {
+
+  /** Normalize "file:/p", "/p/", "/p" to one key so registration by
+    * local path matches `HadoopFsRelation.location.rootPaths`.
+    */
+  def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  /** One key per root-path SET: order-free (sorted), so
+    * `read.parquet(a, b)` and `read.parquet(b, a)` resolve alike.
+    */
+  def ofRoots(paths: Seq[String]): String = {
+    val ns = paths.map(norm)
+    if (ns.lengthCompare(1) == 0) ns.head else ns.sorted.mkString("\n")
+  }
+
+  def ofTable(db: String, table: String): String = s"table:$db.$table"
+
+  /** Lookup candidates for a scan, most specific first. */
+  def candidates(lr: org.apache.spark.sql.execution.datasources.LogicalRelation,
+                 loc: org.apache.spark.sql.execution.datasources.FileIndex)
+      : Seq[String] =
+    lr.catalogTable.map(ct => ofTable(
+      ct.identifier.database.getOrElse("default"),
+      ct.identifier.table)).toSeq :+
+      ofRoots(loc.rootPaths.map(_.toString))
+}
+
 object StatsRegistry {
 
   /** Cheap table-growth fingerprint: data-file count + total bytes
@@ -35,11 +72,7 @@ object StatsRegistry {
   private val byPath = new java.util.concurrent.ConcurrentHashMap[
     String, (TableStats, Option[TableSnapshot])]()
 
-  /** Normalize "file:/p", "/p/", "/p" to one key so registration by
-    * local path matches `HadoopFsRelation.location.rootPaths`.
-    */
-  private def norm(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
+  private def norm(p: String): String = RegistryKeys.norm(p)
 
   /** Snapshot a table directory's data files through the Hadoop
     * FileSystem API (any scheme). Mirrors `InMemoryFileIndex`'s data-
@@ -70,9 +103,38 @@ object StatsRegistry {
   /** Register a manifest with the current file-listing snapshot (the
     * normal ingest-time path: ANALYZE, then register).
     */
-  def register(path: String, stats: TableStats): Unit = {
-    val snap = try Some(snapshot(path)) catch { case _: Exception => None }
-    byPath.put(norm(path), (stats, snap))
+  def register(path: String, stats: TableStats): Unit =
+    registerRoots(Seq(path), stats)
+
+  /** Register under a multi-root key (e.g. a copy-on-write snapshot's
+    * bucket directories): the freshness snapshot sums over all roots,
+    * matching the union listing the scan's FileIndex reports.
+    */
+  def registerRoots(paths: Seq[String], stats: TableStats): Unit = {
+    val snap = try {
+      val snaps = paths.map(snapshot)
+      Some(TableSnapshot(snaps.map(_.nFiles).sum,
+        snaps.map(_.totalBytes).sum))
+    } catch { case _: Exception => None }
+    byPath.put(RegistryKeys.ofRoots(paths), (stats, snap))
+    ()
+  }
+
+  /** Register under a CATALOG-TABLE identity, so `saveAsTable` →
+    * `spark.table(name)` plans resolve without the user ever knowing
+    * the table's storage path. The freshness snapshot is taken over
+    * the catalog's location.
+    */
+  def registerTable(spark: org.apache.spark.sql.SparkSession,
+                    name: String, stats: TableStats): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val db = ident.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    val snap = try {
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      Some(snapshot(meta.location.toString))
+    } catch { case _: Exception => None }
+    byPath.put(RegistryKeys.ofTable(db, ident.table), (stats, snap))
     ()
   }
 
@@ -80,6 +142,10 @@ object StatsRegistry {
     Option(byPath.get(norm(path))).map(_._1)
   def getSnapshot(path: String): Option[TableSnapshot] =
     Option(byPath.get(norm(path))).flatMap(_._2)
+  private[plans] def getByKey(key: String): Option[TableStats] =
+    Option(byPath.get(key)).map(_._1)
+  private[plans] def getSnapshotByKey(key: String): Option[TableSnapshot] =
+    Option(byPath.get(key)).flatMap(_._2)
   def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty
 }
@@ -175,29 +241,30 @@ private[plans] object StatsLeaf {
               case z: ZonePrunedFileIndex => z.underlying
               case o                      => o
             }
-            loc.rootPaths.toList match {
-            case single :: Nil =>
-              val path = single.toString
-              StatsRegistry.get(path).filter { _ =>
+            // catalog identity first, then the root-path set (one path
+            // or many — a resolved snapshot read spans several roots)
+            RegistryKeys.candidates(lr, loc).view.flatMap { key =>
+              StatsRegistry.getByKey(key).filter { _ =>
                 // freshness: the scan's own (driver-cached) listing
                 // must match the registration-time snapshot — no I/O
-                StatsRegistry.getSnapshot(path).forall(snap =>
+                StatsRegistry.getSnapshotByKey(key).forall(snap =>
                   snap.nFiles == loc.inputFiles.length.toLong &&
                   snap.totalBytes == loc.sizeInBytes)
-              }.map(Resolved(_, ps, caps))
-            case _             => None
-          }
+              }
+            }.headOption.map(Resolved(_, ps, caps))
           case _ => None
         }
       case _ => None
     }
 
-  /** Registered (and snapshot-fresh) stats of the single scan under
+  /** Registered (and snapshot-fresh) stats of the scan under
     * projections/filters/aliases of `p`, plus the comparison
-    * predicates collected on the way down. Multi-root scans,
-    * unregistered scans, and scans whose CURRENT file listing no
-    * longer matches the registration-time snapshot → None (the rules
-    * stay silent — stale stats must never stamp a plan).
+    * predicates collected on the way down. Resolution tries the
+    * catalog-table identity, then the root-path set (single dir or a
+    * multi-root snapshot read). Unregistered scans and scans whose
+    * CURRENT file listing no longer matches the registration-time
+    * snapshot → None (the rules stay silent — stale stats must never
+    * stamp a plan).
     */
   def leafStats(p: LogicalPlan)
       : Option[(TableStats, Seq[(String, String, Long)])] =

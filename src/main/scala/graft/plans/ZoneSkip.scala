@@ -25,9 +25,6 @@ object ZoneRegistry {
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, ZoneManifest]()
 
-  private def norm(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
-
   /** Canonical file key: the URI path, so `input_file_name()`
     * renderings ("file:///p") and FileIndex renderings ("file:/p")
     * meet on one form.
@@ -35,11 +32,32 @@ object ZoneRegistry {
   private[plans] def fileKey(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  def register(tableDir: String, m: ZoneManifest): Unit = {
-    byPath.put(norm(tableDir), m); ()
+  def register(tableDir: String, m: ZoneManifest): Unit =
+    registerRoots(Seq(tableDir), m)
+
+  /** Register under a multi-root key (a copy-on-write snapshot's bucket
+    * directories, a post-compaction multi-dir read): the manifest is
+    * file-keyed, so one merged manifest covers every root.
+    */
+  def registerRoots(dirs: Seq[String], m: ZoneManifest): Unit = {
+    byPath.put(RegistryKeys.ofRoots(dirs), m); ()
   }
+
+  /** Register under a CATALOG-TABLE identity (`saveAsTable` →
+    * `spark.table(name)` plans resolve without a path).
+    */
+  def registerTable(spark: SparkSession, name: String,
+                    m: ZoneManifest): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val db = ident.database.getOrElse(
+      spark.sessionState.catalog.getCurrentDatabase)
+    byPath.put(RegistryKeys.ofTable(db, ident.table), m); ()
+  }
+
   def get(tableDir: String): Option[ZoneManifest] =
-    Option(byPath.get(norm(tableDir)))
+    Option(byPath.get(RegistryKeys.norm(tableDir)))
+  private[plans] def getByKey(key: String): Option[ZoneManifest] =
+    Option(byPath.get(key))
   def clear(): Unit = byPath.clear()
   def isEmpty: Boolean = byPath.isEmpty
 }
@@ -86,8 +104,30 @@ object Zones {
     * row per file × zone-column — the size of any scan's file listing.
     */
   def registerFromMetadata(spark: SparkSession, tableDir: String,
-                           metaDir: String): Unit = {
-    val rows = spark.read.parquet(metaDir)
+                           metaDir: String): Unit =
+    registerFromMetadataRoots(spark, Seq(tableDir), Seq(metaDir))
+
+  /** Multi-root variant: one merged manifest, loaded from one or more
+    * metadata tables, registered for a multi-root read (a resolved
+    * copy-on-write snapshot, a post-compaction multi-dir union). The
+    * manifest is FILE-keyed, so entries for files a given listing does
+    * not contain are simply never consulted.
+    */
+  def registerFromMetadataRoots(spark: SparkSession, dirs: Seq[String],
+                                metaDirs: Seq[String]): Unit =
+    ZoneRegistry.registerRoots(dirs, loadManifest(spark, metaDirs))
+
+  /** Catalog-table variant: `spark.table(name)` plans then zone-prune
+    * with zero paths in the query (see [[ZoneRegistry.registerTable]]).
+    */
+  def registerTableFromMetadata(spark: SparkSession, tableName: String,
+                                metaDirs: Seq[String]): Unit =
+    ZoneRegistry.registerTable(spark, tableName,
+      loadManifest(spark, metaDirs))
+
+  private def loadManifest(spark: SparkSession, metaDirs: Seq[String])
+      : ZoneRegistry.ZoneManifest = {
+    val rows = spark.read.parquet(metaDirs: _*)
       .select(col("file"), col("col_name"), col("min_repr"),
         col("max_repr"))
       .collect()
@@ -96,7 +136,7 @@ object Zones {
         f -> rs.map(r => r.getString(1) -> (r.getString(2), r.getString(3)))
           .toMap
       }
-    ZoneRegistry.register(tableDir, ZoneRegistry.ZoneManifest(files))
+    ZoneRegistry.ZoneManifest(files)
   }
 
   /** ANALYZE + persist + register in one call (the ingest-time step). */
@@ -195,9 +235,12 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
       case f @ Filter(cond, lr: LogicalRelation) =>
         lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.toList match {
-              case single :: Nil =>
-                ZoneRegistry.get(single.toString) match {
+            // catalog identity first, then the root-path set — single
+            // dir or a multi-root read (a resolved snapshot, a
+            // post-compaction multi-dir union); the manifest is
+            // file-keyed, so one lookup serves any root shape
+                RegistryKeys.candidates(lr, fs.location).view
+                  .flatMap(ZoneRegistry.getByKey).headOption match {
                   case Some(manifest) =>
                     val ps = StatsLeaf.preds(cond).distinct
                     if (ps.isEmpty) f
@@ -224,8 +267,6 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
                     }
                   case None => f
                 }
-              case _ => f
-            }
           case _ => f
         }
     }

@@ -207,6 +207,44 @@ class StatsPlannerSpec extends SparkSpec {
     }
   }
 
+  test("catalog table: spark.table(...) flips to broadcast via the " +
+       "table-name registration, zero graft calls in the query") {
+    val tbl = "graft_scat_sup"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .write.mode("overwrite").saveAsTable(tbl)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def q() = Tables.lineitem(spark, sf)
+        .select(col("l_suppkey"), col("l_quantity"))
+        .join(spark.table(tbl), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      StatsRegistry.clear()
+      val before = q()
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val beforeRows = before.collect().map(_.toSeq).sortBy(_.toString)
+      StatsRegistry.registerTable(spark, tbl,
+        StatsPlanner.analyzeStats(spark.table(tbl), Seq("s_suppkey")))
+      val after = q()
+      assert(after.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        after.queryExecution.executedPlan.toString.take(1200))
+      assert(after.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        beforeRows.toSeq)
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      ()
+    }
+  }
+
   test("q214 zone-map skip: the scan touches only surviving files, " +
        "decision replayed") {
     val df = SparkEntry.queries("q214_stats_file_skip")(spark, sf)

@@ -144,6 +144,76 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("multi-root read: one merged manifest prunes files across BOTH " +
+       "registered roots") {
+    // the post-compaction / resolved-snapshot shape: the table is a
+    // UNION of directories; the manifest is file-keyed, the registry
+    // key is the root SET (order-free)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zmulti").toString
+    val dirA = s"$base/a"; val dirB = s"$base/b"; val meta = s"$base/meta"
+    new java.io.File(dirA).mkdirs(); new java.io.File(dirB).mkdirs()
+    for (b <- 0 until 4) {
+      val stage = s"$base/stage$b"
+      spark.range(b * 25, (b + 1) * 25)
+        .select(col("id").as("k"), (col("id") * 10).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      val dst = if (b < 2) dirA else dirB
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$dst/f$b.parquet"))
+    }
+    try {
+      Zones.writeMetadata(
+        Zones.analyzeFiles(spark.read.parquet(dirA, dirB), Seq("k")), meta)
+      Zones.registerFromMetadataRoots(spark, Seq(dirA, dirB), Seq(meta))
+      def q(lo: Int, hi: Int) = spark.read.parquet(dirB, dirA)
+        .filter(col("k") >= lo && col("k") < hi)
+      // [20, 55) intersects f0 [0,25) and f1 [25,50) in dirA plus
+      // f2 [50,75) in dirB — pruning spans both roots
+      val across = q(20, 55)
+      val files = scannedFiles(across)
+      assert(files.length == 3 && !files.exists(_.contains("f3")),
+        files.toString)
+      assert(across.count() == 35L)
+      // root order in the read does not matter (sorted key)
+      val oneRoot = q(80, 200)
+      val kept = scannedFiles(oneRoot)
+      assert(kept.length == 1 && kept.head.contains("f3.parquet"),
+        kept.toString)
+      assert(oneRoot.count() == 20L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("catalog table: spark.table(...) zone-prunes via the table-name " +
+       "registration, zero paths in the query") {
+    import org.apache.spark.sql.SaveMode
+    val tbl = "graft_zcat_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(tbl)
+    try {
+      val meta = java.nio.file.Files
+        .createTempDirectory("graft-zcat").toString + "/meta"
+      Zones.writeMetadata(
+        Zones.analyzeFiles(spark.table(tbl), Seq("k")), meta)
+      Zones.registerTableFromMetadata(spark, tbl, Seq(meta))
+      val df = spark.table(tbl).filter(col("k") >= 90)
+      val kept = scannedFiles(df)
+      assert(kept.length < 4 && kept.nonEmpty, kept.toString)
+      assert(df.count() == 10L)
+    } finally {
+      ZoneRegistry.clear()
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      ()
+    }
+  }
+
   test("incremental zone maintenance scans only the delta file") {
     val (table, meta) = layout()
     try {
