@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-11 query: the sink↔stats loop closed — the engine's own
+  * maintained table becomes a first-class citizen of the planning
+  * machinery it sits next to.
+  *
+  * e43 — a stream upserts into the copy-on-write snapshot sink with
+  * SELF-MAINTENANCE on ([[graft.sources.Loader.Maintain]]): each batch
+  * zone-maps and ANALYZEs only the buckets it rewrote (one pass over
+  * the delta, history never rescanned), clusters each bucket's rewrite
+  * by the query column (`cents`) and rolls files at a size bound so
+  * file zones are TIGHT within a bucket, and refreshes the registries
+  * from the durable metadata. Then a PLAIN
+  * `readSnapshot(...).filter(...)` joined to customer — zero graft
+  * calls in the query — gets its file listing zone-pruned across the
+  * snapshot's multi-root bucket dirs AND its join side stamped for
+  * broadcast from the merged per-bucket statistics. Both decisions ride
+  * the output; the oracle replays the whole chain from first
+  * principles: the latest-per-key snapshot, the FNV bucket assignment,
+  * the cluster-sorted file layout arithmetic (files roll at
+  * `maxRecordsPerFile`, so bucket `b` keeps
+  * `ceil(rows_b/m) − floor((rows_b − cnt_ge_b)/m)` files for a
+  * `cents ≥ X` window), and the broadcast arithmetic.
+  *
+  * Why every batch arrives keyed by user hash: the upsert is
+  * arrival-order across batches, so putting ALL of a user's rows in ONE
+  * arrival unit makes the per-key winner a within-batch decision by
+  * `orderCols` — the final snapshot equals the global latest-per-key
+  * regardless of file-arrival order, which is exactly what the oracle's
+  * QUALIFY replays.
+  *
+  * Scale shape: staging is one shuffle of events; the stream is 3 real
+  * micro-batches; each batch's maintenance cost is O(files it wrote);
+  * the final query scans only zone-surviving files and broadcasts the
+  * filtered snapshot. Oracle-parity conventions follow [[Queries]]'
+  * scaladoc.
+  */
+object Queries95 {
+  import Queries.Q
+
+  private val NBuckets = 4
+  private val NFiles = 3
+  private val TargetFiles = 16L // m = ceil(nUsers / TargetFiles)
+
+  val sparkQueries: Map[String, Q] = Map(
+    "e43_sink_zone_skip" -> ((s, d) => {
+      val work = Scratch.fresh("e43_sink", d)
+      val raw = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      // stage the source as NFiles arrival units keyed by user hash
+      val stage = s"$work/stage"; val srcDir = s"$work/src"
+      raw.withColumn("fid",
+          pmod(functions.Expressions.fnv_hash(
+            col("user_id").cast("string")), lit(NFiles.toLong)))
+        .repartition(col("fid"))
+        .write.mode("overwrite").partitionBy("fid").parquet(stage)
+      new java.io.File(srcDir).mkdirs()
+      for (i <- 0 until NFiles) {
+        val dir = new java.io.File(s"$stage/fid=$i")
+        val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"e43: expected one staged file for fid=$i, got ${parts.length}")
+        val dst = java.nio.file.Paths.get(s"$srcDir/f$i.parquet")
+        java.nio.file.Files.move(parts(0).toPath, dst)
+        // ascending mtimes pin the batch order (not the answer — the
+        // user-hash split makes the result order-free — just the
+        // version numbering)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+      }
+      val nUsers = raw.select(countDistinct(col("user_id")).as("n"))
+        .head().getLong(0)
+      val m = (nUsers + TargetFiles - 1) / TargetFiles
+      val schema = s.read.parquet(srcDir).schema
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val (q, handle) = sources.Loader.streamUpsertSink(
+        src, s"$work/sink", key = "user_id",
+        orderCols = Seq("ts", "event_id"),
+        checkpointDir = Some(s"$work/ckpt"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = NBuckets,
+        maintain = Some(sources.Loader.Maintain(
+          zoneCols = Seq("cents"), statCols = Seq("user_id", "cents"),
+          clusterBy = Some("cents"), maxRecordsPerFile = Some(m))))
+      q.awaitTermination()
+      val vdir = handle.currentDir.get
+      // total files: the UNFILTERED resolved snapshot's listing
+      val total = sources.Loader.readSnapshot(s, vdir).inputFiles.length
+      val bounds = sources.Loader.readSnapshot(s, vdir)
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .head()
+      val x = (bounds.getLong(0) + bounds.getLong(1)) / 2 // cents ≥ 0
+      // the user's query: plain reads, zero graft calls — the injected
+      // rules zone-prune the snapshot listing and stamp the broadcast
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = cust
+        .join(sources.Loader.readSnapshot(s, vdir)
+                .filter(col("cents") >= lit(x)),
+              col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"))
+      val opt = agg.queryExecution.optimizedPlan
+      // kept files, read off the multi-root (snapshot) leaf
+      val kept = opt.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case h: HadoopFsRelation
+            if h.location.rootPaths.length > 1 =>
+          h.location.inputFiles.length }.sum
+      // the broadcast decision: the user wrote NO hint, so a stamped
+      // BROADCAST hint in the optimized plan is the stats rule's doing
+      val stamped = opt.collect { case j: Join => j.hint }.exists(h =>
+        h.leftHint.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+        h.rightHint.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+      require(kept < total,
+        s"e43: zone pruning did not shrink the listing ($kept/$total)")
+      agg
+        .withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(total.toLong))
+        .withColumn("strategy", lit(if (stamped) "broadcast" else "none"))
+        .orderBy(col("c_mktsegment"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // replay from first principles: snapshot = latest per key; bucket =
+    // pmod(FNV(key string), 4); within a bucket files roll at m rows in
+    // cents order, so kept = ceil(rows_b/m) − floor((rows_b−cnt_b)/m)
+    // when any row clears X (the window's low edge), 0 otherwise; the
+    // aggregate replays the UNPRUNED filtered join, so pruning provably
+    // hid no rows; broadcast = rows × width under the 10 MiB default
+    "e43_sink_zone_skip" -> {
+      val fnv = ExtensionQueries.FnvSql("CAST(user_id AS VARCHAR)")
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |prm AS MATERIALIZED (
+         |  SELECT ((COUNT(*) + ${TargetFiles - 1}) // $TargetFiles) AS m,
+         |         (MIN(cents) + MAX(cents)) // 2 AS x FROM snap),
+         |bk AS MATERIALIZED (
+         |  SELECT user_id, cents,
+         |    ((((CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |         THEN fu - 18446744073709551616::HUGEINT
+         |         ELSE fu END) % $NBuckets) + $NBuckets) % $NBuckets) AS b
+         |  FROM (SELECT user_id, cents, $fnv AS fu FROM snap)),
+         |pb AS MATERIALIZED (
+         |  SELECT b, COUNT(*) AS rows_b,
+         |    SUM(CASE WHEN cents >= (SELECT x FROM prm)
+         |        THEN 1 ELSE 0 END) AS cnt_b
+         |  FROM bk GROUP BY b),
+         |fl AS MATERIALIZED (
+         |  SELECT CAST(SUM((rows_b + m - 1) // m) AS BIGINT) AS total,
+         |    CAST(SUM(CASE WHEN cnt_b = 0 THEN 0
+         |      ELSE (rows_b + m - 1) // m - (rows_b - cnt_b) // m
+         |      END) AS BIGINT) AS kept
+         |  FROM pb, prm)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  (SELECT kept FROM fl) AS n_files_kept,
+         |  (SELECT total FROM fl) AS n_files_total,
+         |  (SELECT CASE WHEN COUNT(*) * 32 <= 10485760
+         |     THEN 'broadcast' ELSE 'none' END FROM snap) AS strategy
+         |FROM snap JOIN customer ON c_custkey = user_id
+         |WHERE cents >= (SELECT x FROM prm)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    })
+}

@@ -63,7 +63,7 @@ object SparkEntry {
       Queries88.sparkQueries ++ Queries89.sparkQueries ++
       Queries90.sparkQueries ++ Queries91.sparkQueries ++
       Queries92.sparkQueries ++ Queries93.sparkQueries ++
-      Queries94.sparkQueries
+      Queries94.sparkQueries ++ Queries95.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +100,6 @@ object SparkEntry {
       Queries83.oracleSql ++ Queries84.oracleSql ++ Queries85.oracleSql ++
       Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql ++
       Queries89.oracleSql ++ Queries90.oracleSql ++ Queries91.oracleSql ++
-      Queries92.oracleSql ++ Queries93.oracleSql ++ Queries94.oracleSql
+      Queries92.oracleSql ++ Queries93.oracleSql ++ Queries94.oracleSql ++
+      Queries95.oracleSql
 }

@@ -66,8 +66,17 @@ object StatsPlanner {
     * (BIGINT cents, explicit date renderings) so the rendering is
     * engine-independent, as in [[graft.Queries83]].
     */
-  def analyze(df: DataFrame, exprs: Seq[(String, String)]): DataFrame = {
-    val aggs = exprs.zipWithIndex.flatMap { case ((_, e), i) =>
+  def analyze(df: DataFrame, exprs: Seq[(String, String)]): DataFrame =
+    emitManifest(df.agg(count(lit(1)).as("n_total"),
+      statsAggCols(exprs): _*), exprs.map(_._1))
+
+  /** The per-column aggregate set of one ANALYZE pass: non-null count,
+    * NATIVE-typed min/max (rendering happens only at emission, so
+    * merges compare native values, never strings), and a KMV
+    * bottom-256 sketch — all mergeable.
+    */
+  private def statsAggCols(exprs: Seq[(String, String)]): Seq[Column] =
+    exprs.zipWithIndex.flatMap { case ((_, e), i) =>
       Seq(
         count(expr(e)).as(s"nn_$i"),
         min(expr(e)).as(s"mn_$i"),
@@ -76,8 +85,13 @@ object StatsPlanner {
           Expressions.mix64(Expressions.fnv_hash(
             expr(e).cast("string")))).as(s"sk_$i"))
     }
-    val stats = df.agg(count(lit(1)).as("n_total"), aggs: _*)
-    val rows = exprs.zipWithIndex.map { case ((name, _), i) =>
+
+  /** Emit the (col_name, n_rows, n_nulls, min_repr, max_repr, k_used,
+    * ndv_est) manifest rows from a 1-row wide stats frame.
+    */
+  private def emitManifest(stats: DataFrame, names: Seq[String])
+      : DataFrame = {
+    val rows = names.zipWithIndex.map { case (name, i) =>
       s"""struct('$name' AS col_name,
          |  n_total AS n_rows,
          |  n_total - nn_$i AS n_nulls,
@@ -93,6 +107,44 @@ object StatsPlanner {
         col("r.ndv_est"))
       .orderBy(col("col_name"))
   }
+
+  /** Per-GROUP mergeable wide stats: one row per `byCol` value carrying
+    * the group's row count plus every column's partial aggregates —
+    * the unit of incremental stats maintenance (a copy-on-write sink
+    * stores one row per rewritten bucket; the current table's stats
+    * are the [[mergeWide]] of each live bucket's row). One scan of the
+    * analyzed data, map-side combining.
+    */
+  def analyzeWideBy(df: DataFrame, byCol: String,
+                    exprs: Seq[(String, String)]): DataFrame =
+    df.groupBy(col(byCol)).agg(count(lit(1)).as("n_total"),
+      statsAggCols(exprs): _*)
+
+  /** Merge wide stats rows by pure algebra (q211's mergeability proof
+    * at many-partial grain): counts add, NATIVE min/max take least/
+    * greatest, KMV sketches union via the sign-flip sort-and-slice.
+    * One row out; never rescans the data.
+    */
+  def mergeWide(wide: DataFrame, nCols: Int): DataFrame = {
+    val aggs = (0 until nCols).flatMap { i =>
+      Seq(
+        sum(col(s"nn_$i")).cast("long").as(s"nn_$i"),
+        min(col(s"mn_$i")).as(s"mn_$i"),
+        max(col(s"mx_$i")).as(s"mx_$i"),
+        expr(s"transform(slice(array_sort(transform(" +
+          s"array_distinct(flatten(collect_list(sk_$i))), " +
+          s"x -> x ^ shiftleft(1L, 63))), 1, 256), " +
+          s"x -> x ^ shiftleft(1L, 63))").as(s"sk_$i"))
+    }
+    wide.agg(sum(col("n_total")).cast("long").as("n_total"), aggs: _*)
+  }
+
+  /** Manifest rows, then driver-side [[TableStats]], from a merged
+    * 1-row wide frame — the consumption end of incremental maintenance.
+    */
+  def tableStatsFromWide(merged: DataFrame,
+                         exprs: Seq[(String, String)]): TableStats =
+    tableStats(emitManifest(merged, exprs.map(_._1)))
 
   /** Columns analyzed as themselves (ints / strings / dates whose
     * string rendering is already canonical).

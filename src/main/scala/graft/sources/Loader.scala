@@ -123,6 +123,37 @@ object Loader {
     def currentDir: Option[String] = dir
   }
 
+  /** Self-maintaining metadata for [[streamUpsertSink]] snapshots — the
+    * piece that makes the sink's own table a first-class citizen of the
+    * stats/zone planning loop: after each batch, the rewritten buckets
+    * (and ONLY those — one pass over the delta the batch just wrote,
+    * never a rescan) contribute per-file zone rows to
+    * `<baseDir>/_zones/v<seq>` and one per-bucket mergeable wide-stats
+    * row to `<baseDir>/_stats/v<seq>`, both durable BEFORE the manifest
+    * commit marker; the current registries are then refreshed from the
+    * manifest so a plain `readSnapshot(...).filter(...)` zone-prunes
+    * and its joins plan from fresh statistics with zero graft calls in
+    * the query.
+    *
+    * @param zoneCols  columns zone-mapped per file
+    * @param statCols  columns ANALYZEd per bucket (mergeable: counts
+    *        add, native min/max combine, KMV sketches union — the
+    *        merged stats equal a full re-ANALYZE bit-for-bit, q211's
+    *        proof)
+    * @param clusterBy sort each bucket's rewrite by this column so file
+    *        zones are TIGHT on it (the liquid-clustering half: bucket
+    *        by key for upsert locality, cluster by query column for
+    *        skipping)
+    * @param maxRecordsPerFile roll bucket rewrites to a new file at
+    *        this many rows — with `clusterBy`, each file covers a
+    *        contiguous value range, so range predicates skip files
+    *        within a bucket
+    */
+  final case class Maintain(zoneCols: Seq[String] = Nil,
+                            statCols: Seq[String] = Nil,
+                            clusterBy: Option[String] = None,
+                            maxRecordsPerFile: Option[Long] = None)
+
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
   private[sources] val HashName = "fnv1a64" // the layout's bucket hash
@@ -250,8 +281,15 @@ object Loader {
         val live = readManifest(fs, s"$baseDir/v$current")
           .buckets.values.toSet + current
         val dead = committed.filterNot(live.contains)
-        dead.foreach(v => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true))
+        dead.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true)
+          // the version's maintenance metadata dies with it
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$baseDir/_zones/v$v"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$baseDir/_stats/v$v"), true)
+          ()
+        }
         dead
     }
   }
@@ -284,7 +322,8 @@ object Loader {
                        orderCols: Seq[String],
                        checkpointDir: Option[String] = None,
                        trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
-                       nBuckets: Int = 8)
+                       nBuckets: Int = 8,
+                       maintain: Option[Maintain] = None)
       : (org.apache.spark.sql.streaming.StreamingQuery, SnapshotHandle) = {
     require(stream.isStreaming, "streamUpsertSink: batch input")
     require(orderCols.nonEmpty, "streamUpsertSink: empty orderCols")
@@ -322,7 +361,12 @@ object Loader {
           .map(v => v -> readManifest(fs, s"$baseDir/v$v"))
           .find(_._2.txn >= 0)
         lastData.filter(_._2.txn == id) match {
-          case Some((v, _)) => handle.dir = Some(s"$baseDir/v$v")
+          case Some((v, _)) =>
+            handle.dir = Some(s"$baseDir/v$v")
+            // a restarted driver has empty registries — refresh them
+            // from the durable metadata even on the skip path
+            maintain.foreach(mt =>
+              registerSnapshot(spark, s"$baseDir/v$v", mt))
           case None =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
@@ -357,17 +401,44 @@ object Loader {
                 .select(dataCols.map(col): _*),
               batchData, key)
           val next = s"$baseDir/v$seq"
-          // STATIC partition overwrite truncates a stale replay attempt
-          merged
+          // STATIC partition overwrite truncates a stale replay attempt.
+          // With clusterBy, rows sort (bucket, cluster) so the writer's
+          // required partition ordering is already satisfied (no
+          // re-sort) and each rolled file covers a contiguous cluster
+          // range — tight zones within the bucket.
+          val bucketed = merged
             .withColumn(BucketCol, bucketOf(key, nBuckets))
             .repartition(col(BucketCol))
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy(BucketCol).parquet(next)
+          val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
+            c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
+          val w0 = clustered.write.mode(SaveMode.Overwrite)
+          val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+            m => w0.option("maxRecordsPerFile", m.toString))
+          w1.partitionBy(BucketCol).parquet(next)
+          // metadata BEFORE the commit marker (a crash between them
+          // leaves an uncommitted attempt; a committed version always
+          // has its zones/stats): one pass over ONLY the files this
+          // batch wrote — history is never rescanned
+          maintain.foreach { mt =>
+            val newVer = spark.read.parquet(next)
+            if (mt.zoneCols.nonEmpty)
+              graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$baseDir/_zones/v$seq")
+            if (mt.statCols.nonEmpty)
+              graft.operators.StatsPlanner.analyzeWideBy(
+                  newVer, BucketCol, mt.statCols.map(c => c -> c))
+                .write.mode(SaveMode.Overwrite)
+                .parquet(s"$baseDir/_stats/v$seq")
+          }
           // manifest last = commit marker: touched buckets live here,
           // untouched buckets keep pointing at their current version
           writeManifest(fs, next,
             Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, id))
           handle.dir = Some(next)
+          // refresh the driver-side registries from the new manifest so
+          // the NEXT plain read plans from fresh metadata
+          maintain.foreach(mt => registerSnapshot(spark, next, mt))
         } finally { latest.unpersist(); () }
         }
         ()
@@ -377,6 +448,53 @@ object Loader {
     val writer = trigger.fold(writer1)(t => writer1.trigger(t))
     val q = writer.start()
     (q, handle)
+  }
+
+  /** Refresh the driver-side stats/zone registries for a committed
+    * snapshot version from its DURABLE maintenance metadata — the step
+    * a restarted driver (or a reader session that never ran the
+    * stream) calls to make `readSnapshot(versionDir)` plans zone-prune
+    * and broadcast from measured statistics. Bounded driver work: one
+    * manifest read, one scan of ≤ #live-version stats rows (one per
+    * bucket), one scan of the referenced zone metadata tables — never
+    * the data.
+    *
+    * Current-stats resolution: bucket `b`'s stats row lives in
+    * `_stats/v<version holding b>` — exactly the copy-on-write rule the
+    * data files follow — and the merged result equals a full re-ANALYZE
+    * of the resolved snapshot bit-for-bit (the q211 merge algebra).
+    * Zone rows are file-keyed, so rows for superseded files are simply
+    * never consulted.
+    */
+  def registerSnapshot(spark: org.apache.spark.sql.SparkSession,
+                       versionDir: String, maintain: Maintain): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsFor(versionDir, spark)
+    val base = new org.apache.hadoop.fs.Path(versionDir)
+      .getParent.toString
+    val man = readManifest(fs, versionDir)
+    val dirs = man.buckets.toSeq.sorted.map {
+      case (b, v) => s"$base/v$v/$BucketCol=$b"
+    }
+    val versions = man.buckets.values.toSet.toSeq.sorted
+    if (maintain.statCols.nonEmpty) {
+      val exprs = maintain.statCols.map(c => c -> c)
+      val byVer = man.buckets.groupBy(_._2)
+      val wide = versions.map { v =>
+        val bs = byVer(v).keys.toSeq
+        spark.read.parquet(s"$base/_stats/v$v")
+          .filter(col(BucketCol).isin(bs: _*))
+      }.reduce(_ unionByName _)
+      val stats = graft.operators.StatsPlanner.tableStatsFromWide(
+        graft.operators.StatsPlanner.mergeWide(wide, exprs.length), exprs)
+      graft.plans.StatsRegistry.registerRoots(dirs, stats)
+    }
+    if (maintain.zoneCols.nonEmpty) {
+      val zdirs = versions.map(v => s"$base/_zones/v$v")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (zdirs.nonEmpty)
+        graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs)
+    }
   }
 
   /** Single-file CSV for reference parity (`main.py:277` writes exactly one

@@ -460,6 +460,87 @@ class CheckpointRestartSpec extends SparkSpec {
     assert(got == 7L, got.toString)
   }
 
+  test("maintained sink: zone/stats metadata survives a crash-replay " +
+       "and re-registers from disk") {
+    val base = Files.createTempDirectory("graft-ckr-maint").toString
+    val schema = batch1.toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    val maintain = graft.sources.Loader.Maintain(
+      zoneCols = Seq("event_id"), statCols = Seq("user_id", "event_id"),
+      clusterBy = Some("event_id"), maxRecordsPerFile = Some(1L))
+    def runSink(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val (q, _) = graft.sources.Loader.streamUpsertSink(
+        src, s"$base/sink", key = "user_id",
+        orderCols = Seq("ts", "event_id"),
+        checkpointDir = Some(s"$base/ck"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = 4,
+        maintain = Some(maintain))
+      q.awaitTermination()
+    }
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation }
+        .collect { case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.toSeq }.flatten
+    val sink = s"$base/sink"
+    addFile(s"$base/src", "f1.parquet", 1000000L, batch1)
+    runSink()
+    addFile(s"$base/src", "f2.parquet", 2000000L, Seq(ev(3L), ev(10L)))
+    runSink()
+    // crash-replay: the batch applied, the checkpoint commit was lost —
+    // the rerun must SKIP it (txn marker), leaving chain and metadata
+    // exactly as committed
+    assert(Files.deleteIfExists(Paths.get(s"$base/ck/commits/1")))
+    Files.deleteIfExists(Paths.get(s"$base/ck/commits/.1.crc"))
+    runSink()
+    val versions = Option(new java.io.File(sink).list())
+      .getOrElse(Array.empty).filter(_.startsWith("v")).sorted.toSeq
+    assert(versions == Seq("v0", "v1"), versions.toString)
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // a FRESH driver: registries empty, everything reloaded from disk
+      graft.plans.StatsRegistry.clear()
+      graft.plans.ZoneRegistry.clear()
+      graft.sources.Loader.registerSnapshot(spark, s"$sink/v1", maintain)
+      val snap = graft.sources.Loader.readSnapshot(spark, s"$sink/v1")
+      val ids = snap.select(col("event_id")).as[Long].collect().sorted
+      assert(ids.length == 7) // one row per user
+      val x = ids(ids.length / 2)
+      // plain filtered read: zone-pruned across the multi-root listing
+      // (maxRecordsPerFile=1 → one row per file, exact zones)
+      val filtered = graft.sources.Loader
+        .readSnapshot(spark, s"$sink/v1")
+        .filter(col("event_id") >= x)
+      val files = scanned(filtered)
+      val expect = ids.count(_ >= x)
+      assert(files.length == expect && files.length < ids.length,
+        s"${files.length} files for $expect matching rows")
+      assert(filtered.count() == expect.toLong)
+      // fresh stats: a plain join gets the broadcast stamped with
+      // Spark's own size-based broadcast disabled
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.range(0, 7)
+        .select(col("id").as("uid"))
+        .join(graft.sources.Loader.readSnapshot(spark, s"$sink/v1"),
+              col("uid") === col("user_id"))
+        .groupBy(lit(1).as("g")).agg(count(lit(1)).as("n"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p.take(1200))
+      assert(joined.head().getAs[Long]("n") == 7L)
+    } finally {
+      graft.plans.StatsRegistry.clear()
+      graft.plans.ZoneRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("vacuumSnapshots removes only versions the current manifest no " +
        "longer references") {
     val base = Files.createTempDirectory("graft-ckr-vac").toString
