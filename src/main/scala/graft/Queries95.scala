@@ -47,52 +47,64 @@ object Queries95 {
   private val NFiles = 3
   private val TargetFiles = 16L // m = ceil(nUsers / TargetFiles)
 
+  /** Stage events as [[NFiles]] user-keyed arrival units, stream them
+    * through the self-maintaining upsert sink, and return the final
+    * version dir plus the ingest `maxRecordsPerFile` and the Maintain
+    * config (shared by e43 and q228).
+    */
+  private def runMaintainedSink(s: org.apache.spark.sql.SparkSession,
+                                d: String, tag: String)
+      : (String, Long, sources.Loader.Maintain) = {
+    val work = Scratch.fresh(tag, d)
+    val raw = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    // stage the source as NFiles arrival units keyed by user hash
+    val stage = s"$work/stage"; val srcDir = s"$work/src"
+    raw.withColumn("fid",
+        pmod(functions.Expressions.fnv_hash(
+          col("user_id").cast("string")), lit(NFiles.toLong)))
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(stage)
+    new java.io.File(srcDir).mkdirs()
+    for (i <- 0 until NFiles) {
+      val dir = new java.io.File(s"$stage/fid=$i")
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") &&
+                     f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"$tag: expected one staged file for fid=$i, got ${parts.length}")
+      val dst = java.nio.file.Paths.get(s"$srcDir/f$i.parquet")
+      java.nio.file.Files.move(parts(0).toPath, dst)
+      // ascending mtimes pin the batch order (not the answer — the
+      // user-hash split makes the result order-free — just the
+      // version numbering)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val nUsers = raw.select(countDistinct(col("user_id")).as("n"))
+      .head().getLong(0)
+    val m = (nUsers + TargetFiles - 1) / TargetFiles
+    val maintain = sources.Loader.Maintain(
+      zoneCols = Seq("cents"), statCols = Seq("user_id", "cents"),
+      clusterBy = Some("cents"), maxRecordsPerFile = Some(m))
+    val schema = s.read.parquet(srcDir).schema
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val (q, handle) = sources.Loader.streamUpsertSink(
+      src, s"$work/sink", key = "user_id",
+      orderCols = Seq("ts", "event_id"),
+      checkpointDir = Some(s"$work/ckpt"),
+      trigger = Some(Trigger.AvailableNow()), nBuckets = NBuckets,
+      maintain = Some(maintain))
+    q.awaitTermination()
+    (handle.currentDir.get, m, maintain)
+  }
+
   val sparkQueries: Map[String, Q] = Map(
     "e43_sink_zone_skip" -> ((s, d) => {
-      val work = Scratch.fresh("e43_sink", d)
-      val raw = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-      // stage the source as NFiles arrival units keyed by user hash
-      val stage = s"$work/stage"; val srcDir = s"$work/src"
-      raw.withColumn("fid",
-          pmod(functions.Expressions.fnv_hash(
-            col("user_id").cast("string")), lit(NFiles.toLong)))
-        .repartition(col("fid"))
-        .write.mode("overwrite").partitionBy("fid").parquet(stage)
-      new java.io.File(srcDir).mkdirs()
-      for (i <- 0 until NFiles) {
-        val dir = new java.io.File(s"$stage/fid=$i")
-        val parts = Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith("part-") &&
-                       f.getName.endsWith(".parquet"))
-        require(parts.length == 1,
-          s"e43: expected one staged file for fid=$i, got ${parts.length}")
-        val dst = java.nio.file.Paths.get(s"$srcDir/f$i.parquet")
-        java.nio.file.Files.move(parts(0).toPath, dst)
-        // ascending mtimes pin the batch order (not the answer — the
-        // user-hash split makes the result order-free — just the
-        // version numbering)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
-      }
-      val nUsers = raw.select(countDistinct(col("user_id")).as("n"))
-        .head().getLong(0)
-      val m = (nUsers + TargetFiles - 1) / TargetFiles
-      val schema = s.read.parquet(srcDir).schema
-      val src = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      val (q, handle) = sources.Loader.streamUpsertSink(
-        src, s"$work/sink", key = "user_id",
-        orderCols = Seq("ts", "event_id"),
-        checkpointDir = Some(s"$work/ckpt"),
-        trigger = Some(Trigger.AvailableNow()), nBuckets = NBuckets,
-        maintain = Some(sources.Loader.Maintain(
-          zoneCols = Seq("cents"), statCols = Seq("user_id", "cents"),
-          clusterBy = Some("cents"), maxRecordsPerFile = Some(m))))
-      q.awaitTermination()
-      val vdir = handle.currentDir.get
+      val (vdir, _, _) = runMaintainedSink(s, d, "e43_sink")
       // total files: the UNFILTERED resolved snapshot's listing
       val total = sources.Loader.readSnapshot(s, vdir).inputFiles.length
       val bounds = sources.Loader.readSnapshot(s, vdir)
@@ -130,6 +142,60 @@ object Queries95 {
         .withColumn("n_files_kept", lit(kept.toLong))
         .withColumn("n_files_total", lit(total.toLong))
         .withColumn("strategy", lit(if (stamped) "broadcast" else "none"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // compaction (OPTIMIZE): after the stream fragments each bucket
+    // into ~ceil(rows_b/m) rolled files, compactSnapshot bin-packs
+    // every fragmented bucket into ONE sorted file under a maintenance
+    // commit (txn −1), its zone/stats metadata recomputed from one pass
+    // over the COMPACTED files only; vacuum drops the superseded
+    // versions; and the same plain filtered read then keeps exactly
+    // the buckets whose value range clears the window. The oracle
+    // replays fragmentation (before), bin-packing (after = nonempty
+    // buckets), and post-compaction skipping (kept = buckets with any
+    // row in the window) — and the aggregate proves compaction+vacuum
+    // changed no answer.
+    "q228_sink_compaction" -> ((s, d) => {
+      val (vdir, _, maintain) = runMaintainedSink(s, d, "q228_sink")
+      val baseDir = new java.io.File(vdir).getParent
+      val before = sources.Loader.readSnapshot(s, vdir)
+        .inputFiles.length
+      val answerBefore = sources.Loader.readSnapshot(s, vdir).count()
+      // bin-pack fully: one file per fragmented bucket (no roll bound)
+      val compacted = sources.Loader.compactSnapshot(s, baseDir,
+        Some(maintain.copy(maxRecordsPerFile = None)))
+      val cdir = compacted.getOrElse(
+        sys.error("q228: nothing fragmented — staging produced " +
+          "single-file buckets"))
+      val removed = sources.Loader.vacuumSnapshots(s, baseDir)
+      require(removed.nonEmpty, "q228: vacuum found nothing superseded")
+      val after = sources.Loader.readSnapshot(s, cdir).inputFiles.length
+      require(after < before, s"q228: no reduction ($before -> $after)")
+      require(sources.Loader.readSnapshot(s, cdir).count() == answerBefore,
+        "q228: compaction or vacuum changed the snapshot")
+      val bounds = sources.Loader.readSnapshot(s, cdir)
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .head()
+      val x = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = cust
+        .join(sources.Loader.readSnapshot(s, cdir)
+                .filter(col("cents") >= lit(x)),
+              col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"))
+      val kept = agg.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case h: HadoopFsRelation
+            if h.location.rootPaths.length > 1 =>
+          h.location.inputFiles.length }.sum
+      agg
+        .withColumn("n_files_before", lit(before.toLong))
+        .withColumn("n_files_after", lit(after.toLong))
+        .withColumn("n_files_kept", lit(kept.toLong))
         .orderBy(col("c_mktsegment"))
     }))
 
@@ -175,6 +241,48 @@ object Queries95 {
          |  (SELECT total FROM fl) AS n_files_total,
          |  (SELECT CASE WHEN COUNT(*) * 32 <= 10485760
          |     THEN 'broadcast' ELSE 'none' END FROM snap) AS strategy
+         |FROM snap JOIN customer ON c_custkey = user_id
+         |WHERE cents >= (SELECT x FROM prm)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // before = the ingest fragmentation Σ ceil(rows_b/m); after = one
+    // file per nonempty bucket (full bin-pack); kept = buckets whose
+    // [min, max] cents zone clears the window ⟺ any row ≥ X
+    "q228_sink_compaction" -> {
+      val fnv = ExtensionQueries.FnvSql("CAST(user_id AS VARCHAR)")
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |prm AS MATERIALIZED (
+         |  SELECT ((COUNT(*) + ${TargetFiles - 1}) // $TargetFiles) AS m,
+         |         (MIN(cents) + MAX(cents)) // 2 AS x FROM snap),
+         |bk AS MATERIALIZED (
+         |  SELECT user_id, cents,
+         |    ((((CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |         THEN fu - 18446744073709551616::HUGEINT
+         |         ELSE fu END) % $NBuckets) + $NBuckets) % $NBuckets) AS b
+         |  FROM (SELECT user_id, cents, $fnv AS fu FROM snap)),
+         |pb AS MATERIALIZED (
+         |  SELECT b, COUNT(*) AS rows_b,
+         |    SUM(CASE WHEN cents >= (SELECT x FROM prm)
+         |        THEN 1 ELSE 0 END) AS cnt_b
+         |  FROM bk GROUP BY b),
+         |fl AS MATERIALIZED (
+         |  SELECT CAST(SUM((rows_b + m - 1) // m) AS BIGINT) AS before_n,
+         |    CAST(COUNT(*) AS BIGINT) AS after_n,
+         |    CAST(SUM(CASE WHEN cnt_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS kept
+         |  FROM pb, prm)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  (SELECT before_n FROM fl) AS n_files_before,
+         |  (SELECT after_n FROM fl) AS n_files_after,
+         |  (SELECT kept FROM fl) AS n_files_kept
          |FROM snap JOIN customer ON c_custkey = user_id
          |WHERE cents >= (SELECT x FROM prm)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin

@@ -450,6 +450,77 @@ object Loader {
     (q, handle)
   }
 
+  /** Compaction (OPTIMIZE) for [[streamUpsertSink]] snapshots — the
+    * other half of every table format's maintenance pair (vacuum
+    * removes dead VERSIONS; this bin-packs accumulated small FILES).
+    * Buckets whose current directory holds more than one data file are
+    * rewritten — each into a single sorted file (or several, when
+    * `maintain.maxRecordsPerFile` bounds file size) under a NEW commit
+    * slot with `txn = -1`; untouched buckets keep their manifest
+    * pointers, so the cost is O(fragmented buckets), never O(snapshot).
+    * The new version's zone/stats metadata comes from one pass over the
+    * COMPACTED files only (the incremental-maintenance rule), written
+    * before the manifest commit marker; registries refresh afterward.
+    * Because versions are sequence slots with txn markers, a compaction
+    * commit can never collide with a future replayed batch id — but run
+    * it while the stream is STOPPED (like [[vacuumSnapshots]]): an
+    * in-flight batch may be writing the next slot. Pair with
+    * [[vacuumSnapshots]] to drop the superseded versions.
+    *
+    * Returns the new version directory, or None when nothing is
+    * fragmented.
+    */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String,
+                      maintain: Option[Maintain] = None)
+      : Option[String] = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(return None)
+    val man = readManifest(fs, s"$baseDir/v$latest")
+    def dataFiles(dir: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).count { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && st.isFile
+      }
+    val fragmented = man.buckets.toSeq.sorted.filter { case (b, v) =>
+      dataFiles(s"$baseDir/v$v/$BucketCol=$b") > 1
+    }
+    if (fragmented.isEmpty) return None
+    val seq = latest + 1
+    val next = s"$baseDir/v$seq"
+    // a half-written earlier attempt at this slot is truncated first
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    for ((b, v) <- fragmented) {
+      val one = spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b")
+        .coalesce(1)
+      val sorted = maintain.flatMap(_.clusterBy).fold(one)(
+        c => one.sortWithinPartitions(col(c)))
+      val w0 = sorted.write.mode(SaveMode.Overwrite)
+      val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+        mrf => w0.option("maxRecordsPerFile", mrf.toString))
+      w1.parquet(s"$next/$BucketCol=$b")
+    }
+    maintain.foreach { mt =>
+      val newVer = spark.read.parquet(next)
+      if (mt.zoneCols.nonEmpty)
+        graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$baseDir/_zones/v$seq")
+      if (mt.statCols.nonEmpty)
+        graft.operators.StatsPlanner.analyzeWideBy(
+            newVer, BucketCol, mt.statCols.map(c => c -> c))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$baseDir/_stats/v$seq")
+    }
+    writeManifest(fs, next,
+      Manifest(man.buckets ++ fragmented.map(_._1 -> seq),
+        man.nBuckets, -1L))
+    maintain.foreach(mt => registerSnapshot(spark, next, mt))
+    Some(next)
+  }
+
   /** Refresh the driver-side stats/zone registries for a committed
     * snapshot version from its DURABLE maintenance metadata — the step
     * a restarted driver (or a reader session that never ran the

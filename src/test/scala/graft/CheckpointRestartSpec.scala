@@ -541,6 +541,69 @@ class CheckpointRestartSpec extends SparkSpec {
     }
   }
 
+  test("compaction: bin-packs fragmented buckets under a maintenance " +
+       "slot, is idempotent, and the stream continues on the next slot") {
+    val base = Files.createTempDirectory("graft-ckr-compact").toString
+    val schema = batch1.toDF(
+      "event_id", "ts", "user_id", "event_type", "value").schema
+    val maintain = graft.sources.Loader.Maintain(
+      zoneCols = Seq("event_id"), statCols = Seq("user_id"),
+      clusterBy = Some("event_id"), maxRecordsPerFile = Some(1L))
+    def runSink(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src")
+      val (q, _) = graft.sources.Loader.streamUpsertSink(
+        src, s"$base/sink", key = "user_id",
+        orderCols = Seq("ts", "event_id"),
+        checkpointDir = Some(s"$base/ck"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = 4,
+        maintain = Some(maintain))
+      q.awaitTermination()
+    }
+    val sink = s"$base/sink"
+    addFile(s"$base/src", "f1.parquet", 1000000L, batch1) // v0, txn 0
+    runSink()
+    addFile(s"$base/src", "f2.parquet", 2000000L,
+      Seq(ev(3L), ev(10L)))                               // v1, txn 1
+    runSink()
+    // maxRecordsPerFile=1 fragments every multi-user bucket
+    val compact = graft.sources.Loader.compactSnapshot(spark, sink,
+      Some(maintain.copy(maxRecordsPerFile = None)))
+    assert(compact.contains(s"$sink/v2"), compact.toString)
+    // the compaction version's zone metadata references ONLY its own
+    // (compacted) files — the incremental-maintenance rule
+    val zfiles = spark.read.parquet(s"$sink/_zones/v2")
+      .select(col("file")).collect().map(_.getString(0))
+    assert(zfiles.nonEmpty && zfiles.forall(_.contains("/v2/")),
+      zfiles.take(3).mkString(","))
+    // idempotent: nothing fragmented on the second call
+    assert(graft.sources.Loader.compactSnapshot(spark, sink,
+      Some(maintain.copy(maxRecordsPerFile = None))).isEmpty)
+    // answers survive compaction + vacuum
+    val before = graft.sources.Loader.readSnapshot(spark, s"$sink/v2")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    graft.sources.Loader.vacuumSnapshots(spark, sink)
+    val after = graft.sources.Loader.readSnapshot(spark, s"$sink/v2")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(after == before)
+    // the stream CONTINUES after the maintenance commit: batch id 2
+    // lands on slot v3 (no collision, merges off the compacted state)
+    addFile(s"$base/src", "f3.parquet", 3000000L,
+      Seq(ev(18L), ev(26L)))
+    runSink()
+    val versions = Option(new java.io.File(sink).list())
+      .getOrElse(Array.empty).filter(_.startsWith("v")).sorted.toSeq
+    assert(versions.contains("v3"), versions.toString)
+    val got = graft.sources.Loader.readSnapshot(spark, s"$sink/v3")
+      .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      .collect().toMap
+    val b1Latest = batch1.groupBy(_._3).map { case (u, rows) =>
+      u -> rows.maxBy(r => (r._2.getTime, r._1))._1 }
+    // arrival order: f2 replaced user 3; f3 replaced users 4 and 5
+    val expected = b1Latest ++ Map(3L -> 10L, 4L -> 18L, 5L -> 26L)
+    assert(got == expected, got.toString)
+  }
+
   test("vacuumSnapshots removes only versions the current manifest no " +
        "longer references") {
     val base = Files.createTempDirectory("graft-ckr-vac").toString
