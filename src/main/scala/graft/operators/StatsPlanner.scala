@@ -249,6 +249,22 @@ object StatsPlanner {
     }
   }
 
+  /** Rational selectivity of a STRING comparison `col <op> 'value'`:
+    * equality is the same System R 1/V(R, col) as any type (uniformity
+    * over distinct values — the KMV NDV hashes the string rendering, so
+    * it is exact-below-k for flag-like columns); string RANGES have no
+    * interval arithmetic (no meaningful "width" between two strings),
+    * so they price as 1 — a filter the model can't price never
+    * discounts. This is what lets a `shipmode = 'AIR'`-shaped filter
+    * qualify a big side for broadcast.
+    */
+  def predSelectivityStr(stats: TableStats, c: String, op: String,
+                         v: String): (BigInt, BigInt) = {
+    if (!stats.cols.contains(c)) return (BigInt(1), BigInt(1))
+    if (op == "=") (BigInt(1), BigInt(stats.ndv(c)))
+    else (BigInt(1), BigInt(1))
+  }
+
   /** Side estimate under arbitrary comparison predicates: rational
     * selectivities multiply (independence, the Selinger model).
     */

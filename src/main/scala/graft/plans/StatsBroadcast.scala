@@ -158,6 +158,14 @@ object StatsRegistry {
   */
 private[plans] object StatsLeaf {
 
+  /** One collected comparison predicate: column, operator, and the
+    * literal as either an integer (ints; DATE literals carry
+    * days-since-epoch, the unit the manifests' date renderings parse
+    * into) or a string (flag-like columns — `shipmode = 'AIR'`).
+    */
+  private[plans] final case class CmpPred(col: String, op: String,
+                                          lit: Either[Long, String])
+
   /** Integer rendering of a literal a manifest can price. DATE
     * literals carry days-since-epoch ints — the same unit
     * [[StatsPlanner.predSelectivity]] parses date renderings into.
@@ -169,25 +177,31 @@ private[plans] object StatsLeaf {
     case Literal(v: java.lang.Byte, _)    => Some(v.longValue)
     case _                                => None
   }
+  private def litVal(e: Expression): Option[Either[Long, String]] =
+    longLit(e).map(Left(_)).orElse(e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+          if s != null => Some(Right(s.toString))
+      case _ => None
+    })
   private def flip(op: String): String = op match {
     case "<" => ">"; case "<=" => ">="
     case ">" => "<"; case ">=" => "<="; case o => o
   }
 
-  /** Comparison predicates (col, op, integer literal) collected from a
-    * conjunction — equality contributes the System R 1/V(R, col)
-    * selectivity, ranges contribute interval arithmetic over the
-    * manifest [min, max] ([[StatsPlanner.predSelectivity]]).
-    * Disjunctions, non-integer literals, and other predicates
-    * contribute nothing (selectivity 1 — conservative: filters only
-    * shrink).
+  /** Comparison predicates collected from a conjunction — equality
+    * contributes the System R 1/V(R, col) selectivity (any literal
+    * type), integer/date ranges contribute interval arithmetic over
+    * the manifest [min, max], string literals feed the zone rule's
+    * type-aware order. Disjunctions, other literal types, and other
+    * predicates contribute nothing (selectivity 1 — conservative:
+    * filters only shrink).
     */
-  def preds(cond: Expression): Seq[(String, String, Long)] = {
+  def preds(cond: Expression): Seq[CmpPred] = {
     def one(a: Expression, b: Expression, op: String) = (a, b) match {
       case (ar: AttributeReference, l: Literal) =>
-        longLit(l).map(v => (ar.name, op, v)).toSeq
+        litVal(l).map(v => CmpPred(ar.name, op, v)).toSeq
       case (l: Literal, ar: AttributeReference) =>
-        longLit(l).map(v => (ar.name, flip(op), v)).toSeq
+        litVal(l).map(v => CmpPred(ar.name, flip(op), v)).toSeq
       case _ => Seq.empty
     }
     cond match {
@@ -211,11 +225,11 @@ private[plans] object StatsLeaf {
     */
   private[plans] case class Resolved(
       stats: TableStats,
-      ps: Seq[(String, String, Long)],
+      ps: Seq[CmpPred],
       groupCaps: Seq[Seq[String]])
 
   private def resolve(p: LogicalPlan,
-                      ps: Seq[(String, String, Long)] = Nil,
+                      ps: Seq[CmpPred] = Nil,
                       caps: Seq[Seq[String]] = Nil): Option[Resolved] =
     p match {
       case Project(_, c)         => resolve(c, ps, caps)
@@ -267,7 +281,7 @@ private[plans] object StatsLeaf {
     * stamp a plan).
     */
   def leafStats(p: LogicalPlan)
-      : Option[(TableStats, Seq[(String, String, Long)])] =
+      : Option[(TableStats, Seq[CmpPred])] =
     resolve(p).map(r => (r.stats, r.ps))
 
   /** Rational size estimate of a join side from its registered scan:
@@ -283,8 +297,11 @@ private[plans] object StatsLeaf {
         math.max(1L, p.output.map(_.dataType.defaultSize.toLong).sum)
       // predSelectivity returns (1,1) for manifest-unknown columns —
       // a filter we can't price never discounts
-      val sels = ps.distinct.map { case (c, op, v) =>
-        StatsPlanner.predSelectivity(s, c, op, v)
+      val sels = ps.distinct.map {
+        case CmpPred(c, op, Left(v))  =>
+          StatsPlanner.predSelectivity(s, c, op, v)
+        case CmpPred(c, op, Right(v)) =>
+          StatsPlanner.predSelectivityStr(s, c, op, v)
       }
       val base = StatsPlanner.SideEst(BigInt(s.rows), width,
         selNum = sels.map(_._1).product,

@@ -18,9 +18,19 @@ import org.apache.spark.sql.types.StructType
   */
 object ZoneRegistry {
 
-  /** file path (URI-normalized) → column → (minRepr, maxRepr). */
+  /** file path (URI-normalized) → column → (minRepr, maxRepr), plus
+    * each zone column's TYPE TAG ("long", "date", "string", "other" —
+    * captured from the analyzed frame's schema). The tag decides the
+    * order renderings compare under: integer/date renderings parse to
+    * longs, string renderings compare lexicographically (correct for
+    * strings, exactly the order parquet string stats use), and anything
+    * else never prunes — a DOUBLE's "9.5" must never lose
+    * lexicographically to "10.2". Columns with no tag (a pre-tag
+    * metadata table) default to the parse-based integer/date behavior.
+    */
   final case class ZoneManifest(
-      files: Map[String, Map[String, (String, String)]])
+      files: Map[String, Map[String, (String, String)]],
+      tags: Map[String, String] = Map.empty)
 
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, ZoneManifest]()
@@ -73,6 +83,21 @@ object Zones {
     * STRING)` (dates as yyyy-MM-dd), the same forms
     * [[graft.operators.StatsPlanner.predSelectivity]] prices.
     */
+  /** The type tag a column's zone renderings carry — decides the
+    * comparison order [[ZoneSkipRule]] may use (see
+    * [[ZoneRegistry.ZoneManifest]]).
+    */
+  private[plans] def tagOf(dt: org.apache.spark.sql.types.DataType)
+      : String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "string"
+      case DateType   => "date"
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case _          => "other"
+    }
+  }
+
   def analyzeFiles(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "Zones.analyzeFiles: no columns")
     // min/max in the column's NATIVE type, rendered after — a string
@@ -81,15 +106,17 @@ object Zones {
       Seq(expr(s"CAST(MIN($c) AS STRING)").as(s"mn_$i"),
           expr(s"CAST(MAX($c) AS STRING)").as(s"mx_$i"))
     }
+    val tags = cols.map(c => tagOf(df.schema(c).dataType))
     val wide = df.select(input_file_name().as("file") +:
         cols.map(col): _*)
       .groupBy(col("file")).agg(aggs.head, aggs.tail: _*)
     val rows = cols.zipWithIndex.map { case (c, i) =>
-      s"struct('$c' AS col_name, mn_$i AS min_repr, mx_$i AS max_repr)"
+      s"struct('$c' AS col_name, mn_$i AS min_repr, " +
+        s"mx_$i AS max_repr, '${tags(i)}' AS col_tag)"
     }.mkString("array(", ", ", ")")
     wide.select(col("file"), explode(expr(rows)).as("z"))
       .select(col("file"), col("z.col_name"), col("z.min_repr"),
-        col("z.max_repr"))
+        col("z.max_repr"), col("z.col_tag"))
       .orderBy(col("file"), col("col_name"))
   }
 
@@ -127,16 +154,22 @@ object Zones {
 
   private def loadManifest(spark: SparkSession, metaDirs: Seq[String])
       : ZoneRegistry.ZoneManifest = {
-    val rows = spark.read.parquet(metaDirs: _*)
-      .select(col("file"), col("col_name"), col("min_repr"),
-        col("max_repr"))
-      .collect()
+    val raw = spark.read.parquet(metaDirs: _*)
+    // pre-tag metadata tables load with no tags (parse-based behavior)
+    val hasTag = raw.schema.fieldNames.contains("col_tag")
+    val cols = Seq(col("file"), col("col_name"), col("min_repr"),
+      col("max_repr")) ++ (if (hasTag) Seq(col("col_tag")) else Nil)
+    val rows = raw.select(cols: _*).collect()
     val files = rows.groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
       .map { case (f, rs) =>
         f -> rs.map(r => r.getString(1) -> (r.getString(2), r.getString(3)))
           .toMap
       }
-    ZoneRegistry.ZoneManifest(files)
+    val tags =
+      if (hasTag)
+        rows.map(r => r.getString(1) -> r.getString(4)).toMap
+      else Map.empty[String, String]
+    ZoneRegistry.ZoneManifest(files, tags)
   }
 
   /** ANALYZE + persist + register in one call (the ingest-time step). */
@@ -229,6 +262,45 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
       case _ => true // unpriceable rendering: keep
     }
 
+  /** String-tagged variant: renderings of a STRING column compare
+    * lexicographically — the column's real order, exactly what parquet
+    * string statistics use. Only called when the manifest's type tag
+    * says "string"; a numeric rendering must never compare this way
+    * ('9' > '24'). Null renderings (all-NULL file) keep the file.
+    */
+  private def zoneMayMatchStr(zone: (String, String), op: String,
+                              v: String): Boolean =
+    (Option(zone._1), Option(zone._2)) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "="  => mn <= v && v <= mx
+        case "<"  => mn < v
+        case "<=" => mn <= v
+        case ">"  => mx > v
+        case ">=" => mx >= v
+        case _    => true
+      }
+      case _ => true
+    }
+
+  /** Type-aware dispatch: integer/date literals price against
+    * parseable renderings (any non-string tag — the parse itself
+    * rejects mismatches conservatively); string literals price ONLY
+    * against string-tagged columns; every other combination keeps the
+    * file.
+    */
+  private def predKeeps(zones: Map[String, (String, String)],
+                        tags: Map[String, String],
+                        p: StatsLeaf.CmpPred): Boolean =
+    zones.get(p.col).forall { z =>
+      p.lit match {
+        case Left(v) if !tags.get(p.col).contains("string") =>
+          zoneMayMatch(z, p.op, v)
+        case Right(s) if tags.get(p.col).contains("string") =>
+          zoneMayMatchStr(z, p.op, s)
+        case _ => true
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (ZoneRegistry.isEmpty) plan // fast path: no zones, no effect
     else plan.transformUp {
@@ -248,10 +320,8 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
                       val files = fs.location.inputFiles
                       val survivors = files.filter { file =>
                         manifest.files.get(ZoneRegistry.fileKey(file)) match {
-                          case Some(zones) => ps.forall { case (c, op, v) =>
-                            zones.get(c)
-                              .forall(z => zoneMayMatch(z, op, v))
-                          }
+                          case Some(zones) => ps.forall(p =>
+                            predKeeps(zones, manifest.tags, p))
                           case None => true // unmanifested file: keep
                         }
                       }

@@ -207,6 +207,55 @@ class StatsPlannerSpec extends SparkSpec {
     }
   }
 
+  test("registry rule applies STRING-equality selectivity: " +
+       "flag = 'R' discounts by 1/ndv and flips the broadcast") {
+    val liPath = s"$sf/lineitem.parquet"
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevGraft = spark.conf.getOption(
+      graft.plans.StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, "65536")
+      def q() = spark.read.parquet(liPath)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(spark, sf)
+                .select(col("o_orderkey"), col("o_orderstatus")),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      StatsRegistry.clear()
+      val before = q()
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val beforeRows = before.collect().map(_.toSeq).sortBy(_.toString)
+      // raw 6000 × 28 B = 168 kB fails 64 KiB; the string equality on
+      // l_returnflag (KMV ndv 3, exact below k) discounts to 56 kB —
+      // only the string-predicate pricing finds this broadcast
+      StatsRegistry.register(liPath, StatsPlanner.analyzeStats(
+        spark.read.parquet(liPath)
+          .select(col("l_orderkey"), col("l_returnflag")),
+        Seq("l_orderkey", "l_returnflag")))
+      val after = q()
+      assert(after.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        after.queryExecution.executedPlan.toString.take(1200))
+      assert(after.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        beforeRows.toSeq)
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevGraft match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
   test("catalog table: spark.table(...) flips to broadcast via the " +
        "table-name registration, zero graft calls in the query") {
     val tbl = "graft_scat_sup"

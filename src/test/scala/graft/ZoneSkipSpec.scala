@@ -214,6 +214,55 @@ class ZoneSkipSpec extends SparkSpec {
     }
   }
 
+  test("string-tagged zones prune ranges lexicographically; non-string " +
+       "renderings never compare that way") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zstr").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    new java.io.File(table).mkdirs()
+    // one file per flag value, plus a numeric column whose renderings
+    // would MISLEAD lexicographically ("9" vs "24") and a double column
+    val flags = Seq("AIR", "MAIL", "RAIL", "SHIP")
+    for ((f, i) <- flags.zipWithIndex) {
+      val stage = s"$base/stage$i"
+      spark.range(0, 10)
+        .select(lit(f).as("mode"),
+          (col("id") + i * 8).as("k"), // file i covers [8i, 8i+9]
+          (col("id") * 1.5 + i).as("d"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(p => p.getName.startsWith("part-") &&
+                   p.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/f$i.parquet"))
+    }
+    try {
+      Zones.analyzeAndRegister(spark, table, meta, Seq("mode", "k", "d"))
+      // string RANGE: mode >= 'RAIL' keeps exactly RAIL and SHIP files
+      val range = spark.read.parquet(table)
+        .filter(col("mode") >= "RAIL")
+      val rf = scannedFiles(range)
+      assert(rf.length == 2 &&
+        rf.forall(f => f.contains("f2") || f.contains("f3")), rf.toString)
+      assert(range.count() == 20L)
+      // string EQUALITY: mode = 'MAIL' keeps one file
+      val eq = spark.read.parquet(table).filter(col("mode") === "MAIL")
+      val ef = scannedFiles(eq)
+      assert(ef.length == 1 && ef.head.contains("f1"), ef.toString)
+      // numeric zones on the same table still parse-compare: k >= 24
+      // keeps f2 [16,25] and f3 [24,33] — lexicographic "9" > "24"
+      // nonsense must not leak in
+      val num = spark.read.parquet(table).filter(col("k") >= 24)
+      val nf = scannedFiles(num)
+      assert(nf.length == 2 &&
+        nf.forall(f => f.contains("f2") || f.contains("f3")), nf.toString)
+      // a DOUBLE column ("other" tag) never prunes — conservative
+      val dbl = spark.read.parquet(table).filter(col("d") >= 100.0)
+      assert(scannedFiles(dbl).length == 4)
+    } finally ZoneRegistry.clear()
+  }
+
   test("incremental zone maintenance scans only the delta file") {
     val (table, meta) = layout()
     try {
