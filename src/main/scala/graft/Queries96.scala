@@ -37,7 +37,41 @@ object Queries96 {
     "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
   private val T227 = 65536L // 64 KiB: raw fails at every scale
 
+  // the q226 range cutoff sits just ABOVE the 500000 atom, so the
+  // boundary-bucket interpolation attributes that atom below the cut —
+  // the shape where measured mass shines and uniform pricing collapses
+  private val X226 = 500001L
+  private val B226 = 128 // histogram buckets
+
   val sparkQueries: Map[String, Q] = Map(
+    // histogram selectivity: a Zipf-shaped column (v = 10⁶ div (1 + key
+    // mod 1000) — half the INTERVAL holds ~0.2% of the ROWS) where
+    // uniform interval pricing errs ≥10× and measured bucket mass lands
+    // within 2×. Both estimates ride the output as exact integers
+    // (identical floor arithmetic both sides), with the adjudicating
+    // booleans; the oracle replays bucket sums, the boundary-bucket
+    // interpolation, and the uniform interval — q215's pattern at
+    // histogram grain.
+    "q226_hist_selectivity" -> ((s, d) => {
+      val fv = Tables.lineitem(s, d)
+        .select(expr("1000000L div (1L + l_orderkey % 1000L)").as("v"))
+      val stats = StatsPlanner.analyzeStats(fv, Seq("v"))
+      val statsH = StatsPlanner.withHistogram(stats, fv, "v", B226)
+      require(statsH.cols("v").hist.isDefined, "q226: histogram missing")
+      val selU = StatsPlanner.predSelectivity(stats, "v", ">=", X226)
+      val selH = StatsPlanner.predSelectivity(statsH, "v", ">=", X226)
+      val estU = (BigInt(stats.rows) * selU._1 / selU._2).toLong
+      val estH = (BigInt(statsH.rows) * selH._1 / selH._2).toLong
+      val trueN = fv.filter(col("v") >= X226).count()
+      val ss = s
+      import ss.implicits._
+      Seq((trueN, estU, estH,
+           if (estU >= 10L * trueN) 1L else 0L,
+           if (estH <= 2L * trueN && trueN <= 2L * estH) 1L else 0L))
+        .toDF("true_n", "est_uniform", "est_hist",
+          "uniform_off_10x", "hist_within_2x")
+    }),
+
     "q227_string_stats_zones" -> ((s, d) => {
       val work = Scratch.fresh("q227_strings", d)
       val layout = s"$work/table"; val meta = s"$work/meta"
@@ -124,6 +158,53 @@ object Queries96 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // the full histogram replay: bucket sums, the boundary-bucket
+    // uniform interpolation (identical floor arithmetic), the uniform
+    // interval estimate, the exact count, and the two adjudicating
+    // booleans as 0/1
+    "q226_hist_selectivity" -> {
+      val Y = X226 - 1
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT 1000000 // (1 + l_orderkey % 1000) AS v FROM lineitem),
+         |b AS MATERIALIZED (
+         |  SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v),
+         |h AS MATERIALIZED (
+         |  SELECT ((v.v - lo) * $B226) // (hi - lo + 1) AS bk,
+         |    COUNT(*) AS c
+         |  FROM v, b GROUP BY 1),
+         |e2 AS MATERIALIZED (
+         |  SELECT lo, hi, n,
+         |    (($Y - lo) * $B226) // (hi - lo + 1) AS bv,
+         |    (hi - lo + 1) AS w
+         |  FROM b),
+         |e3 AS MATERIALIZED (
+         |  SELECT lo, hi, n, bv,
+         |    lo + (bv * w + ${B226 - 1}) // $B226 AS blo,
+         |    lo + ((bv + 1) * w + ${B226 - 1}) // $B226 - 1 AS bhi
+         |  FROM e2),
+         |le AS MATERIALIZED (
+         |  SELECT n, lo, hi,
+         |    CASE WHEN $Y < lo THEN 0 WHEN $Y >= hi THEN n
+         |      ELSE ((SELECT COALESCE(SUM(c), 0) FROM h WHERE h.bk < bv)
+         |              * (bhi - blo + 1)
+         |            + (SELECT COALESCE(SUM(c), 0) FROM h WHERE h.bk = bv)
+         |              * ($Y - blo + 1)) // (bhi - blo + 1)
+         |    END AS est_le
+         |  FROM e3),
+         |u AS (SELECT (n * GREATEST(0, LEAST(hi - $X226 + 1,
+         |        hi - lo + 1))) // (hi - lo + 1) AS est_u FROM b),
+         |t AS (SELECT COUNT(*) AS true_n FROM v WHERE v >= $X226)
+         |SELECT CAST(true_n AS BIGINT) AS true_n,
+         |  CAST(est_u AS BIGINT) AS est_uniform,
+         |  CAST(n - est_le AS BIGINT) AS est_hist,
+         |  CAST(CASE WHEN est_u >= 10 * true_n THEN 1 ELSE 0 END
+         |    AS BIGINT) AS uniform_off_10x,
+         |  CAST(CASE WHEN (n - est_le) <= 2 * true_n
+         |        AND true_n <= 2 * (n - est_le) THEN 1 ELSE 0 END
+         |    AS BIGINT) AS hist_within_2x
+         |FROM le, u, t""".stripMargin
+    },
+
     // kept = flag files whose single-value zone clears >= 'N' under the
     // SAME lexicographic order; strategy = the threshold comparison with
     // the raw side failing and the KMV-NDV string-equality discount

@@ -5,12 +5,49 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.functions.{Expressions, Kmv}
 
+/** A deterministic equi-width histogram over a column's LONG domain
+  * (q208's mergeable shape at manifest grain): `counts(b)` holds the
+  * rows whose value maps to bucket `b = (v − lo)·B div (hi − lo + 1)`.
+  * Exactly order-invariant (counters are sums) and exactly replayable
+  * in integer SQL — which is what lets a SKEWED column (the norm in
+  * web corpora) price ranges by measured bucket MASS instead of the
+  * uniform-interval assumption that can err by orders of magnitude.
+  */
+final case class Hist(lo: Long, hi: Long, counts: Vector[Long]) {
+  def b: Int = counts.length
+  def total: BigInt = counts.iterator.map(BigInt(_)).sum
+
+  /** Exact-integer estimate of rows with value ≤ v: full buckets by
+    * their measured counts, the boundary bucket by uniform
+    * interpolation WITHIN the bucket (floored — replayable as integer
+    * SQL). All arithmetic in BigInt: no overflow, no float drift.
+    */
+  def estLe(v: Long): BigInt =
+    if (v < lo) BigInt(0)
+    else if (v >= hi) total
+    else {
+      val w = BigInt(hi) - BigInt(lo) + 1
+      val bi = BigInt(b)
+      def ceilDiv(x: BigInt, y: BigInt) = (x + y - 1) / y
+      val bv = ((BigInt(v) - lo) * bi / w).toInt
+      val bLo = BigInt(lo) + ceilDiv(BigInt(bv) * w, bi)
+      val bHi = BigInt(lo) + ceilDiv(BigInt(bv + 1) * w, bi) - 1
+      val bw = bHi - bLo + 1
+      val full = counts.iterator.take(bv).map(BigInt(_)).sum
+      val cb = BigInt(counts(bv))
+      (full * bw + cb * (BigInt(v) - bLo + 1)) / bw
+    }
+}
+
 /** Per-column statistics parsed back from an ANALYZE manifest
   * (q210's shape: one row per column). `rows`/`nNulls` are exact;
-  * `ndvEst` is the KMV bottom-256 estimate (exact below k=256).
+  * `ndvEst` is the KMV bottom-256 estimate (exact below k=256);
+  * `hist`, when present, replaces uniform-interval range pricing with
+  * measured bucket mass ([[Hist]]).
   */
 case class ColStats(nNulls: Long, minRepr: String, maxRepr: String,
-                    kUsed: Long, ndvEst: Long)
+                    kUsed: Long, ndvEst: Long,
+                    hist: Option[Hist] = None)
 
 /** Table-level statistics a planner consumes: exact row count plus the
   * per-column manifest. This is the driver-side value the stats
@@ -174,6 +211,68 @@ object StatsPlanner {
   def analyzeStats(df: DataFrame, columns: Seq[String]): TableStats =
     tableStats(analyze(df, columns))
 
+  /** Build the deterministic equi-width histogram of a LONG-valued
+    * canonical expression: one bounds pass, one ≤`b`-group aggregate
+    * (map-side combining — the q208 shape). None on an all-NULL or
+    * empty column. Caller contract: the expression's long domain width
+    * times `b` must fit a long (true for cents/epoch-day/id domains).
+    */
+  def histogram(df: DataFrame, e: String, b: Int = 128): Option[Hist] = {
+    require(b >= 1 && b <= 65536, s"histogram: bad bucket count $b")
+    val bounds = df.agg(
+      min(expr(e)).cast("long").as("mn"),
+      max(expr(e)).cast("long").as("mx")).head()
+    if (bounds.isNullAt(0)) return None
+    val lo = bounds.getLong(0); val hi = bounds.getLong(1)
+    val rows = df
+      .select(expr(s"((CAST($e AS BIGINT) - (${lo}L)) * ${b}L) div " +
+        s"((${hi}L) - (${lo}L) + 1L)").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect() // ≤ b rows by construction
+    val counts = Array.fill(b)(0L)
+    rows.foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    Some(Hist(lo, hi, counts.toVector))
+  }
+
+  /** Attach a measured histogram to one column of a [[TableStats]] —
+    * every subsequent range predicate on that column prices by bucket
+    * mass ([[predSelectivity]]).
+    */
+  def withHistogram(stats: TableStats, df: DataFrame, column: String,
+                    b: Int = 128): TableStats =
+    histogram(df, column, b) match {
+      case Some(h) => stats.copy(cols = stats.cols.updatedWith(column)(
+        _.map(_.copy(hist = Some(h)))))
+      case None => stats
+    }
+
+  /** Histogram PERSISTENCE — the manifest-table half: one row per
+    * column (col_name, hist_lo, hi_hi, counts array), writable next to
+    * the q210 manifest and loadable by [[tableStatsWithHists]].
+    */
+  def histManifest(df: DataFrame, exprs: Seq[(String, String)],
+                   b: Int = 128): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = exprs.flatMap { case (name, e) =>
+      histogram(df, e, b).map(h => (name, h.lo, h.hi, h.counts))
+    }
+    rows.toDF("col_name", "hist_lo", "hist_hi", "hist_counts")
+  }
+
+  /** Load persisted histograms onto a parsed [[TableStats]]. */
+  def tableStatsWithHists(stats: TableStats, histM: DataFrame)
+      : TableStats = {
+    val hs = histM.collect().map { r =>
+      r.getAs[String]("col_name") -> Hist(
+        r.getAs[Long]("hist_lo"), r.getAs[Long]("hist_hi"),
+        r.getSeq[Long](r.fieldIndex("hist_counts")).toVector)
+    }
+    hs.foldLeft(stats) { case (st, (c, h)) =>
+      st.copy(cols = st.cols.updatedWith(c)(_.map(_.copy(hist = Some(h)))))
+    }
+  }
+
   /** A join side's size estimate as an exact RATIONAL byte count
     * (rows·width·selNum / selDen): selectivity discounts stay exact
     * integers so every comparison replays in integer SQL — no float
@@ -233,6 +332,21 @@ object StatsPlanner {
                       v: Long): (BigInt, BigInt) = {
     val cs = stats.cols.get(c).getOrElse(return (BigInt(1), BigInt(1)))
     if (op == "=") return (BigInt(1), BigInt(stats.ndv(c)))
+    // measured bucket mass beats the uniformity assumption when a
+    // histogram rode the ANALYZE — a Zipf-skewed column can otherwise
+    // misprice by orders of magnitude
+    cs.hist.filter(_.total > 0).foreach { h =>
+      val t = h.total
+      val est = op match {
+        case "<=" => h.estLe(v)
+        case "<"  => if (v == Long.MinValue) BigInt(0) else h.estLe(v - 1)
+        case ">=" =>
+          if (v == Long.MinValue) t else t - h.estLe(v - 1)
+        case ">"  => t - h.estLe(v)
+        case _    => t
+      }
+      return (est.max(0).min(t), t)
+    }
     (renderLong(cs.minRepr), renderLong(cs.maxRepr)) match {
       case (Some(m), Some(mx)) if mx >= m =>
         val width = BigInt(mx) - BigInt(m) + 1

@@ -256,6 +256,71 @@ class StatsPlannerSpec extends SparkSpec {
     }
   }
 
+  test("registry rule prices ranges by HISTOGRAM mass: a Zipf column " +
+       "flips only when the registered stats carry the histogram") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-histsel").toString
+    val path = s"$base/zipf"
+    // half the INTERVAL holds ~0.2% of the ROWS
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("k"),
+        expr("1000000L div (1L + l_orderkey % 1000L)").as("v"))
+      .write.mode("overwrite").parquet(path)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevGraft = spark.conf.getOption(
+      graft.plans.StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, "4096")
+      def q() = spark.read.parquet(path)
+        .filter(col("v") >= 500001L)
+        .join(Tables.orders(spark, sf)
+                .select(col("o_orderkey"), col("o_orderstatus")),
+              col("k") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val df = spark.read.parquet(path)
+      val flat = StatsPlanner.analyzeStats(df, Seq("k", "v"))
+      // uniform interval pricing says ~50% of 96 kB — fails 4 KiB
+      StatsRegistry.clear()
+      StatsRegistry.register(path, flat)
+      val before = q()
+      assert(!before.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val beforeRows = before.collect().map(_.toSeq).sortBy(_.toString)
+      // measured bucket mass says ~0.15% — fits with room to spare
+      StatsRegistry.register(path,
+        StatsPlanner.withHistogram(flat, df, "v", 128))
+      val after = q()
+      assert(after.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        after.queryExecution.executedPlan.toString.take(1200))
+      assert(after.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+        beforeRows.toSeq)
+      // persistence round-trip: the hist manifest reloads onto parsed
+      // stats and prices identically
+      val hm = StatsPlanner.histManifest(df, Seq("v" -> "v"), 128)
+      hm.write.mode("overwrite").parquet(s"$base/hist")
+      val reloaded = StatsPlanner.tableStatsWithHists(
+        flat, spark.read.parquet(s"$base/hist"))
+      assert(StatsPlanner.predSelectivity(reloaded, "v", ">=", 500001L) ==
+        StatsPlanner.predSelectivity(
+          StatsPlanner.withHistogram(flat, df, "v", 128),
+          "v", ">=", 500001L))
+    } finally {
+      StatsRegistry.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevGraft match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.StatsBroadcastRule.ThresholdConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
   test("catalog table: spark.table(...) flips to broadcast via the " +
        "table-name registration, zero graft calls in the query") {
     val tbl = "graft_scat_sup"
