@@ -12,8 +12,7 @@ object ProbeE27 {
     spark.sparkContext.setLogLevel("ERROR")
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     for (sp <- Seq(8, 4, 2, 1); rep <- 1 to 3) {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_probe_e27_").toString
+      val work = Scratch.fresh("probe_e27", d)
       val t0 = System.nanoTime()
       val out = graft.streaming.Streams.streamedLeftOuterJoin(
         spark, s"$d/events.parquet", work,

@@ -24,8 +24,7 @@ object Queries34 {
     // second columnar format; the projection keeps the written file
     // narrow so the ORC scan prunes like the parquet one.
     "q137_orc_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_")
-        .toString
+      val tmp = Scratch.fresh("orc", d)
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
                 col("l_quantity"), col("l_extendedprice"))

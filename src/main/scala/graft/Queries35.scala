@@ -28,8 +28,7 @@ object Queries35 {
     // and dies by. The oracle computes the same day's aggregate from
     // the flat parquet.
     "q141_partition_prune" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part_")
-        .toString
+      val tmp = Scratch.fresh("part", d)
       Tables.events(s, d)
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
         .write.mode("overwrite").partitionBy("day").parquet(tmp)

@@ -17,8 +17,7 @@ object Queries38 {
     // the result is independent of how the source splits into batches
     // (pinned explicitly in Queries38Spec with forced 1-file batches).
     "e21_streamed_snapshot" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_snap_").toString
+      val work = Scratch.fresh("stream_snap", d)
       graft.streaming.Streams.streamedLatestSnapshot(
           s, s"$d/events.parquet", work)
         .orderBy(col("user_id"))
@@ -30,8 +29,7 @@ object Queries38 {
     // finalization semantics are themselves hash-checked (Streams
     // .streamedHourlyAgg scaladoc).
     "e22_streamed_hourly" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_hourly_").toString
+      val work = Scratch.fresh("stream_hourly", d)
       graft.streaming.Streams.streamedHourlyAgg(
           s, s"$d/events.parquet", work,
           s"graft_e22_sink_${System.nanoTime}")

@@ -16,8 +16,7 @@ object Queries41 {
     // condition; inner joins emit eagerly so the streamed result equals
     // the plain batch join the oracle runs.
     "e23_streamed_join" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_join_").toString
+      val work = Scratch.fresh("stream_join", d)
       graft.streaming.Streams.streamedClickPurchaseJoin(
           s, s"$d/events.parquet", work,
           s"graft_e23_sink_${System.nanoTime}")

@@ -15,8 +15,7 @@ object Queries42 {
     // key state can reject them (Streams.streamedDedup scaladoc). The
     // oracle is the plain table: emitted = exactly one copy per event.
     "e24_streamed_dedup" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_dedup_").toString
+      val work = Scratch.fresh("stream_dedup", d)
       graft.streaming.Streams.streamedDedup(
           s, s"$d/events.parquet", work,
           s"graft_e24_sink_${System.nanoTime}")

@@ -29,12 +29,14 @@ object Queries43 {
     // the JDBC→Spark direction would add partitionColumn bounds to
     // parallelize the read; a single small table needs neither.
     "q161_jdbc_roundtrip" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_derby_").toString
+      val work = Scratch.fresh("derby", d)
       // Derby writes derby.log under derby.system.home — keep it out of
       // the repo; first connect boots the engine, so set it before.
       System.setProperty("derby.system.home", work)
-      val url = s"jdbc:derby:$work/db;create=true"
+      // unique db name per invocation: Derby caches booted databases by
+      // path for the JVM's lifetime, so reusing a wiped path would hand
+      // back a zombie instance over deleted files
+      val url = s"jdbc:derby:$work/db_${System.nanoTime};create=true"
       val perNation = Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_cust"),
@@ -123,8 +125,7 @@ object Queries43 {
     // 100 TB this scan parallelizes per-file and supports pathGlobFilter
     // partition-style layout; content hashing happens scan-local.
     "m07_binary_files" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_binfiles_").toString
+      val work = Scratch.fresh("binfiles", d)
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 60 && col("text").isNotNull)
         .select(col("doc_id"), col("text"))

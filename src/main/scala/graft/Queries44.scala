@@ -26,8 +26,7 @@ object Queries44 {
     // state files. The oracle is the plain batch aggregation — i.e. the
     // state a recovering job would resume from must equal the truth.
     "e25_state_reader" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_statestore_").toString
+      val work = Scratch.fresh("statestore", d)
       graft.streaming.Streams
         .stateStoreCounts(s, s"$d/events.parquet", work)
         .orderBy(col("user_id"))

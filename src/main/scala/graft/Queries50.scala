@@ -17,8 +17,7 @@ object Queries50 {
     // so the oracle's outer leg carries the eviction predicate
     // explicitly: c_ts + 30 min < min(max c_ts, max p_ts) - 10 min.
     "e27_stream_leftouter" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_stream_lo_").toString
+      val work = Scratch.fresh("stream_lo", d)
       // statePartitions sized to THIS fixture's state volume (~20k rows
       // of join state): the r6 sweep measured 8→2 partitions as
       // 3.0→2.5 s — each stream-stream-join partition pays 4 state
@@ -37,8 +36,7 @@ object Queries50 {
     // ⇒ nothing evicts mid-run and the emitted set is exact dedup;
     // StreamingSpec pins the eviction/re-emit behavior the fixture can't.
     "e28_dedup_watermark" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e28_").toString
+      val work = Scratch.fresh("e28", d)
       graft.streaming.Streams.streamedDedupWithinWatermark(
           s, s"$d/events.parquet", work,
           s"graft_e28_sink_${System.nanoTime}")

@@ -20,8 +20,7 @@ object Queries51 {
     // correctness risk it introduces (type coercion through strings) is
     // exactly what the oracle hash catches.
     "q179_xml_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_xml_")
-        .toString
+      val tmp = Scratch.fresh("xml", d)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
                 col("c_acctbal"))
@@ -45,8 +44,7 @@ object Queries51 {
     // line-per-document text dump — and the word histogram must survive
     // the hop bit-exactly.
     "q180_text_source" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_txt_")
-        .toString
+      val tmp = Scratch.fresh("txt", d)
       Tables.documents(s, d).select(col("text")).write.mode("overwrite")
         .text(tmp)
       s.read.text(tmp)

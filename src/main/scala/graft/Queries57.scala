@@ -80,8 +80,7 @@ object Queries57 {
     // (t47's oracle shape, same budget); the cross-batch carry (earlier
     // batches spend the budget first) is pinned in StreamingSpec.
     "e29_stream_budget_fill" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e29_").toString
+      val work = Scratch.fresh("e29", d)
       graft.streaming.Streams.streamedBudgetFill(
           s, s"$d/documents.parquet", work,
           s"graft_e29_sink_${System.nanoTime}", budget = 1000L)

@@ -51,8 +51,7 @@ object Queries58 {
     // the sketch size (≤ 4×1024 cells), NOT the stream length — the
     // production shape for a continuously-maintained frequency sketch.
     "e31_stream_countmin" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e31_").toString
+      val work = Scratch.fresh("e31", d)
       graft.streaming.Streams.streamedCountMin(
           s, s"$d/documents.parquet", work,
           s"graft_e31_sink_${System.nanoTime}")

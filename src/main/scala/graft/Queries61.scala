@@ -44,8 +44,7 @@ object Queries61 {
       val docs = Tables.documents(s, d)
       val old = docs.filter(col("doc_id") < 400)
       val nw = docs.filter(col("doc_id") >= 400)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft_d26_idx_").toString
+      val idxDir = Scratch.fresh("d26_idx", d)
       Dedup.minhashBandIndex(old, "text", "doc_id", n = 5,
                              bands = 64, rowsPerBand = 4)
         .write.mode("overwrite").parquet(idxDir)
@@ -113,8 +112,7 @@ object Queries61 {
     // parquet sink across 2 forced micro-batches, exact-Jaccard verify
     // in batch — output identical to d26, by the same oracle.
     "e33_stream_neardup" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e33_").toString
+      val work = Scratch.fresh("e33", d)
       graft.streaming.Streams.streamedIncrementalNearDup(
           s, s"$d/documents.parquet", work)
         .orderBy(col("old_id"), col("new_id"))
@@ -125,8 +123,7 @@ object Queries61 {
     // forced micro-batches; the median is recovered from the final
     // grid by cumulative rank (see Streams.streamedBucketMedian).
     "e32_stream_median" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e32_").toString
+      val work = Scratch.fresh("e32", d)
       graft.streaming.Streams.streamedBucketMedian(
           s, s"$d/events.parquet", work,
           s"graft_e32_sink_${System.nanoTime}")

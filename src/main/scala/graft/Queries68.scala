@@ -20,8 +20,7 @@ object Queries68 {
     // streamed sketch is bit-identical to the batch one — which is
     // exactly what the q193-replay oracle certifies.
     "e34_stream_hll" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e34_").toString
+      val work = Scratch.fresh("e34", d)
       val reg = graft.streaming.Streams.streamedHllRegisters(
         s, s"$d/documents.parquet", work,
         s"graft_e34_sink_${System.nanoTime}")

@@ -21,8 +21,7 @@ object Queries70 {
     // bit-for-bit — it is declared against s20's IDENTICAL oracle,
     // which is the whole proof.
     "e35_stream_gram" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e35_").toString
+      val work = Scratch.fresh("e35", d)
       graft.streaming.Streams.streamedGramCells(
           s, s"$d/embeddings.parquet", work,
           s"graft_e35_sink_${System.nanoTime}")

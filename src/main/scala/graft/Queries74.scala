@@ -42,8 +42,7 @@ object Queries74 {
     // Declared against s23's IDENTICAL oracle: the hash match is the
     // streamed-equals-batch proof (the e35/s20 playbook).
     "e36_stream_kmv" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e36_").toString
+      val work = Scratch.fresh("e36", d)
       val sk = graft.streaming.Streams.streamedKmvSketch(
         s, s"$d/lineitem.parquet", "l_orderkey", work,
         s"graft_e36_sink_${System.nanoTime}")

@@ -114,8 +114,7 @@ object Queries75 {
     // streamed-equals-batch proof, including the redacted-bytes
     // fingerprint.
     "e37_stream_pii" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e37_").toString
+      val work = Scratch.fresh("e37", d)
       graft.streaming.Streams.streamedComplete(
           s, s"$d/documents.parquet", work,
           s"graft_e37_sink_${System.nanoTime}",

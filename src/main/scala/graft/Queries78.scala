@@ -22,8 +22,7 @@ object Queries78 {
     // IDENTICAL oracle — a continuously-fresh join-size stat over an
     // unbounded event stream, for the price of a 4096-row state store.
     "e38_stream_join_size" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e38_").toString
+      val work = Scratch.fresh("e38", d)
       val evCounters = graft.streaming.Streams.streamedComplete(
         s, s"$d/events.parquet", work,
         s"graft_e38_sink_${System.nanoTime}",

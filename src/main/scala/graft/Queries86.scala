@@ -19,8 +19,7 @@ object Queries86 {
 
   val sparkQueries: Map[String, Q] = Map(
     "e39_stream_analyze" -> ((s, d) => {
-      val work = java.nio.file.Files
-        .createTempDirectory("graft_e39_").toString
+      val work = Scratch.fresh("e39", d)
       val stats = graft.streaming.Streams.streamedComplete(
         s, s"$d/lineitem.parquet", work,
         s"graft_e39_sink_${System.nanoTime}",

@@ -23,8 +23,7 @@ object Queries90 {
   val sparkQueries: Map[String, Q] = Map(
     "e40_stream_shards" -> ((s, d) => {
       val work = Queries88.writeShards(s, d, "tar", Shards.tarShard)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_e40_ckpt_").toString
+      val ckpt = Scratch.fresh("e40_ckpt", d)
       val sink = s"graft_e40_sink_${System.nanoTime}"
       // binaryFile's fixed schema, stated explicitly (file-stream
       // sources refuse to infer)

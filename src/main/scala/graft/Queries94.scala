@@ -369,7 +369,7 @@ object Queries94 {
        |      >= (SELECT lod FROM lo)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  private lazy val windowZoneOracle: String =
+  private[graft] lazy val windowZoneOracle: String =
     s"""WITH zones AS (SELECT year(CAST(l_shipdate AS DATE)) AS y,
        |    MIN(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mn,
        |    MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx

@@ -36,6 +36,8 @@ object Queries96 {
   private val qtyCents =
     "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
   private val T227 = 65536L // 64 KiB: raw fails at every scale
+  private val Lo229 = "1997-03-01" // q219's window, verbatim
+  private val Hi229 = "1997-09-01"
 
   // the q226 range cutoff sits just ABOVE the 500000 atom, so the
   // boundary-bucket interpolation attributes that atom below the cut —
@@ -70,6 +72,60 @@ object Queries96 {
            if (estH <= 2L * trueN && trueN <= 2L * estH) 1L else 0L))
         .toDF("true_n", "est_uniform", "est_hist",
           "uniform_off_10x", "hist_within_2x")
+    }),
+
+    // multi-root zone pruning: the table is a UNION of two directories
+    // (early years and late years — the post-compaction / multi-
+    // snapshot shape), one merged manifest registered under the root
+    // SET, and a plain two-root read prunes files across BOTH roots.
+    // q219's window and oracle verbatim — root topology must not
+    // change a single answer bit.
+    "q229_zone_multiroot" -> ((s, d) => {
+      val work = Scratch.fresh("q229_zones", d)
+      val dirA = s"$work/early"; val dirB = s"$work/late"
+      val meta = s"$work/meta"; val stage = s"$work/stage"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("y", year(col("l_sdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(stage)
+      new java.io.File(dirA).mkdirs(); new java.io.File(dirB).mkdirs()
+      val years = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("y=")).map(_.getName.drop(2).toInt)
+        .sorted
+      val pivot = years(years.length / 2)
+      for (y <- years) {
+        val parts = new java.io.File(s"$stage/y=$y").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"q229: expected one file for year $y, got ${parts.length}")
+        val root = if (y < pivot) dirA else dirB
+        java.nio.file.Files.move(parts(0).toPath,
+          java.nio.file.Paths.get(s"$root/y$y.parquet"))
+      }
+      plans.Zones.writeMetadata(
+        plans.Zones.analyzeFiles(s.read.parquet(dirA, dirB),
+          Seq("l_sdate")), meta)
+      plans.Zones.registerFromMetadataRoots(s, Seq(dirA, dirB), Seq(meta))
+      // the user's query: a PLAIN two-root read + filter + aggregate
+      val res = s.read.parquet(dirA, dirB)
+        .filter(col("l_sdate") >= lit(java.sql.Date.valueOf(Lo229)) &&
+                col("l_sdate") < lit(java.sql.Date.valueOf(Hi229)))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case h: HadoopFsRelation =>
+          h.location.inputFiles.length }.sum
+      require(kept < years.length,
+        s"q229: no pruning across roots ($kept/${years.length})")
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(years.length.toLong))
+        .orderBy(col("l_returnflag"))
     }),
 
     "q227_string_stats_zones" -> ((s, d) => {
@@ -158,6 +214,9 @@ object Queries96 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // root topology is invisible to the answer: q219's oracle verbatim
+    "q229_zone_multiroot" -> Queries94.windowZoneOracle,
+
     // the full histogram replay: bucket sums, the boundary-bucket
     // uniform interpolation (identical floor arithmetic), the uniform
     // interval estimate, the exact count, and the two adjudicating
