@@ -128,6 +128,70 @@ object Queries96 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // append-table compaction: the q222 ingest shape accumulates one
+    // file per arrival; compactFiles bin-packs the COLD TAIL (every
+    // year but the newest) into one sorted file, appends the new
+    // file's zone row from one pass over the compacted data, and
+    // pruneMetadata drops the replaced files' stale rows (bounded by
+    // metadata size). The newest-year window still prunes to the delta
+    // file — answers identical, file count down, metadata exact.
+    "q230_zone_table_compaction" -> ((s, d) => {
+      val work = Scratch.fresh("q230_zones", d)
+      val layout = s"$work/table"; val meta = s"$work/meta"
+      val stage = s"$work/stage"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_shipdate").cast("date").as("l_sdate"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("y", year(col("l_sdate")))
+        .repartition(col("y"))
+        .write.mode("overwrite").partitionBy("y").parquet(stage)
+      new java.io.File(layout).mkdirs()
+      val years = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("y=")).map(_.getName.drop(2).toInt)
+        .sorted
+      require(years.length >= 2, "q230: need at least two years")
+      for (y <- years) {
+        val parts = new java.io.File(s"$stage/y=$y").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"q230: expected one file for year $y, got ${parts.length}")
+        java.nio.file.Files.move(parts(0).toPath,
+          java.nio.file.Paths.get(s"$layout/y$y.parquet"))
+      }
+      plans.Zones.analyzeAndRegister(s, layout, meta, Seq("l_sdate"))
+      // compact the cold tail: every file but the newest year's
+      val newest = years.last
+      val renamed = plans.Zones.compactFiles(s, layout, meta,
+        years.init.map(y => s"$layout/y$y.parquet").toSeq,
+        Seq("l_sdate"), numFiles = 1, sortBy = Some("l_sdate"))
+      require(renamed.length == 1, s"q230: ${renamed.length} outputs")
+      val dropped = plans.Zones.pruneMetadata(s, meta)
+      require(dropped == years.init.length.toLong,
+        s"q230: pruned $dropped metadata rows, expected ${years.init.length}")
+      plans.Zones.registerFromMetadata(s, layout, meta)
+      val nFiles = new java.io.File(layout).listFiles()
+        .count(f => !f.getName.startsWith("_") &&
+                    !f.getName.startsWith(".") &&
+                    f.getName.endsWith(".parquet"))
+      val res = s.read.parquet(layout)
+        .filter(col("l_sdate") >=
+                lit(java.sql.Date.valueOf(s"$newest-01-01")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: LogicalRelation => lr.relation }
+        .collect { case h: HadoopFsRelation =>
+          h.location.inputFiles.length }.sum
+      require(kept == 1,
+        s"q230: compacted tail not pruned ($kept/$nFiles)")
+      res.withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("n_files_total", lit(nFiles.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q227_string_stats_zones" -> ((s, d) => {
       val work = Scratch.fresh("q227_strings", d)
       val layout = s"$work/table"; val meta = s"$work/meta"
@@ -216,6 +280,39 @@ object Queries96 {
   val oracleSql: Map[String, String] = Map(
     // root topology is invisible to the answer: q219's oracle verbatim
     "q229_zone_multiroot" -> Queries94.windowZoneOracle,
+
+    // post-compaction structure: TWO files — the merged cold tail
+    // (zone mx = the pre-newest years' max shipdate, below the window)
+    // and the newest delta — so kept = the zone test over exactly that
+    // two-row structure; the aggregate replays the unpruned window
+    "q230_zone_table_compaction" ->
+      s"""WITH yr AS MATERIALIZED (
+         |  SELECT MAX(year(CAST(l_shipdate AS DATE))) AS ym,
+         |    (CAST(MAX(year(CAST(l_shipdate AS DATE))) AS VARCHAR)
+         |      || '-01-01') AS lod
+         |  FROM lineitem),
+         |zones2 AS MATERIALIZED (
+         |  SELECT MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS mx
+         |  FROM lineitem
+         |  WHERE year(CAST(l_shipdate AS DATE)) < (SELECT ym FROM yr)
+         |  UNION ALL
+         |  SELECT MAX(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d'))
+         |  FROM lineitem
+         |  WHERE year(CAST(l_shipdate AS DATE)) = (SELECT ym FROM yr)),
+         |fl AS MATERIALIZED (
+         |  SELECT CAST(SUM(CASE WHEN mx >= (SELECT lod FROM yr)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |    CAST(COUNT(mx) AS BIGINT) AS total
+         |  FROM zones2)
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+         |  (SELECT kept FROM fl) AS n_files_kept,
+         |  (SELECT total FROM fl) AS n_files_total
+         |FROM lineitem
+         |WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')
+         |      >= (SELECT lod FROM yr)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the full histogram replay: bucket sums, the boundary-bucket
     // uniform interpolation (identical floor arithmetic), the uniform

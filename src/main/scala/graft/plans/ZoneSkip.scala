@@ -178,6 +178,85 @@ object Zones {
     writeMetadata(analyzeFiles(spark.read.parquet(tableDir), cols), metaDir)
     registerFromMetadata(spark, tableDir, metaDir)
   }
+
+  /** Compaction for APPEND tables (the q222 ingest shape): bin-pack the
+    * given data FILES of a flat zone-mapped table into `numFiles`
+    * sorted outputs, append the new files' zone rows to the metadata
+    * table (one pass over the COMPACTED data only — history never
+    * rescanned; the replaced files' rows go stale but are file-keyed
+    * and never consulted again), and re-register. Returns the new file
+    * names.
+    *
+    * The caller picks the candidates (the cold small-file tail, by
+    * size or age) — policy stays a one-liner on top of the FS listing.
+    * Single-writer contract, like every maintenance op here: run with
+    * no concurrent reader/writer of the table. Crash ordering: new
+    * files land under dot-prefixed TEMP names (invisible to Spark
+    * listings and to the zone rule), old files are deleted only after
+    * the renames, and the metadata append happens last — a crash
+    * leaves either the old files intact or the new files plus
+    * yet-unpruned metadata, never a half-visible mix.
+    */
+  def compactFiles(spark: SparkSession, tableDir: String,
+                   metaDir: String, files: Seq[String],
+                   zoneCols: Seq[String], numFiles: Int = 1,
+                   sortBy: Option[String] = None): Seq[String] = {
+    require(files.nonEmpty, "Zones.compactFiles: no candidates")
+    require(numFiles >= 1, "Zones.compactFiles: bad numFiles")
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$tableDir/.compact_stage"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    val df0 = spark.read.parquet(files: _*).coalesce(numFiles)
+    val df = sortBy.fold(df0)(c => df0.sortWithinPartitions(col(c)))
+    df.write.mode("overwrite").parquet(stage)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      .map(_.getPath).filter { p =>
+        p.getName.startsWith("part-") && p.getName.endsWith(".parquet")
+      }.sortBy(_.getName)
+    // new files become visible only after every old file is gone
+    files.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    val renamed = parts.zipWithIndex.map { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(
+        tableDir, f"compacted_$i%05d_${p.getName}")
+      require(fs.rename(p, dst), s"Zones.compactFiles: rename $p failed")
+      dst.toString
+    }.toSeq
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // one pass over the compacted files only; stale rows for the
+    // deleted files are never consulted (file-keyed manifest)
+    analyzeFiles(spark.read.parquet(renamed: _*), zoneCols)
+      .write.mode("append").parquet(metaDir)
+    registerFromMetadata(spark, tableDir, metaDir)
+    renamed
+  }
+
+  /** Metadata-table vacuum: rewrite the zone metadata keeping only
+    * rows whose file still exists — bounded by METADATA size, never a
+    * data scan. Pairs with [[compactFiles]] when stale rows accumulate.
+    */
+  def pruneMetadata(spark: SparkSession, metaDir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(metaDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = spark.read.parquet(metaDir).collect()
+    val live = rows.filter(r => fs.exists(
+      new org.apache.hadoop.fs.Path(r.getAs[String]("file"))))
+    val dropped = rows.length - live.length
+    if (dropped > 0) {
+      val schema = spark.read.parquet(metaDir).schema
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(live: _*)), schema)
+      val tmp = s"$metaDir.rewrite"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(metaDir), true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(metaDir)),
+        s"Zones.pruneMetadata: rename $tmp failed")
+    }
+    dropped.toLong
+  }
 }
 
 /** A [[FileIndex]] that delegates to the scan's own index and drops

@@ -263,6 +263,36 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("append-table compaction: cold tail bin-packed, stale metadata " +
+       "pruned, zone pruning intact on both sides") {
+    val (table, meta) = layout() // f0..f3, k quartiles of [0,100)
+    try {
+      val before = spark.read.parquet(table).count()
+      // bin-pack the cold tail f0..f2 into ONE k-sorted file
+      val renamed = Zones.compactFiles(spark, table, meta,
+        (0 until 3).map(b => s"$table/f$b.parquet"),
+        Seq("k"), numFiles = 1, sortBy = Some("k"))
+      assert(renamed.length == 1)
+      val dropped = Zones.pruneMetadata(spark, meta)
+      assert(dropped == 3L, dropped.toString) // one zone row per old file
+      Zones.registerFromMetadata(spark, table, meta)
+      // content identical
+      assert(spark.read.parquet(table).count() == before)
+      // the hot file still prunes alone...
+      val hot = spark.read.parquet(table).filter(col("k") >= 80)
+      val hf = scannedFiles(hot)
+      assert(hf.length == 1 && hf.head.contains("f3.parquet"), hf.toString)
+      assert(hot.count() == 20L)
+      // ...and the merged cold file serves the cold window alone
+      val cold = spark.read.parquet(table).filter(col("k") < 30)
+      val cf = scannedFiles(cold)
+      assert(cf.length == 1 && cf.head.contains("compacted_"), cf.toString)
+      assert(cold.count() == 30L)
+      // metadata rows: exactly one per live file
+      assert(spark.read.parquet(meta).count() == 2L)
+    } finally ZoneRegistry.clear()
+  }
+
   test("incremental zone maintenance scans only the delta file") {
     val (table, meta) = layout()
     try {
