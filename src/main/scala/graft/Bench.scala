@@ -201,7 +201,13 @@ object Bench {
     "q219_zone_skip_plain", "q220_zone_metadata", "m21_tar_shard_stream",
     "q221_lakehouse_capstone", "q222_zone_incremental",
     "e42_stream_zone_ingest", "q223_zone_skip_partitioned",
-    "q224_stats_agg_broadcast")
+    "q224_stats_agg_broadcast",
+    // round-11: self-maintaining sink metadata, sink + append-table
+    // compaction, histogram selectivity, string predicates, multi-root
+    // zone pruning
+    "e43_sink_zone_skip", "q226_hist_selectivity",
+    "q227_string_stats_zones", "q228_sink_compaction",
+    "q229_zone_multiroot", "q230_zone_table_compaction")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
@@ -209,7 +215,7 @@ object Bench {
     * 5). Seed = 20260814 + round; PLANS.md records each round's seed
     * and slice.
     */
-  val rotationSeed: Long = 20260814L + 10
+  val rotationSeed: Long = 20260814L + 11
   val rotationSize: Int = 20
 
   def main(args: Array[String]): Unit = {
