@@ -207,7 +207,12 @@ object Bench {
     // zone pruning
     "e43_sink_zone_skip", "q226_hist_selectivity",
     "q227_string_stats_zones", "q228_sink_compaction",
-    "q229_zone_multiroot", "q230_zone_table_compaction")
+    "q229_zone_multiroot", "q230_zone_table_compaction",
+    // round-11 (second wave): dictionary zones, snapshot time travel,
+    // stats-driven skew salting
+    "q231_dict_zone_skip", "q232_time_travel", "q233_skew_salted",
+    "q234_in_list_skip", "q235_in_broadcast", "e44_sink_point_lookup",
+    "q236_heavy_equality")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -43,17 +43,17 @@ import org.apache.spark.sql.streaming.Trigger
 object Queries95 {
   import Queries.Q
 
-  private val NBuckets = 4
-  private val NFiles = 3
-  private val TargetFiles = 16L // m = ceil(nUsers / TargetFiles)
+  private[graft] val NBuckets = 4
+  private[graft] val NFiles = 3
+  private[graft] val TargetFiles = 16L // m = ceil(nUsers / TargetFiles)
 
   /** Stage events as [[NFiles]] user-keyed arrival units, stream them
     * through the self-maintaining upsert sink, and return the final
     * version dir plus the ingest `maxRecordsPerFile` and the Maintain
     * config (shared by e43 and q228).
     */
-  private def runMaintainedSink(s: org.apache.spark.sql.SparkSession,
-                                d: String, tag: String)
+  private[graft] def runMaintainedSink(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String)
       : (String, Long, sources.Loader.Maintain) = {
     val work = Scratch.fresh(tag, d)
     val raw = s.read.parquet(s"$d/events.parquet")
@@ -88,7 +88,8 @@ object Queries95 {
     val m = (nUsers + TargetFiles - 1) / TargetFiles
     val maintain = sources.Loader.Maintain(
       zoneCols = Seq("cents"), statCols = Seq("user_id", "cents"),
-      clusterBy = Some("cents"), maxRecordsPerFile = Some(m))
+      clusterBy = Some("cents"), maxRecordsPerFile = Some(m),
+      dictCols = Seq("user_id"))
     val schema = s.read.parquet(srcDir).schema
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)

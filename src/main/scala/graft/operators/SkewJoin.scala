@@ -67,4 +67,34 @@ object SkewJoin {
     saltedJoin(largeHot, smallHot, key, salt, how)
       .unionByName(largeTail.join(smallTail, Seq(key), how))
   }
+
+  /** Two-path skew join whose hot-key set comes from a PRE-ANALYZEd
+    * manifest ([[StatsPlanner.analyzeHeavy]] renderings) instead of a
+    * query-time count: the stats loop's skew half. At 100 TB the
+    * difference matters twice — the query pays no extra counting pass
+    * over the large side, and the split is decided BEFORE any shuffle
+    * launches (AQE's skew split only reacts after the lopsided map
+    * output already exists, and cannot help when the skewed side feeds
+    * an aggregation).
+    *
+    * `hotKeys` are canonical `CAST(key AS STRING)` renderings (the
+    * manifest convention), bounded by rows/minCount at authoring time,
+    * so the literal IN-list is always broadcast-sized. NULL keys take
+    * the tail path (a NULL never equals a hot key), preserving outer
+    * semantics.
+    */
+  def saltedJoinWithStats(large: DataFrame, small: DataFrame, key: String,
+                          hotKeys: Seq[String], salt: Int,
+                          how: String = "inner"): DataFrame = {
+    if (hotKeys.isEmpty)
+      return large.join(small, Seq(key), how)
+    val isHot = coalesce(
+      col(key).cast("string").isin(hotKeys: _*), lit(false))
+    val largeHot  = large.filter(isHot)
+    val largeTail = large.filter(!isHot)
+    val smallHot  = small.filter(isHot)
+    val smallTail = small.filter(!isHot)
+    saltedJoin(largeHot, smallHot, key, salt, how)
+      .unionByName(largeTail.join(smallTail, Seq(key), how))
+  }
 }

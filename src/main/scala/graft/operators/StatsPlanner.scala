@@ -43,11 +43,17 @@ final case class Hist(lo: Long, hi: Long, counts: Vector[Long]) {
   * (q210's shape: one row per column). `rows`/`nNulls` are exact;
   * `ndvEst` is the KMV bottom-256 estimate (exact below k=256);
   * `hist`, when present, replaces uniform-interval range pricing with
-  * measured bucket mass ([[Hist]]).
+  * measured bucket mass ([[Hist]]); `heavy`, when present, carries the
+  * exact counts of measured heavy hitters (rendering → count) so
+  * EQUALITY on a hot key prices by its real mass — the 1/ndv
+  * uniformity assumption UNDERESTIMATES a hot key by exactly its skew
+  * factor, which is the classic way a stats-stamped broadcast OOMs an
+  * executor.
   */
 case class ColStats(nNulls: Long, minRepr: String, maxRepr: String,
                     kUsed: Long, ndvEst: Long,
-                    hist: Option[Hist] = None)
+                    hist: Option[Hist] = None,
+                    heavy: Map[String, Long] = Map.empty)
 
 /** Table-level statistics a planner consumes: exact row count plus the
   * per-column manifest. This is the driver-side value the stats
@@ -273,6 +279,68 @@ object StatsPlanner {
     }
   }
 
+  /** Exact HEAVY-HITTER manifest of a column: every key whose measured
+    * frequency is ≥ `minCount`, as (rendering, count) pairs — the skew
+    * half of an ANALYZE pass. Output is bounded by rows/minCount keys
+    * (at most 1/share hitters can exist above a share threshold), so
+    * the driver fetch is small however large the table; the aggregate
+    * itself is one map-side-combining groupBy. Renderings are canonical
+    * `CAST(c AS STRING)`, the manifest convention.
+    *
+    * This is what lets a PLANNER decide skew handling before launching
+    * anything: AQE only discovers skew after the lopsided shuffle is
+    * already materialized, and a Misra-Gries sketch's counts are
+    * merge-order-dependent — an exact threshold count is deterministic,
+    * cheap at ANALYZE time, and replayable in external SQL.
+    */
+  def analyzeHeavy(df: DataFrame, c: String, minCount: Long)
+      : Seq[(String, Long)] = {
+    require(minCount >= 1, s"analyzeHeavy: bad minCount $minCount")
+    df.select(col(c).cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("k"))
+      .collect() // ≤ rows/minCount rows by construction
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+  }
+
+  /** Attach a measured heavy-hitter map ([[analyzeHeavy]]) to one
+    * column of a [[TableStats]] — equality predicates on that column
+    * then price by exact measured mass when the key is hot, and by the
+    * frequent-values-excluded remainder when it is cold
+    * ([[predSelectivity]]).
+    */
+  def withHeavy(stats: TableStats, df: DataFrame, column: String,
+                minCount: Long): TableStats = {
+    val hvy = analyzeHeavy(df, column, minCount).toMap
+    stats.copy(cols = stats.cols.updatedWith(column)(
+      _.map(_.copy(heavy = hvy))))
+  }
+
+  /** Equality selectivity of a rendering under a measured heavy-hitter
+    * map: a HOT key prices by its exact measured count; a COLD key by
+    * the frequent-values-excluded remainder — (rows − Σ heavy) rows
+    * spread uniformly over (ndv − |heavy|) values, the frequent-value
+    * histogram model every mature CBO uses. None when the map is
+    * absent or the remainder is degenerate (caller falls back to the
+    * plain uniform 1/ndv).
+    */
+  private def heavyEqSelectivity(rows: Long, ndv: Long,
+                                 heavy: Map[String, Long], repr: String)
+      : Option[(BigInt, BigInt)] =
+    if (heavy.isEmpty) None
+    else heavy.get(repr) match {
+      case Some(cnt) => Some((BigInt(cnt), BigInt(rows) max 1))
+      case None =>
+        val coldVals = BigInt(ndv) - BigInt(heavy.size)
+        val coldRows =
+          (BigInt(rows) - heavy.values.map(BigInt(_)).sum) max 0
+        if (coldVals > 0)
+          Some((coldRows, coldVals * (BigInt(rows) max 1)))
+        else None
+    }
+
   /** A join side's size estimate as an exact RATIONAL byte count
     * (rows·width·selNum / selDen): selectivity discounts stay exact
     * integers so every comparison replays in integer SQL — no float
@@ -331,7 +399,20 @@ object StatsPlanner {
   def predSelectivity(stats: TableStats, c: String, op: String,
                       v: Long): (BigInt, BigInt) = {
     val cs = stats.cols.get(c).getOrElse(return (BigInt(1), BigInt(1)))
-    if (op == "=") return (BigInt(1), BigInt(stats.ndv(c)))
+    if (op == "=") {
+      // measured heavy hitters beat uniformity: the literal renders in
+      // the column's own canonical form (epoch days back to yyyy-MM-dd
+      // when the manifest's renderings are dates)
+      val repr =
+        if (Option(cs.minRepr).exists(s =>
+              s.toLongOption.isEmpty &&
+              (try { java.time.LocalDate.parse(s); true }
+               catch { case _: Exception => false })))
+          java.time.LocalDate.ofEpochDay(v).toString
+        else v.toString
+      return heavyEqSelectivity(stats.rows, stats.ndv(c), cs.heavy, repr)
+        .getOrElse((BigInt(1), BigInt(stats.ndv(c))))
+    }
     // measured bucket mass beats the uniformity assumption when a
     // histogram rode the ANALYZE — a Zipf-skewed column can otherwise
     // misprice by orders of magnitude
@@ -374,8 +455,10 @@ object StatsPlanner {
     */
   def predSelectivityStr(stats: TableStats, c: String, op: String,
                          v: String): (BigInt, BigInt) = {
-    if (!stats.cols.contains(c)) return (BigInt(1), BigInt(1))
-    if (op == "=") (BigInt(1), BigInt(stats.ndv(c)))
+    val cs = stats.cols.get(c).getOrElse(return (BigInt(1), BigInt(1)))
+    if (op == "=")
+      heavyEqSelectivity(stats.rows, stats.ndv(c), cs.heavy, v)
+        .getOrElse((BigInt(1), BigInt(stats.ndv(c))))
     else (BigInt(1), BigInt(1))
   }
 

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -159,12 +159,19 @@ object StatsRegistry {
 private[plans] object StatsLeaf {
 
   /** One collected comparison predicate: column, operator, and the
-    * literal as either an integer (ints; DATE literals carry
+    * literal(s) as either integers (ints; DATE literals carry
     * days-since-epoch, the unit the manifests' date renderings parse
-    * into) or a string (flag-like columns — `shipmode = 'AIR'`).
+    * into) or strings (flag-like columns — `shipmode = 'AIR'`).
+    * Comparison ops carry exactly one literal (`lit`); op "in" carries
+    * the IN-list's distinct literals — a disjunction of equalities, so
+    * it prices as k/ndv and zone-prunes as the OR of per-literal tests.
     */
   private[plans] final case class CmpPred(col: String, op: String,
-                                          lit: Either[Long, String])
+                                          lits: Seq[Either[Long, String]]) {
+    require(lits.nonEmpty, s"CmpPred($col, $op): no literals")
+    /** The single literal of a comparison op (never call on "in"). */
+    def lit: Either[Long, String] = lits.head
+  }
 
   /** Integer rendering of a literal a manifest can price. DATE
     * literals carry days-since-epoch ints — the same unit
@@ -192,18 +199,28 @@ private[plans] object StatsLeaf {
     * contributes the System R 1/V(R, col) selectivity (any literal
     * type), integer/date ranges contribute interval arithmetic over
     * the manifest [min, max], string literals feed the zone rule's
-    * type-aware order. Disjunctions, other literal types, and other
-    * predicates contribute nothing (selectivity 1 — conservative:
-    * filters only shrink).
+    * type-aware order, and an all-literal IN-list (In or the
+    * optimizer's InSet form) contributes one "in" pred — k/ndv
+    * selectivity, OR-of-equalities zone pruning. General disjunctions,
+    * other literal types, and other predicates contribute nothing
+    * (selectivity 1 — conservative: filters only shrink).
     */
   def preds(cond: Expression): Seq[CmpPred] = {
     def one(a: Expression, b: Expression, op: String) = (a, b) match {
       case (ar: AttributeReference, l: Literal) =>
-        litVal(l).map(v => CmpPred(ar.name, op, v)).toSeq
+        litVal(l).map(v => CmpPred(ar.name, op, Seq(v))).toSeq
       case (l: Literal, ar: AttributeReference) =>
-        litVal(l).map(v => CmpPred(ar.name, flip(op), v)).toSeq
+        litVal(l).map(v => CmpPred(ar.name, flip(op), Seq(v))).toSeq
       case _ => Seq.empty
     }
+    // an IN-list prices/prunes only when EVERY member is a priceable
+    // literal — one unpriceable member makes the whole disjunction
+    // unbounded (conservative: contribute nothing)
+    def inList(col: String, vs: Seq[Option[Either[Long, String]]]) =
+      if (vs.nonEmpty && vs.forall(_.isDefined))
+        Seq(CmpPred(col, "in",
+          vs.flatten.distinct.sortBy(_.fold(_.toString, identity))))
+      else Seq.empty
     cond match {
       case And(x, y)                 => preds(x) ++ preds(y)
       case EqualTo(a, b)             => one(a, b, "=")
@@ -211,6 +228,21 @@ private[plans] object StatsLeaf {
       case LessThanOrEqual(a, b)     => one(a, b, "<=")
       case GreaterThan(a, b)         => one(a, b, ">")
       case GreaterThanOrEqual(a, b)  => one(a, b, ">=")
+      case In(ar: AttributeReference, list) =>
+        inList(ar.name, list.map {
+          case l: Literal => litVal(l)
+          case _          => None
+        })
+      case InSet(ar: AttributeReference, hset) =>
+        inList(ar.name, hset.toSeq.map {
+          case i: java.lang.Integer => Some(Left(i.longValue))
+          case l: java.lang.Long    => Some(Left(l.longValue))
+          case s: java.lang.Short   => Some(Left(s.longValue))
+          case b: java.lang.Byte    => Some(Left(b.longValue))
+          case u: org.apache.spark.unsafe.types.UTF8String
+              if u != null          => Some(Right(u.toString))
+          case _                    => None
+        })
       case _                         => Seq.empty
     }
   }
@@ -298,10 +330,16 @@ private[plans] object StatsLeaf {
       // predSelectivity returns (1,1) for manifest-unknown columns —
       // a filter we can't price never discounts
       val sels = ps.distinct.map {
-        case CmpPred(c, op, Left(v))  =>
+        case CmpPred(c, "in", vs)          =>
+          // k distinct members, uniformity over distinct values:
+          // min(k, ndv)/ndv — the k-fold System R equality selectivity
+          val ndv = BigInt(s.ndv(c))
+          (BigInt(vs.length) min ndv, ndv max 1)
+        case CmpPred(c, op, Seq(Left(v)))  =>
           StatsPlanner.predSelectivity(s, c, op, v)
-        case CmpPred(c, op, Right(v)) =>
+        case CmpPred(c, op, Seq(Right(v))) =>
           StatsPlanner.predSelectivityStr(s, c, op, v)
+        case _                             => (BigInt(1), BigInt(1))
       }
       val base = StatsPlanner.SideEst(BigInt(s.rows), width,
         selNum = sels.map(_._1).product,

@@ -27,10 +27,20 @@ object ZoneRegistry {
     * else never prunes — a DOUBLE's "9.5" must never lose
     * lexicographically to "10.2". Columns with no tag (a pre-tag
     * metadata table) default to the parse-based integer/date behavior.
+    *
+    * `dicts` is the DICTIONARY half of data skipping (file → column →
+    * exact distinct-rendering set, capped at authoring time by
+    * [[Zones.analyzeDictFiles]]): min/max zones cannot prune an
+    * EQUALITY predicate on an unclustered column whose per-file ranges
+    * all overlap (the high-cardinality-key norm), but an exact
+    * membership set can — a file is skipped iff the literal's rendering
+    * is provably absent. Files whose per-file NDV exceeded the cap are
+    * simply absent here (kept — conservative).
     */
   final case class ZoneManifest(
       files: Map[String, Map[String, (String, String)]],
-      tags: Map[String, String] = Map.empty)
+      tags: Map[String, String] = Map.empty,
+      dicts: Map[String, Map[String, Set[String]]] = Map.empty)
 
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, ZoneManifest]()
@@ -120,6 +130,47 @@ object Zones {
       .orderBy(col("file"), col("col_name"))
   }
 
+  /** Per-file DICTIONARY manifest of `df` over `cols`: for every file
+    * whose per-file distinct count on a column is ≤ `maxDict`, one row
+    * (file, col_name, dict_repr = the SORTED exact set of distinct
+    * `CAST(c AS STRING)` renderings). Files above the cap contribute no
+    * row — [[ZoneSkipRule]] keeps them (conservative), so the cap
+    * bounds METADATA size without ever hiding data. NULLs are excluded:
+    * an equality predicate never matches NULL, so a membership test
+    * over non-null renderings is exact.
+    *
+    * This is the pruning min/max zones cannot do: an EQUALITY predicate
+    * on an unclustered column whose per-file [min, max] ranges all
+    * overlap (interleaved keys — the norm for hash-distributed ids)
+    * skips nothing by range, but skips every file whose exact value set
+    * provably misses the literal.
+    *
+    * Scale shape: one distinct-projection per column (map-side
+    * combining), an ndv count per file (bounded by #files), and a
+    * collect_set bounded by `maxDict` per kept file — driver never
+    * holds more than the metadata itself.
+    */
+  def analyzeDictFiles(df: DataFrame, cols: Seq[String],
+                       maxDict: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "Zones.analyzeDictFiles: no columns")
+    require(maxDict >= 1, "Zones.analyzeDictFiles: bad maxDict")
+    cols.map { c =>
+      val dv = df.select(input_file_name().as("file"),
+          col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      // files small enough to dictionary-encode: the collect_set below
+      // is then bounded by maxDict per group
+      val small = dv.groupBy(col("file"))
+        .agg(count(lit(1)).as("ndv"))
+        .filter(col("ndv") <= maxDict).select(col("file"))
+      dv.join(small, Seq("file"))
+        .groupBy(col("file"))
+        .agg(sort_array(collect_set(col("v"))).as("dict_repr"))
+        .select(col("file"), lit(c).as("col_name"), col("dict_repr"),
+          lit(tagOf(df.schema(c).dataType)).as("col_tag"))
+    }.reduce(_ unionByName _).orderBy(col("file"), col("col_name"))
+  }
+
   /** Persist a zone manifest as the table's parquet metadata table. */
   def writeMetadata(zones: DataFrame, metaDir: String): Unit =
     zones.write.mode("overwrite").parquet(metaDir)
@@ -138,19 +189,59 @@ object Zones {
     * metadata tables, registered for a multi-root read (a resolved
     * copy-on-write snapshot, a post-compaction multi-dir union). The
     * manifest is FILE-keyed, so entries for files a given listing does
-    * not contain are simply never consulted.
+    * not contain are simply never consulted. `dictDirs`, when given,
+    * are [[analyzeDictFiles]] metadata tables merged into the
+    * manifest's dictionary half.
     */
   def registerFromMetadataRoots(spark: SparkSession, dirs: Seq[String],
-                                metaDirs: Seq[String]): Unit =
-    ZoneRegistry.registerRoots(dirs, loadManifest(spark, metaDirs))
+                                metaDirs: Seq[String],
+                                dictDirs: Seq[String] = Nil): Unit =
+    ZoneRegistry.registerRoots(dirs, mergedManifest(spark, metaDirs,
+      dictDirs))
 
   /** Catalog-table variant: `spark.table(name)` plans then zone-prune
     * with zero paths in the query (see [[ZoneRegistry.registerTable]]).
     */
   def registerTableFromMetadata(spark: SparkSession, tableName: String,
-                                metaDirs: Seq[String]): Unit =
+                                metaDirs: Seq[String],
+                                dictDirs: Seq[String] = Nil): Unit =
     ZoneRegistry.registerTable(spark, tableName,
-      loadManifest(spark, metaDirs))
+      mergedManifest(spark, metaDirs, dictDirs))
+
+  /** The min/max halves and the dictionary halves merged into one
+    * manifest. Either side may be absent (a dictionary-only table still
+    * prunes equalities; tags merge from both metadata shapes).
+    */
+  private def mergedManifest(spark: SparkSession, metaDirs: Seq[String],
+                             dictDirs: Seq[String])
+      : ZoneRegistry.ZoneManifest = {
+    val mm = if (metaDirs.isEmpty) ZoneRegistry.ZoneManifest(Map.empty)
+             else loadManifest(spark, metaDirs)
+    val (dicts, dtags) = loadDicts(spark, dictDirs)
+    mm.copy(dicts = dicts, tags = mm.tags ++ dtags)
+  }
+
+  private def loadDicts(spark: SparkSession, dictDirs: Seq[String])
+      : (Map[String, Map[String, Set[String]]], Map[String, String]) =
+    if (dictDirs.isEmpty) (Map.empty, Map.empty)
+    else {
+      // one row per (file, col) with a ≤maxDict array — the same bounded
+      // driver fetch as the min/max manifest load
+      val raw = spark.read.parquet(dictDirs: _*)
+      val hasTag = raw.schema.fieldNames.contains("col_tag")
+      val cols = Seq(col("file"), col("col_name"), col("dict_repr")) ++
+        (if (hasTag) Seq(col("col_tag")) else Nil)
+      val rows = raw.select(cols: _*).collect()
+      val dicts = rows.groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+        .map { case (f, rs) =>
+          f -> rs.map(r =>
+            r.getString(1) -> r.getSeq[String](2).toSet).toMap
+        }
+      val tags =
+        if (hasTag) rows.map(r => r.getString(1) -> r.getString(3)).toMap
+        else Map.empty[String, String]
+      (dicts, tags)
+    }
 
   private def loadManifest(spark: SparkSession, metaDirs: Seq[String])
       : ZoneRegistry.ZoneManifest = {
@@ -361,24 +452,61 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
       case _ => true
     }
 
-  /** Type-aware dispatch: integer/date literals price against
-    * parseable renderings (any non-string tag — the parse itself
-    * rejects mismatches conservatively); string literals price ONLY
-    * against string-tagged columns; every other combination keeps the
-    * file.
+  /** The literal's canonical `CAST(c AS STRING)` rendering under the
+    * column's type tag — what a dictionary entry stores. None when the
+    * tag can't vouch for the rendering (untagged/pre-tag metadata, a
+    * string literal on a non-string column): no dict prune, keep.
     */
-  private def predKeeps(zones: Map[String, (String, String)],
-                        tags: Map[String, String],
-                        p: StatsLeaf.CmpPred): Boolean =
-    zones.get(p.col).forall { z =>
-      p.lit match {
-        case Left(v) if !tags.get(p.col).contains("string") =>
-          zoneMayMatch(z, p.op, v)
-        case Right(s) if tags.get(p.col).contains("string") =>
-          zoneMayMatchStr(z, p.op, s)
+  private def litRepr(lit: Either[Long, String],
+                      tag: Option[String]): Option[String] = lit match {
+    case Right(s) => if (tag.contains("string")) Some(s) else None
+    case Left(v) => tag match {
+      case Some("long") => Some(v.toString)
+      case Some("date") =>
+        Some(java.time.LocalDate.ofEpochDay(v).toString)
+      case _ => None
+    }
+  }
+
+  /** Type-aware dispatch for ONE literal under ONE comparison op:
+    * integer/date literals price against parseable renderings (any
+    * non-string tag — the parse itself rejects mismatches
+    * conservatively); string literals price ONLY against string-tagged
+    * columns; every other combination keeps the file. An EQUALITY
+    * additionally consults the file's dictionary when one exists: the
+    * file survives only if the literal's rendering is a member — exact
+    * membership, the pruning min/max cannot do on interleaved keys.
+    */
+  private def oneKeeps(zones: Map[String, (String, String)],
+                       dicts: Map[String, Set[String]],
+                       tags: Map[String, String],
+                       c: String, op: String,
+                       lit: Either[Long, String]): Boolean = {
+    val minmaxKeeps = zones.get(c).forall { z =>
+      lit match {
+        case Left(v) if !tags.get(c).contains("string") =>
+          zoneMayMatch(z, op, v)
+        case Right(s) if tags.get(c).contains("string") =>
+          zoneMayMatchStr(z, op, s)
         case _ => true
       }
     }
+    val dictKeeps = op != "=" || dicts.get(c).forall(set =>
+      litRepr(lit, tags.get(c)).forall(set.contains))
+    minmaxKeeps && dictKeeps
+  }
+
+  /** A predicate keeps a file: comparisons test their single literal;
+    * an IN-list is a disjunction of equalities — the file survives iff
+    * ANY member could live in it.
+    */
+  private def predKeeps(zones: Map[String, (String, String)],
+                        dicts: Map[String, Set[String]],
+                        tags: Map[String, String],
+                        p: StatsLeaf.CmpPred): Boolean =
+    if (p.op == "in")
+      p.lits.exists(l => oneKeeps(zones, dicts, tags, p.col, "=", l))
+    else oneKeeps(zones, dicts, tags, p.col, p.op, p.lit)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (ZoneRegistry.isEmpty) plan // fast path: no zones, no effect
@@ -398,11 +526,15 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
                     else {
                       val files = fs.location.inputFiles
                       val survivors = files.filter { file =>
-                        manifest.files.get(ZoneRegistry.fileKey(file)) match {
-                          case Some(zones) => ps.forall(p =>
-                            predKeeps(zones, manifest.tags, p))
-                          case None => true // unmanifested file: keep
-                        }
+                        val fk = ZoneRegistry.fileKey(file)
+                        val zones = manifest.files
+                          .getOrElse(fk, Map.empty[String, (String, String)])
+                        val dicts = manifest.dicts
+                          .getOrElse(fk, Map.empty[String, Set[String]])
+                        // fully unmanifested file: keep
+                        if (zones.isEmpty && dicts.isEmpty) true
+                        else ps.forall(p =>
+                          predKeeps(zones, dicts, manifest.tags, p))
                       }
                       if (survivors.length >= files.length) f
                       else {

@@ -148,11 +148,22 @@ object Loader {
     *        this many rows — with `clusterBy`, each file covers a
     *        contiguous value range, so range predicates skip files
     *        within a bucket
+    * @param dictCols columns dictionary-mapped per file
+    *        ([[graft.plans.Zones.analyzeDictFiles]]): EQUALITY
+    *        predicates then prune to exactly the files containing the
+    *        probe value — the point-lookup path min/max zones cannot
+    *        provide on hash-bucketed keys (every bucket's key range
+    *        overlaps every other's)
+    * @param dictMax per-file distinct cap for `dictCols` — files above
+    *        it carry no dictionary (kept conservatively); bounds
+    *        metadata size
     */
   final case class Maintain(zoneCols: Seq[String] = Nil,
                             statCols: Seq[String] = Nil,
                             clusterBy: Option[String] = None,
-                            maxRecordsPerFile: Option[Long] = None)
+                            maxRecordsPerFile: Option[Long] = None,
+                            dictCols: Seq[String] = Nil,
+                            dictMax: Int = 2048)
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
@@ -261,6 +272,24 @@ object Loader {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Committed snapshot versions under a [[streamUpsertSink]] base
+    * directory, ascending, as (seq, txn) pairs — the TIME-TRAVEL index:
+    * every listed `v<seq>` has a durable manifest, so
+    * `readSnapshot(spark, s"$baseDir/v$seq")` resolves the table AS OF
+    * that commit (until [[vacuumSnapshots]] reclaims versions the
+    * CURRENT manifest no longer references — retention is the vacuum
+    * cadence, exactly a table format's time-travel window). `txn` is
+    * the source batch id for data commits, -1 for maintenance commits
+    * (compaction). Bounded driver work: one listing + one manifest
+    * read per committed version.
+    */
+  def snapshotVersions(spark: org.apache.spark.sql.SparkSession,
+                       baseDir: String): Seq[(Long, Long)] = {
+    val fs = fsFor(baseDir, spark)
+    committedVersions(fs, baseDir).map(v =>
+      v -> readManifest(fs, s"$baseDir/v$v").txn)
+  }
+
   /** Remove [[streamUpsertSink]] snapshot versions that the CURRENT
     * manifest no longer references — the VACUUM every copy-on-write
     * table format pairs with its writer. A version is live iff it is
@@ -288,6 +317,8 @@ object Loader {
             s"$baseDir/_zones/v$v"), true)
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$baseDir/_stats/v$v"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$baseDir/_dicts/v$v"), true)
           ()
         }
         dead
@@ -419,18 +450,8 @@ object Loader {
           // leaves an uncommitted attempt; a committed version always
           // has its zones/stats): one pass over ONLY the files this
           // batch wrote — history is never rescanned
-          maintain.foreach { mt =>
-            val newVer = spark.read.parquet(next)
-            if (mt.zoneCols.nonEmpty)
-              graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
-                .write.mode(SaveMode.Overwrite)
-                .parquet(s"$baseDir/_zones/v$seq")
-            if (mt.statCols.nonEmpty)
-              graft.operators.StatsPlanner.analyzeWideBy(
-                  newVer, BucketCol, mt.statCols.map(c => c -> c))
-                .write.mode(SaveMode.Overwrite)
-                .parquet(s"$baseDir/_stats/v$seq")
-          }
+          maintain.foreach(mt =>
+            writeMaintenance(spark, mt, next, baseDir, seq))
           // manifest last = commit marker: touched buckets live here,
           // untouched buckets keep pointing at their current version
           writeManifest(fs, next,
@@ -502,23 +523,37 @@ object Loader {
         mrf => w0.option("maxRecordsPerFile", mrf.toString))
       w1.parquet(s"$next/$BucketCol=$b")
     }
-    maintain.foreach { mt =>
-      val newVer = spark.read.parquet(next)
-      if (mt.zoneCols.nonEmpty)
-        graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$baseDir/_zones/v$seq")
-      if (mt.statCols.nonEmpty)
-        graft.operators.StatsPlanner.analyzeWideBy(
-            newVer, BucketCol, mt.statCols.map(c => c -> c))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$baseDir/_stats/v$seq")
-    }
+    maintain.foreach(mt =>
+      writeMaintenance(spark, mt, next, baseDir, seq))
     writeManifest(fs, next,
       Manifest(man.buckets ++ fragmented.map(_._1 -> seq),
         man.nBuckets, -1L))
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some(next)
+  }
+
+  /** One commit's maintenance metadata, from one pass over ONLY the
+    * files the commit wrote (`versionDir`) — history is never
+    * rescanned: per-file zone rows, per-bucket mergeable wide stats,
+    * per-file dictionaries. Written BEFORE the manifest commit marker.
+    */
+  private def writeMaintenance(spark: org.apache.spark.sql.SparkSession,
+                               mt: Maintain, versionDir: String,
+                               baseDir: String, seq: Long): Unit = {
+    val newVer = spark.read.parquet(versionDir)
+    if (mt.zoneCols.nonEmpty)
+      graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/_zones/v$seq")
+    if (mt.statCols.nonEmpty)
+      graft.operators.StatsPlanner.analyzeWideBy(
+          newVer, BucketCol, mt.statCols.map(c => c -> c))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/_stats/v$seq")
+    if (mt.dictCols.nonEmpty)
+      graft.plans.Zones.analyzeDictFiles(newVer, mt.dictCols, mt.dictMax)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$baseDir/_dicts/v$seq")
   }
 
   /** Refresh the driver-side stats/zone registries for a committed
@@ -560,11 +595,14 @@ object Loader {
         graft.operators.StatsPlanner.mergeWide(wide, exprs.length), exprs)
       graft.plans.StatsRegistry.registerRoots(dirs, stats)
     }
-    if (maintain.zoneCols.nonEmpty) {
+    if (maintain.zoneCols.nonEmpty || maintain.dictCols.nonEmpty) {
       val zdirs = versions.map(v => s"$base/_zones/v$v")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      if (zdirs.nonEmpty)
-        graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs)
+      val ddirs = versions.map(v => s"$base/_dicts/v$v")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (zdirs.nonEmpty || ddirs.nonEmpty)
+        graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs,
+          ddirs)
     }
   }
 

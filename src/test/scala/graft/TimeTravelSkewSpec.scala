@@ -1,0 +1,321 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{SkewJoin, StatsPlanner}
+
+/** Contracts for the round-11 additions:
+  *
+  * - TIME TRAVEL over [[graft.sources.Loader.streamUpsertSink]]
+  *   snapshots: [[graft.sources.Loader.snapshotVersions]] is the
+  *   committed-version index; reading an OLDER version dir resolves the
+  *   table AS OF that commit; vacuum bounds the window.
+  * - [[StatsPlanner.analyzeHeavy]]: exact threshold-count heavy
+  *   hitters, canonical renderings, bounded output.
+  * - [[SkewJoin.saltedJoinWithStats]]: the manifest-driven two-path
+  *   skew join equals the plain join row-for-row, including NULL keys
+  *   and left-outer semantics, with no query-time counting pass.
+  */
+class TimeTravelSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long): (Long, java.sql.Timestamp, Long, Double) =
+    (id, java.sql.Timestamp.valueOf(f"2026-01-01 00:${id % 60}%02d:00"),
+     id % 7, id * 1.5)
+
+  private def addFile(srcDir: String, name: String, mtime: Long,
+                      rows: Seq[(Long, java.sql.Timestamp, Long, Double)])
+      : Unit = {
+    val stage = Files.createTempDirectory("graft-tt-stage").toString
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+                 f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file in $stage"))
+    new java.io.File(srcDir).mkdirs()
+    val dst = Paths.get(srcDir, name)
+    Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(mtime)
+    ()
+  }
+
+  test("snapshotVersions indexes committed versions; an older version " +
+       "dir reads AS OF that commit; vacuum bounds the window") {
+    val base = Files.createTempDirectory("graft-timetravel").toString
+    val src = s"$base/src"; val sink = s"$base/sink"
+    // batch 0: users 0..6 (ids 1..50); batch 1: ONLY user 3's update;
+    // batch 2: ONLY user 5's update
+    addFile(src, "f0.parquet", 1000000L, (1L to 50L).map(ev))
+    addFile(src, "f1.parquet", 2000000L,
+      Seq((200L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+        3L, 999.0)))
+    addFile(src, "f2.parquet", 3000000L,
+      Seq((300L, java.sql.Timestamp.valueOf("2026-03-01 00:00:00"),
+        5L, 888.0)))
+    val schema = (1L to 2L).map(ev)
+      .toDF("event_id", "ts", "user_id", "value").schema
+    val q = graft.sources.Loader.streamUpsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      sink, key = "user_id", orderCols = Seq("ts", "event_id"),
+      checkpointDir = Some(s"$base/ck"),
+      trigger = Some(Trigger.AvailableNow()))._1
+    q.awaitTermination()
+
+    val versions = graft.sources.Loader.snapshotVersions(spark, sink)
+    assert(versions.map(_._2) == Seq(0L, 1L, 2L), versions.toString)
+
+    def valueOf(versionDir: String, user: Long): Double =
+      graft.sources.Loader.readSnapshot(spark, versionDir)
+        .filter(col("user_id") === user)
+        .select(col("value")).head().getDouble(0)
+
+    // AS OF txn 0: user 3 still carries its batch-0 value
+    val v0 = s"$sink/v${versions(0)._1}"
+    val v1 = s"$sink/v${versions(1)._1}"
+    val v2 = s"$sink/v${versions(2)._1}"
+    assert(valueOf(v0, 3L) != 999.0)
+    // AS OF txn 1: user 3 updated, user 5 not yet
+    assert(valueOf(v1, 3L) == 999.0)
+    assert(valueOf(v1, 5L) != 888.0)
+    // current: both updates visible; history untouched
+    assert(valueOf(v2, 3L) == 999.0 && valueOf(v2, 5L) == 888.0)
+    // every version resolves the FULL key set (untouched buckets are
+    // referenced, never copied)
+    assert(graft.sources.Loader.readSnapshot(spark, v0).count() == 7L)
+    assert(graft.sources.Loader.readSnapshot(spark, v1).count() == 7L)
+
+    // vacuum: versions the CURRENT manifest no longer references die —
+    // the retention window is the vacuum cadence
+    val removed = graft.sources.Loader.vacuumSnapshots(spark, sink)
+    val live = graft.sources.Loader.snapshotVersions(spark, sink)
+    assert(!live.map(_._1).exists(removed.contains))
+    // the latest version still reads back whole
+    assert(graft.sources.Loader.readSnapshot(spark, v2).count() == 7L)
+  }
+
+  test("sink-maintained dictionaries serve a one-file point lookup, " +
+       "through compaction and a fresh-driver re-register") {
+    import graft.plans.ZoneRegistry
+    val base = Files.createTempDirectory("graft-sinkdict").toString
+    val src = s"$base/src"; val sink = s"$base/sink"
+    addFile(src, "f0.parquet", 1000000L, (1L to 40L).map(ev))
+    addFile(src, "f1.parquet", 2000000L, (41L to 80L).map(ev))
+    val schema = (1L to 2L).map(ev)
+      .toDF("event_id", "ts", "user_id", "value").schema
+    val maintain = graft.sources.Loader.Maintain(
+      zoneCols = Seq("value"), statCols = Seq("user_id"),
+      clusterBy = Some("value"), maxRecordsPerFile = Some(2L),
+      dictCols = Seq("user_id"))
+    val (q, handle) = graft.sources.Loader.streamUpsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      sink, key = "user_id", orderCols = Seq("ts", "event_id"),
+      checkpointDir = Some(s"$base/ck"),
+      trigger = Some(Trigger.AvailableNow()), nBuckets = 2,
+      maintain = Some(maintain))
+    q.awaitTermination()
+    val vdir = handle.currentDir.get
+    try {
+      def lookup(): org.apache.spark.sql.DataFrame =
+        graft.sources.Loader.readSnapshot(spark, vdir)
+          .filter(col("user_id") === 3L).select(col("value"))
+      def kept(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .collect { case lr: org.apache.spark.sql.execution
+              .datasources.LogicalRelation => lr.relation }
+          .collect { case h: org.apache.spark.sql.execution
+              .datasources.HadoopFsRelation =>
+            h.location.inputFiles.length }.sum
+      // 7 users across 2 buckets rolled at 2 rows/file: fragmented —
+      // the point lookup must touch exactly one file
+      val total = graft.sources.Loader.readSnapshot(spark, vdir)
+        .inputFiles.length
+      assert(total > 2, s"fixture not fragmented: $total files")
+      assert(kept(lookup()) == 1)
+      // arrival-order upsert: batch f1 owns user 3; within the batch
+      // the winner is by (ts, event_id) desc — ts is minute id % 60
+      val winner = (41L to 80L).filter(_ % 7 == 3)
+        .maxBy(id => (id % 60, id))
+      assert(lookup().head().getDouble(0) == winner * 1.5)
+      // a fresh driver re-registers from DURABLE metadata alone
+      ZoneRegistry.clear()
+      graft.sources.Loader.registerSnapshot(spark, vdir, maintain)
+      assert(kept(lookup()) == 1)
+      // compaction recomputes dictionaries for the compacted files;
+      // the lookup still touches one (now bin-packed) file
+      val cdir = graft.sources.Loader.compactSnapshot(spark, sink,
+        Some(maintain.copy(maxRecordsPerFile = None)))
+        .getOrElse(fail("nothing fragmented"))
+      val after = graft.sources.Loader.readSnapshot(spark, cdir)
+        .inputFiles.length
+      assert(after < total && after <= 2, // ≤ one file per bucket
+        s"compaction left $after files (was $total)")
+      val post = graft.sources.Loader.readSnapshot(spark, cdir)
+        .filter(col("user_id") === 3L).select(col("value"))
+      assert(kept(post) == 1)
+      assert(post.count() == 1L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("an all-literal IN discounts a side by k/ndv in the injected " +
+       "broadcast rule") {
+    import graft.plans.{StatsRegistry, StatsBroadcastRule}
+    val base = Files.createTempDirectory("graft-inbc").toString
+    // fact: 3000 rows over 100 distinct keys; dim: 600 wide-ish rows —
+    // threshold picked so raw fact (3000·16) and dim (600·16) both fail
+    // and only the IN discount (3000·16·2/100 = 960) fits
+    spark.range(0, 3000)
+      .select((col("id") % 100).as("k"), col("id").as("payload"))
+      .write.mode("overwrite").parquet(s"$base/fact")
+    spark.range(0, 600)
+      .select(col("id").as("k"), (col("id") * 2).as("w"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    StatsRegistry.register(s"$base/fact",
+      graft.operators.StatsPlanner.analyzeStats(
+        spark.read.parquet(s"$base/fact"), Seq("k")))
+    StatsRegistry.register(s"$base/dim",
+      graft.operators.StatsPlanner.analyzeStats(
+        spark.read.parquet(s"$base/dim"), Seq("k")))
+    val prev = spark.conf.getOption(StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set(StatsBroadcastRule.ThresholdConf, "2000")
+      def stamped(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan
+          .collect { case j: org.apache.spark.sql.catalyst.plans
+              .logical.Join => j.hint }
+          .exists(h => h.leftHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+            h.rightHint.exists(_.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+      val dim = spark.read.parquet(s"$base/dim")
+        .select(col("k").as("dk"), col("w"))
+      // no filter: neither side fits → no stamp
+      assert(!stamped(spark.read.parquet(s"$base/fact")
+        .join(dim, col("k") === col("dk"))))
+      // IN (2 members over ndv 100) discounts the fact under the bar
+      val in = spark.read.parquet(s"$base/fact")
+        .filter(col("k").isin(7, 13))
+        .join(dim, col("k") === col("dk"))
+      assert(stamped(in))
+      // correctness unchanged: 30 rows per key × 2 keys, dim matches
+      assert(in.count() == 60L)
+      // one unpriceable member (a column ref) kills the discount
+      assert(!stamped(spark.read.parquet(s"$base/fact")
+        .filter(col("k").isin(7, 13) || col("k") === col("payload"))
+        .join(dim, col("k") === col("dk"))))
+    } finally {
+      StatsRegistry.clear()
+      prev match {
+        case Some(v) => spark.conf.set(StatsBroadcastRule.ThresholdConf, v)
+        case None => spark.conf.unset(StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
+  test("a registered histogram drives RANGE pricing in the injected " +
+       "broadcast rule where uniform interval arithmetic stays silent") {
+    import graft.plans.{StatsRegistry, StatsBroadcastRule}
+    import graft.operators.StatsPlanner
+    val base = Files.createTempDirectory("graft-histbc").toString
+    // Zipf-shaped: v = 10⁶ div (1 + id mod 100) — the top half of the
+    // INTERVAL holds ~1% of the ROWS, so uniform pricing over-estimates
+    // a high cutoff ~50× and misses the broadcast
+    spark.range(0, 4000)
+      .select(expr("1000000L div (1L + id % 100L)").as("v"),
+        col("id").as("payload"))
+      .write.mode("overwrite").parquet(s"$base/fact")
+    spark.range(0, 600)
+      .select(col("id").as("dk"), (col("id") * 2).as("w"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val stats0 = StatsPlanner.analyzeStats(fact, Seq("v"))
+    val statsH = StatsPlanner.withHistogram(stats0, fact, "v", 128)
+    val cut = 500001L // just above the 500000 atom (q226's gotcha)
+    // thresholds from the two estimates themselves, so the test is
+    // fixture-arithmetic-proof: hist est ≈ 40 rows, uniform ≈ 2000
+    val selU = StatsPlanner.predSelectivity(stats0, "v", ">=", cut)
+    val selH = StatsPlanner.predSelectivity(statsH, "v", ">=", cut)
+    val width = 16L // v 8 + payload 8
+    val bytesU = BigInt(4000) * width * selU._1 / selU._2
+    val bytesH = BigInt(4000) * width * selH._1 / selH._2
+    assert(bytesH * 10 < bytesU,
+      s"fixture lost its skew: hist $bytesH vs uniform $bytesU")
+    val t = ((bytesH + bytesU) / 2).toLong // between the two estimates
+    val prev = spark.conf.getOption(StatsBroadcastRule.ThresholdConf)
+    try {
+      spark.conf.set(StatsBroadcastRule.ThresholdConf, t.toString)
+      def stamped(st: graft.operators.TableStats): Boolean = {
+        StatsRegistry.clear()
+        StatsRegistry.register(s"$base/fact", st)
+        val df = spark.read.parquet(s"$base/fact")
+          .filter(col("v") >= cut)
+          .join(spark.read.parquet(s"$base/dim"),
+            col("payload") === col("dk"))
+        df.queryExecution.optimizedPlan
+          .collect { case j: org.apache.spark.sql.catalyst.plans
+              .logical.Join => j.hint }
+          .exists(h => h.leftHint.exists(_.strategy.contains(
+            org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+            h.rightHint.exists(_.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+      }
+      assert(!stamped(stats0), "uniform pricing should stay silent")
+      assert(stamped(statsH), "measured bucket mass should broadcast")
+    } finally {
+      StatsRegistry.clear()
+      prev match {
+        case Some(v) => spark.conf.set(StatsBroadcastRule.ThresholdConf, v)
+        case None => spark.conf.unset(StatsBroadcastRule.ThresholdConf)
+      }
+    }
+  }
+
+  test("analyzeHeavy returns exactly the keys at or above the " +
+       "threshold, with exact counts and canonical renderings") {
+    val df = (Seq.fill(70)(1L) ++ Seq.fill(20)(2L) ++
+        (100L to 109L)).toDF("k")
+    val hot = StatsPlanner.analyzeHeavy(df, "k", minCount = 20L)
+    assert(hot == Seq(("1", 70L), ("2", 20L)), hot.toString)
+    // threshold boundary is ≥; NULLs never count
+    val withNulls = (Seq.fill(5)(Some(9L)) ++ Seq.fill(5)(None))
+      .toDF("k")
+    assert(StatsPlanner.analyzeHeavy(withNulls, "k", 5L) ==
+      Seq(("9", 5L)))
+    assert(StatsPlanner.analyzeHeavy(withNulls, "k", 6L).isEmpty)
+  }
+
+  test("saltedJoinWithStats equals the plain join row-for-row — " +
+       "inner, left-outer with NULL keys, and the empty-manifest " +
+       "degenerate case") {
+    val large = ((1L to 70L).map(_ => Option(1L)) ++
+        (1L to 10L).map(i => Option(i)) ++ Seq(None, None))
+      .zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "payload")
+    val small = (1L to 5L).map(i => (i, s"d$i")).toDF("k", "name")
+
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.toString).sorted.toSeq
+
+    val hot = StatsPlanner.analyzeHeavy(large, "k", minCount = 50L)
+    assert(hot.map(_._1) == Seq("1"), hot.toString)
+
+    val inner = SkewJoin.saltedJoinWithStats(
+      large, small, "k", hot.map(_._1), salt = 4)
+    assert(sorted(inner) == sorted(large.join(small, Seq("k"))))
+
+    // left outer: NULL-keyed and unmatched rows surface exactly once
+    val left = SkewJoin.saltedJoinWithStats(
+      large, small, "k", hot.map(_._1), salt = 4, how = "left")
+    assert(sorted(left) == sorted(large.join(small, Seq("k"), "left")))
+    assert(left.filter(col("k").isNull).count() == 2L)
+
+    // empty manifest → the plain join, verbatim
+    val none = SkewJoin.saltedJoinWithStats(
+      large, small, "k", Nil, salt = 4)
+    assert(sorted(none) == sorted(large.join(small, Seq("k"))))
+  }
+}

@@ -387,6 +387,162 @@ class ZoneSkipSpec extends SparkSpec {
     } finally ZoneRegistry.clear()
   }
 
+  test("dictionary zones prune equality on interleaved keys that " +
+       "min/max cannot; over-cap and absent-value files stay kept") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zdict").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    val dicts = s"$base/dicts"
+    new java.io.File(table).mkdirs()
+    def one(tag: String, df: org.apache.spark.sql.DataFrame,
+            out: String): Unit = {
+      val stage = s"$base/$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/$out"))
+    }
+    // f0..f2: k ≡ r (mod 3) over [0, 30) — all [min, max] straddle 7;
+    // f3: 100 DISTINCT even values (over the cap 16), range [0, 198]
+    // also straddles 7 but never contains it
+    for (r <- 0 until 3)
+      one(s"s$r", spark.range(0, 10)
+        .select((col("id") * 3 + r).as("k"), (col("id") * 10).as("v")),
+        s"f$r.parquet")
+    one("s3", spark.range(0, 100)
+      .select((col("id") * 2).as("k"), (col("id") * 10).as("v")),
+      "f3.parquet")
+    try {
+      Zones.writeMetadata(Zones.analyzeFiles(
+        spark.read.parquet(table), Seq("k")), meta)
+      Zones.writeMetadata(Zones.analyzeDictFiles(
+        spark.read.parquet(table), Seq("k"), maxDict = 16), dicts)
+      // the dict manifest holds only the ≤cap files
+      val dn = spark.read.parquet(dicts).collect()
+      assert(dn.length == 3 && dn.forall(!_.getString(0).contains("f3")),
+        dn.mkString(","))
+      Zones.registerFromMetadataRoots(spark, Seq(table), Seq(meta),
+        Seq(dicts))
+      // k = 7: min/max keeps all four (every range straddles 7); the
+      // dict prunes f0/f2 exactly and keeps over-cap f3 conservatively
+      val eq = spark.read.parquet(table).filter(col("k") === 7)
+      val ef = scannedFiles(eq)
+      assert(ef.length == 2 &&
+        ef.exists(_.contains("f1.parquet")) &&
+        ef.exists(_.contains("f3.parquet")), ef.toString)
+      assert(eq.count() == 1L) // residual filter: f3 has no 7
+      // ranges never consult the dict: k >= 28 prunes by min/max only
+      val rng = spark.read.parquet(table).filter(col("k") >= 28)
+      val rf = scannedFiles(rng)
+      assert(rf.length == 3 && !rf.exists(_.contains("f0.parquet")),
+        rf.toString)
+      // answer identity against the unpruned twin
+      val prunedRows = eq.collect().map(_.toSeq).toSeq
+      ZoneRegistry.clear()
+      assert(spark.read.parquet(table).filter(col("k") === 7)
+        .collect().map(_.toSeq).toSeq == prunedRows)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("dictionary equality is type-tag-aware: date literals render as " +
+       "dates; a string literal never dict-prunes a long column") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zdictd").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    val dicts = s"$base/dicts"
+    new java.io.File(table).mkdirs()
+    def one(tag: String, ds: Seq[String], out: String): Unit = {
+      val stage = s"$base/$tag"
+      import spark.implicits._
+      ds.toDF("s").select(col("s").cast("date").as("d"),
+          lit(1L).as("v"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/$out"))
+    }
+    // interleaved DATES: both ranges straddle 2024-01-02
+    one("s0", Seq("2024-01-01", "2024-01-03"), "f0.parquet")
+    one("s1", Seq("2024-01-02", "2024-01-04"), "f1.parquet")
+    try {
+      Zones.writeMetadata(Zones.analyzeFiles(
+        spark.read.parquet(table), Seq("d")), meta)
+      Zones.writeMetadata(Zones.analyzeDictFiles(
+        spark.read.parquet(table), Seq("d"), maxDict = 16), dicts)
+      Zones.registerFromMetadataRoots(spark, Seq(table), Seq(meta),
+        Seq(dicts))
+      // a DATE literal's epoch-day renders back to yyyy-MM-dd for the
+      // dictionary membership test
+      val eq = spark.read.parquet(table)
+        .filter(col("d") === lit(java.sql.Date.valueOf("2024-01-02")))
+      val ef = scannedFiles(eq)
+      assert(ef.length == 1 && ef.head.contains("f1.parquet"),
+        ef.toString)
+      assert(eq.count() == 1L)
+    } finally ZoneRegistry.clear()
+  }
+
+  test("IN-list prunes as the OR of per-literal tests — dictionary " +
+       "membership per member, over-cap files kept") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-zin").toString
+    val table = s"$base/table"; val meta = s"$base/meta"
+    val dicts = s"$base/dicts"
+    new java.io.File(table).mkdirs()
+    def one(tag: String, df: org.apache.spark.sql.DataFrame,
+            out: String): Unit = {
+      val stage = s"$base/$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+                   f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file in $stage"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$table/$out"))
+    }
+    // f0..f2 interleaved k ≡ r (mod 3) over [0,30); f3 over-cap evens
+    for (r <- 0 until 3)
+      one(s"s$r", spark.range(0, 10)
+        .select((col("id") * 3 + r).as("k"), (col("id") * 10).as("v")),
+        s"f$r.parquet")
+    one("s3", spark.range(0, 100)
+      .select((col("id") * 2).as("k"), (col("id") * 10).as("v")),
+      "f3.parquet")
+    try {
+      Zones.writeMetadata(Zones.analyzeFiles(
+        spark.read.parquet(table), Seq("k")), meta)
+      Zones.writeMetadata(Zones.analyzeDictFiles(
+        spark.read.parquet(table), Seq("k"), maxDict = 16), dicts)
+      Zones.registerFromMetadataRoots(spark, Seq(table), Seq(meta),
+        Seq(dicts))
+      // IN (7, 12): 7 lives only in f1, 12 only in f0; f2 has neither
+      // → pruned; over-cap f3 kept conservatively
+      val in = spark.read.parquet(table).filter(col("k").isin(7, 12))
+      val fs = scannedFiles(in)
+      assert(fs.length == 3 && !fs.exists(_.contains("f2.parquet")),
+        fs.toString)
+      assert(in.count() == 3L) // 7, 12, and f3's 12
+      // an IN whose members all miss every dictionary prunes to the
+      // over-cap file alone
+      val none = spark.read.parquet(table).filter(col("k").isin(31, 34))
+      val nf = scannedFiles(none)
+      assert(nf.length == 1 && nf.head.contains("f3.parquet"),
+        nf.toString)
+      assert(none.count() == 1L) // f3 holds 34
+      // answer identity against the unpruned twin
+      val prunedRows = in.collect().map(_.toSeq).toSeq
+      ZoneRegistry.clear()
+      assert(spark.read.parquet(table).filter(col("k").isin(7, 12))
+        .collect().map(_.toSeq).toSeq == prunedRows)
+    } finally ZoneRegistry.clear()
+  }
+
   test("zone manifest round-trips through the parquet metadata table") {
     val (table, meta) = layout()
     try {
