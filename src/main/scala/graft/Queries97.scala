@@ -275,6 +275,37 @@ object Queries97 {
     // fits; and the TRAP is real — uniform pricing (rows·16 ≤ T·ndv)
     // would have stamped the hot join at every scale, exported as the
     // adjudicating uniform_would_fit flag.
+    // row-level DELETE on the maintained snapshot: rows in the upper
+    // half of the cents domain are removed under a maintenance commit
+    // that rewrites ONLY the buckets containing a match (the discovery
+    // probe itself rides the sink's zone metadata); the oracle replays
+    // the remaining latest-per-key state AND the deleted count, so the
+    // hash match proves the delete removed exactly the matching rows
+    // and nothing else
+    "q237_sink_delete" -> ((s, d) => {
+      val (vdir, _, maintain) =
+        Queries95.runMaintainedSink(s, d, "q237_sink")
+      val baseDir = new java.io.File(vdir).getParent
+      val bounds = sources.Loader.readSnapshot(s, vdir)
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .head()
+      val x = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val before = sources.Loader.readSnapshot(s, vdir).count()
+      val (ndir, deleted) = sources.Loader.deleteWhere(s, baseDir,
+          col("cents") >= x, Some(maintain))
+        .getOrElse(sys.error("q237: nothing matched the delete window"))
+      val after = sources.Loader.readSnapshot(s, ndir)
+      require(after.count() == before - deleted,
+        s"q237: $before - $deleted != ${after.count()}")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents_sum"))
+        .withColumn("n_deleted", lit(deleted))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q236_heavy_equality" -> ((s, d) => {
       val work = Scratch.fresh("q236_heavy", d)
       val skew = "CASE WHEN l_orderkey % 10 < 7 THEN CAST(1 AS BIGINT) " +
@@ -495,6 +526,28 @@ object Queries97 {
          |  CAST($nf AS BIGINT) AS n_data_versions,
          |  CAST(1 AS BIGINT) AS asof_txn
          |FROM snap JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // the delete replays as a filter on the latest-per-key state: rows
+    // at or above the midpoint are gone, the deleted count is their
+    // exact cardinality, and the join answer covers what remains
+    "q237_sink_delete" -> {
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |prm AS MATERIALIZED (
+         |  SELECT (MIN(cents) + MAX(cents)) // 2 AS x FROM snap)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM snap
+         |    WHERE cents >= (SELECT x FROM prm)) AS n_deleted
+         |FROM snap JOIN customer ON c_custkey = user_id
+         |WHERE cents < (SELECT x FROM prm)
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     },
 

@@ -532,6 +532,90 @@ object Loader {
     Some(next)
   }
 
+  /** Row-level DELETE for [[streamUpsertSink]] snapshots — the missing
+    * sibling of upsert (add/replace), compaction (bin-pack), and
+    * vacuum (reclaim): rows matching `cond` are removed under a new
+    * maintenance commit (`txn` -1), by rewriting ONLY the buckets that
+    * contain a matching row — untouched buckets keep their manifest
+    * pointers, so the cost is O(touched), never O(snapshot). SQL DELETE
+    * semantics: a row is removed iff `cond` is TRUE; NULL keeps it.
+    *
+    * The discovery probe is one read of the resolved snapshot filtered
+    * by `cond` projecting only the matching file names — and because it
+    * is a PLAIN read of the registered root set, the injected
+    * [[graft.plans.ZoneSkipRule]] prunes its listing through the
+    * sink's own self-maintained zones/dictionaries first: a selective
+    * delete (one key, one value window) probes only the files that
+    * could match, the same skipping the read path gets. A bucket
+    * emptied entirely leaves the manifest (no dir is written for it).
+    *
+    * Single-writer contract like compaction/vacuum: run with the
+    * stream STOPPED. Returns (new version dir, rows deleted), or None
+    * when nothing matched.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+                  baseDir: String,
+                  cond: org.apache.spark.sql.Column,
+                  maintain: Option[Maintain] = None)
+      : Option[(String, Long)] = {
+    import org.apache.spark.sql.functions.{col, coalesce, count => cnt, input_file_name, lit, not}
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(return None)
+    val man = readManifest(fs, s"$baseDir/v$latest")
+    val dirs = man.buckets.toSeq.sorted.map {
+      case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
+    }
+    // discovery probe: matching files only — zone/dict-pruned when the
+    // snapshot's metadata is registered (the root set matches)
+    val touchedFiles = spark.read.parquet(dirs: _*).filter(cond)
+      .select(input_file_name().as("f"))
+      .groupBy(col("f")).agg(cnt(lit(1)).as("n"))
+      .collect()
+    if (touchedFiles.isEmpty) return None
+    val deleted = touchedFiles.map(_.getLong(1)).sum
+    val bucketRe = (java.util.regex.Pattern.quote(BucketCol) +
+      "=(\\d+)").r
+    val touched = touchedFiles.map(r =>
+      bucketRe.findFirstMatchIn(r.getString(0)) match {
+        case Some(m) => m.group(1).toInt
+        case None => sys.error(
+          s"deleteWhere: no bucket in path ${r.getString(0)}")
+      }).toSet
+    val seq = latest + 1
+    val next = s"$baseDir/v$seq"
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    // SQL DELETE: remove iff cond is TRUE — NULL keeps the row
+    val keepCond = not(coalesce(cond, lit(false)))
+    val emptied = scala.collection.mutable.Set.empty[Int]
+    for (b <- touched.toSeq.sorted) {
+      val kept0 = spark.read
+        .parquet(s"$baseDir/v${man.buckets(b)}/$BucketCol=$b")
+        .filter(keepCond).coalesce(1)
+      val kept = maintain.flatMap(_.clusterBy).fold(kept0)(
+        c => kept0.sortWithinPartitions(col(c)))
+      if (kept.isEmpty) { emptied += b; () }
+      else {
+        val w0 = kept.write.mode(SaveMode.Overwrite)
+        val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+          m => w0.option("maxRecordsPerFile", m.toString))
+        w1.parquet(s"$next/$BucketCol=$b")
+      }
+    }
+    val rewritten = touched -- emptied
+    if (rewritten.nonEmpty)
+      maintain.foreach(mt =>
+        writeMaintenance(spark, mt, next, baseDir, seq))
+    val buckets = (man.buckets -- emptied) ++
+      rewritten.map(_ -> seq).toMap
+    require(buckets.nonEmpty,
+      s"deleteWhere: every row of $baseDir matched — refusing to " +
+      "commit an empty snapshot (drop the table instead)")
+    writeManifest(fs, next, Manifest(buckets, man.nBuckets, -1L))
+    maintain.foreach(mt => registerSnapshot(spark, next, mt))
+    Some((next, deleted))
+  }
+
   /** One commit's maintenance metadata, from one pass over ONLY the
     * files the commit wrote (`versionDir`) — history is never
     * rescanned: per-file zone rows, per-bucket mergeable wide stats,

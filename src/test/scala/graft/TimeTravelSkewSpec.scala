@@ -215,6 +215,87 @@ class TimeTravelSkewSpec extends SparkSpec {
     }
   }
 
+  test("deleteWhere rewrites only matching buckets, keeps NULL-cond " +
+       "rows, drops emptied buckets, and preserves history") {
+    val base = Files.createTempDirectory("graft-del").toString
+    val src = s"$base/src"; val sink = s"$base/sink"
+    // users 0..6; user 5's value made NULL post-hoc is impossible via
+    // ev(), so craft rows directly: value NULL for user 5's row
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val rows = (1L to 21L).map { id =>
+      Row(id, java.sql.Timestamp.valueOf(f"2026-01-01 00:${id % 60}%02d:00"),
+        id % 7, if (id % 7 == 5) null else id * 1.0)
+    }
+    val stage = Files.createTempDirectory("graft-del-stage").toString
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+                 f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file"))
+    new java.io.File(src).mkdirs()
+    Files.move(part.toPath, Paths.get(s"$src/f0.parquet"))
+    val q = graft.sources.Loader.streamUpsertSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src),
+      sink, key = "user_id", orderCols = Seq("ts", "event_id"),
+      checkpointDir = Some(s"$base/ck"),
+      trigger = Some(org.apache.spark.sql.streaming.Trigger
+        .AvailableNow()), nBuckets = 4)._1
+    q.awaitTermination()
+    val v0 = graft.sources.Loader.snapshotVersions(spark, sink)
+    assert(v0.map(_._2) == Seq(0L))
+    val pre = graft.sources.Loader
+      .readSnapshot(spark, s"$sink/v${v0.head._1}")
+    assert(pre.count() == 7L)
+    val manBefore = Files.readString(
+      Paths.get(s"$sink/v${v0.head._1}/graft_manifest"))
+
+    // delete one user's row: value > 100 matches nobody; user_id = 3
+    // matches exactly one row in one bucket
+    val res = graft.sources.Loader.deleteWhere(spark, sink,
+      col("user_id") === 3L)
+    val (ndir, deleted) = res.getOrElse(fail("delete found nothing"))
+    assert(deleted == 1L)
+    val after = graft.sources.Loader.readSnapshot(spark, ndir)
+    assert(after.count() == 6L)
+    assert(after.filter(col("user_id") === 3L).count() == 0L)
+    // NULL-cond rows survive: a predicate on value is NULL for user 5
+    val res2 = graft.sources.Loader.deleteWhere(spark, sink,
+      col("value") > 1000.0)
+    assert(res2.isEmpty) // nothing matched, no new version
+    // untouched buckets kept their pointers: the new manifest differs
+    // from the old ONLY in user 3's bucket line and the txn header
+    val manAfter = Files.readString(Paths.get(s"$ndir/graft_manifest"))
+    val changed = manBefore.linesIterator.toSeq
+      .zip(manAfter.linesIterator.toSeq).count { case (a, b) => a != b }
+    assert(changed <= 2, s"expected ≤2 changed manifest lines:\n" +
+      s"$manBefore\nvs\n$manAfter")
+    // history intact: the pre-delete version still reads user 3
+    assert(pre.filter(col("user_id") === 3L).count() == 1L)
+    // emptied bucket: remove EVERY remaining user of one bucket — the
+    // manifest drops that bucket's line instead of writing an empty dir
+    val ub = after.select(col("user_id"),
+        pmod(graft.functions.Expressions.fnv_hash(
+          col("user_id").cast("string")), lit(4L)).cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val (bVictim, users0) = ub.groupBy(_._2).head
+    val users = users0.map(_._1)
+    val (ndir3, del3) = graft.sources.Loader.deleteWhere(spark, sink,
+      col("user_id").isin(users: _*)).getOrElse(fail("no match"))
+    assert(del3 == users.length.toLong)
+    val man3 = Files.readString(Paths.get(s"$ndir3/graft_manifest"))
+    assert(!man3.linesIterator.exists(_.startsWith(s"$bVictim ")),
+      s"bucket $bVictim should have left the manifest:\n$man3")
+    assert(graft.sources.Loader.readSnapshot(spark, ndir3).count() ==
+      6L - users.length)
+  }
+
   test("a registered histogram drives RANGE pricing in the injected " +
        "broadcast rule where uniform interval arithmetic stays silent") {
     import graft.plans.{StatsRegistry, StatsBroadcastRule}
