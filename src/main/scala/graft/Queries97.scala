@@ -282,6 +282,42 @@ object Queries97 {
     // the remaining latest-per-key state AND the deleted count, so the
     // hash match proves the delete removed exactly the matching rows
     // and nothing else
+    // SCHEMA EVOLUTION through the batch writer: the stream era never
+    // carried `flag`; a batch commit (upsertBatch — stream and batch
+    // writers share the table, and evolution arrives as batch commits
+    // since a streaming source's schema is checkpoint-pinned) refreshes
+    // every fifth user with bumped cents and the NEW column. The
+    // merged snapshot widens (old rows read flag as NULL), the
+    // pre-evolution version still reads back WITHOUT the column (time
+    // travel across evolution), and the oracle replays the whole era
+    // split
+    "q238_sink_schema_evolution" -> ((s, d) => {
+      val (vdir, _, maintain) =
+        Queries95.runMaintainedSink(s, d, "q238_sink")
+      val baseDir = new java.io.File(vdir).getParent
+      val pre = sources.Loader.readSnapshot(s, vdir)
+      require(!pre.columns.contains("flag"), "q238: fixture already evolved")
+      val delta = pre.filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), (col("cents") + 7).as("cents"),
+          ((col("cents") + 7) % 2).cast("long").as("flag"))
+      val ndir = sources.Loader.upsertBatch(s, baseDir, delta,
+        key = "user_id", orderCols = Seq("user_id"), Some(maintain))
+      val after = sources.Loader.readSnapshot(s, ndir)
+      require(after.columns.contains("flag"),
+        "q238: the batch commit did not widen the snapshot")
+      // time travel across evolution: the old version is era-A shaped
+      require(!sources.Loader.readSnapshot(s, vdir).columns
+        .contains("flag"), "q238: history grew the new column")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"),
+             count(col("flag")).as("n_flagged"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q237_sink_delete" -> ((s, d) => {
       val (vdir, _, maintain) =
         Queries95.runMaintainedSink(s, d, "q237_sink")
@@ -528,6 +564,29 @@ object Queries97 {
          |FROM snap JOIN customer ON c_custkey = user_id
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
     },
+
+    // era replay: every fifth user carries bumped cents and a flag;
+    // everyone else keeps the stream-era row with a NULL flag — so
+    // n_flagged counts exactly the evolved rows
+    "q238_sink_schema_evolution" ->
+      s"""WITH snap0 AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |snap1 AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CASE WHEN user_id % 5 = 0 THEN cents + 7 ELSE cents END
+         |      AS cents,
+         |    CASE WHEN user_id % 5 = 0 THEN (cents + 7) % 2 END AS flag
+         |  FROM snap0)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(COUNT(flag) AS BIGINT) AS n_flagged
+         |FROM snap1 JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the delete replays as a filter on the latest-per-key state: rows
     // at or above the midpoint are gone, the deleted count is their

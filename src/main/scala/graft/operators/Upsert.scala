@@ -42,6 +42,38 @@ object Upsert {
     }: _*)
   }
 
+  /** Schema-EVOLVING upsert: like [[upsert]], but the result schema is
+    * the UNION of both inputs' columns (target's order first, then
+    * updates-only columns appended) — rows lacking a column carry NULL.
+    * This is the ADD COLUMN path every table format supports: a new
+    * ingest era starts carrying an extra field, old rows read back as
+    * NULL, and a replacing row that DROPPED a field nulls it (the
+    * replacement is total, not a patch). Shared columns must agree on
+    * type — silent coercion between eras is how tables rot.
+    */
+  def upsertEvolve(target: DataFrame, updates: DataFrame,
+                   key: String): DataFrame = {
+    val tCols = target.columns.toIndexedSeq
+    val extra = updates.columns.toIndexedSeq.filterNot(tCols.contains)
+    val allCols = tCols ++ extra
+    for (c <- updates.columns if tCols.contains(c)) {
+      val tt = target.schema(c).dataType; val ut = updates.schema(c).dataType
+      require(tt == ut,
+        s"upsertEvolve: column $c changed type across eras ($tt vs $ut)" +
+        " — evolution adds columns, it never coerces them")
+    }
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(allCols.map { c =>
+        if (have(c)) col(c)
+        else lit(null).cast(
+          (if (tCols.contains(c)) target else updates).schema(c).dataType
+        ).as(c)
+      }: _*)
+    }
+    upsert(align(target), align(updates), key)
+  }
+
   /** CDC apply — [[upsert]] extended with row-level DELETES: `changes`
     * carries the target schema plus an `opCol` of 'U' (insert-or-update)
     * or 'D' (delete). Result = target with D keys removed and U rows

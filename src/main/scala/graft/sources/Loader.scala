@@ -173,13 +173,18 @@ object Loader {
     * current files, plus the LAYOUT parameters (bucket count and hash —
     * a restart with different values would rehash keys into different
     * buckets and silently miss prior rows, so they are persisted and
-    * `require`d to match) and the source batch id `txn` that produced
+    * `require`d to match), the source batch id `txn` that produced
     * the version (-1 for maintenance commits like compaction) — the
     * idempotence marker an at-least-once replay checks before
-    * re-applying a batch.
+    * re-applying a batch — and the snapshot SCHEMA as of this commit
+    * (the Delta-log trick: schema evolution means bucket files span
+    * eras, and reading 10⁶ files with parquet mergeSchema pays a
+    * footer pass the manifest already knows the answer to; files that
+    * predate a column null-fill it under a schema-specified read).
     */
-  private[sources] final case class Manifest(buckets: Map[Int, Long],
-                                             nBuckets: Int, txn: Long)
+  private[sources] final case class Manifest(
+      buckets: Map[Int, Long], nBuckets: Int, txn: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def fsFor(path: String,
                     spark: org.apache.spark.sql.SparkSession) =
@@ -191,7 +196,10 @@ object Loader {
                             m: Manifest): Unit = {
     val out = fs.create(
       new org.apache.hadoop.fs.Path(versionDir, ManifestName), true)
-    val header = s"#buckets ${m.nBuckets} $HashName\n#txn ${m.txn}\n"
+    // DataType.json is one line — the parser splits on newlines
+    val schemaLine = m.schema.fold("")(s => s"#schema ${s.json}\n")
+    val header =
+      s"#buckets ${m.nBuckets} $HashName\n#txn ${m.txn}\n$schemaLine"
     try out.write((header + m.buckets.toSeq.sorted
       .map { case (b, v) => s"$b $v" }
       .mkString("", "\n", "\n")).getBytes("UTF-8"))
@@ -210,6 +218,7 @@ object Loader {
       bos.toString("UTF-8")
     } finally in.close()
     var nBuckets = -1; var txn = -1L
+    var schema: Option[org.apache.spark.sql.types.StructType] = None
     val buckets = text.linesIterator.filter(_.nonEmpty).flatMap { l =>
       val parts = l.split(' ')
       parts(0) match {
@@ -220,10 +229,15 @@ object Loader {
             s"hash '${parts(2)}'; this engine buckets with '$HashName'")
           None
         case "#txn" => txn = parts(1).toLong; None
+        case "#schema" =>
+          schema = Some(org.apache.spark.sql.types.DataType
+            .fromJson(l.substring("#schema ".length))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          None
         case b      => Some(b.toInt -> parts(1).toLong)
       }
     }.toMap
-    Manifest(buckets, nBuckets, txn)
+    Manifest(buckets, nBuckets, txn, schema)
   }
 
   /** Committed (manifest-present) version ids under `baseDir`, sorted. */
@@ -264,12 +278,21 @@ object Loader {
     val fs = fsFor(versionDir, spark)
     val base = new org.apache.hadoop.fs.Path(versionDir)
       .getParent.toString
-    val dirs = readManifest(fs, versionDir).buckets.toSeq.sorted.map {
+    val man = readManifest(fs, versionDir)
+    val dirs = man.buckets.toSeq.sorted.map {
       case (b, v) => s"$base/v$v/$BucketCol=$b"
     }
     require(dirs.nonEmpty,
       s"readSnapshot: $versionDir has an empty manifest")
-    spark.read.parquet(dirs: _*)
+    // schema evolution means bucket files can span eras: the manifest's
+    // recorded schema reads them uniformly (files that predate a column
+    // null-fill it) with NO footer pass; pre-schema manifests fall back
+    // to parquet mergeSchema (one distributed footer read)
+    man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
   }
 
   /** Committed snapshot versions under a [[streamUpsertSink]] base
@@ -399,68 +422,8 @@ object Loader {
             maintain.foreach(mt =>
               registerSnapshot(spark, s"$baseDir/v$v", mt))
           case None =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key))
-          .orderBy(orderCols.map(c => col(c).desc): _*)
-        val dataCols = batch.columns.toIndexedSeq
-        val latest = batch
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-          .withColumn(BucketCol, bucketOf(key, nBuckets))
-          .persist()
-        try {
-          // the buckets this delta touches: bounded by nBuckets
-          val touched = latest.select(col(BucketCol)).distinct()
-            .collect().map(_.getInt(0)).sorted
-          // durable prior-version lookup (see restart contract above):
-          // the latest committed manifest IS the current state — data
-          // or maintenance commit alike
-          val priorMap = priorManifest.map(_.buckets)
-            .getOrElse(Map.empty[Int, Long])
-          // the next version SLOT, independent of the batch id: a
-          // half-written attempt (no manifest) sits at this same slot
-          // and is truncated by the static overwrite below
-          val seq = committed.lastOption.getOrElse(-1L) + 1
-          // copy-on-write: read ONLY the touched buckets' current files
-          val priorDirs = touched.toIndexedSeq.flatMap(b =>
-            priorMap.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
-          val batchData = latest.select(dataCols.map(col): _*)
-          val merged =
-            if (priorDirs.isEmpty) batchData
-            else graft.operators.Upsert.upsert(
-              spark.read.parquet(priorDirs: _*)
-                .select(dataCols.map(col): _*),
-              batchData, key)
-          val next = s"$baseDir/v$seq"
-          // STATIC partition overwrite truncates a stale replay attempt.
-          // With clusterBy, rows sort (bucket, cluster) so the writer's
-          // required partition ordering is already satisfied (no
-          // re-sort) and each rolled file covers a contiguous cluster
-          // range — tight zones within the bucket.
-          val bucketed = merged
-            .withColumn(BucketCol, bucketOf(key, nBuckets))
-            .repartition(col(BucketCol))
-          val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
-            c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
-          val w0 = clustered.write.mode(SaveMode.Overwrite)
-          val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
-            m => w0.option("maxRecordsPerFile", m.toString))
-          w1.partitionBy(BucketCol).parquet(next)
-          // metadata BEFORE the commit marker (a crash between them
-          // leaves an uncommitted attempt; a committed version always
-          // has its zones/stats): one pass over ONLY the files this
-          // batch wrote — history is never rescanned
-          maintain.foreach(mt =>
-            writeMaintenance(spark, mt, next, baseDir, seq))
-          // manifest last = commit marker: touched buckets live here,
-          // untouched buckets keep pointing at their current version
-          writeManifest(fs, next,
-            Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, id))
-          handle.dir = Some(next)
-          // refresh the driver-side registries from the new manifest so
-          // the NEXT plain read plans from fresh metadata
-          maintain.foreach(mt => registerSnapshot(spark, next, mt))
-        } finally { latest.unpersist(); () }
+            handle.dir = Some(applyDelta(spark, baseDir, batch, key,
+              orderCols, nBuckets, maintain, txn = id))
         }
         ()
     }
@@ -469,6 +432,130 @@ object Loader {
     val writer = trigger.fold(writer1)(t => writer1.trigger(t))
     val q = writer.start()
     (q, handle)
+  }
+
+  /** One delta applied to the snapshot layout under `baseDir` as
+    * commit slot `txn` — the shared core of the streaming sink's
+    * foreachBatch and the batch writer [[upsertBatch]]: latest row per
+    * key within the delta (by `orderCols` descending), copy-on-write
+    * merge into ONLY the touched buckets, static-overwrite write with
+    * optional clustering/rolling, maintenance metadata before the
+    * manifest commit marker, registries refreshed after. Returns the
+    * committed version dir.
+    *
+    * Schema EVOLUTION happens here: the merge is
+    * [[graft.operators.Upsert.upsertEvolve]] and prior buckets read
+    * with parquet schema merging, so a delta carrying NEW columns
+    * widens the snapshot (old rows read back NULL) and a delta missing
+    * an old column nulls it on the rows it replaces — the ADD COLUMN
+    * semantics every table format provides, with type changes refused
+    * loudly.
+    */
+  private def applyDelta(spark: org.apache.spark.sql.SparkSession,
+                         baseDir: String, delta: DataFrame, key: String,
+                         orderCols: Seq[String], nBuckets: Int,
+                         maintain: Option[Maintain], txn: Long)
+      : String = {
+    import org.apache.spark.sql.functions._
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val priorManifest = committed.lastOption
+      .map(v => readManifest(fs, s"$baseDir/v$v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val dataCols = delta.columns.toIndexedSeq
+    val latest = delta
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(BucketCol, bucketOf(key, nBuckets))
+      .persist()
+    try {
+      // the buckets this delta touches: bounded by nBuckets
+      val touched = latest.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted
+      // durable prior-version lookup (see restart contract): the
+      // latest committed manifest IS the current state — data or
+      // maintenance commit alike
+      val priorMap = priorManifest.map(_.buckets)
+        .getOrElse(Map.empty[Int, Long])
+      // the next version SLOT, independent of the batch id: a
+      // half-written attempt (no manifest) sits at this same slot and
+      // is truncated by the static overwrite below
+      val seq = committed.lastOption.getOrElse(-1L) + 1
+      // copy-on-write: read ONLY the touched buckets' current files;
+      // mergeSchema reconciles bucket files from different schema eras
+      val priorDirs = touched.toIndexedSeq.flatMap(b =>
+        priorMap.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
+      val batchData = latest.select(dataCols.map(col): _*)
+      val merged =
+        if (priorDirs.isEmpty) batchData
+        else graft.operators.Upsert.upsertEvolve(
+          spark.read.option("mergeSchema", "true")
+            .parquet(priorDirs: _*),
+          batchData, key)
+      val next = s"$baseDir/v$seq"
+      // STATIC partition overwrite truncates a stale replay attempt.
+      // With clusterBy, rows sort (bucket, cluster) so the writer's
+      // required partition ordering is already satisfied (no re-sort)
+      // and each rolled file covers a contiguous cluster range — tight
+      // zones within the bucket.
+      val bucketed = merged
+        .withColumn(BucketCol, bucketOf(key, nBuckets))
+        .repartition(col(BucketCol))
+      val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
+        c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
+      val w0 = clustered.write.mode(SaveMode.Overwrite)
+      val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+        m => w0.option("maxRecordsPerFile", m.toString))
+      w1.partitionBy(BucketCol).parquet(next)
+      // metadata BEFORE the commit marker (a crash between them leaves
+      // an uncommitted attempt; a committed version always has its
+      // zones/stats): one pass over ONLY the files this delta wrote —
+      // history is never rescanned
+      maintain.foreach(mt =>
+        writeMaintenance(spark, mt, next, baseDir, seq))
+      // manifest last = commit marker: touched buckets live here,
+      // untouched buckets keep pointing at their current version; the
+      // recorded schema is the post-merge (possibly widened) one
+      writeManifest(fs, next,
+        Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, txn,
+          Some(org.apache.spark.sql.types.StructType(
+            merged.schema.filterNot(_.name == BucketCol)))))
+      // refresh the driver-side registries from the new manifest so
+      // the NEXT plain read plans from fresh metadata
+      maintain.foreach(mt => registerSnapshot(spark, next, mt))
+      next
+    } finally { latest.unpersist(); () }
+  }
+
+  /** BATCH writer for a [[streamUpsertSink]] layout — stream and batch
+    * writers share one table, the lakehouse norm (backfills, GDPR
+    * fixes, and SCHEMA EVOLUTION arrive as batch commits, since a
+    * streaming source's schema is pinned by its checkpoint). Applies
+    * `delta` (latest row per key by `orderCols`) as a maintenance
+    * commit (`txn` -1 — the stream's replay skip only consults data
+    * txns, so interleaved batch commits never collide with it). Run
+    * with the stream STOPPED, like every maintenance op here. The
+    * bucket count comes from the persisted layout. Returns the
+    * committed version dir.
+    */
+  def upsertBatch(spark: org.apache.spark.sql.SparkSession,
+                  baseDir: String, delta: DataFrame, key: String,
+                  orderCols: Seq[String],
+                  maintain: Option[Maintain] = None): String = {
+    require(!delta.isStreaming, "upsertBatch: streaming input — use " +
+      "streamUpsertSink")
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(sys.error(
+      "upsertBatch: no committed layout under " + baseDir +
+      " — seed the table with streamUpsertSink first"))
+    val man = readManifest(fs, s"$baseDir/v$latest")
+    require(man.nBuckets >= 1,
+      s"upsertBatch: layout $baseDir carries no bucket count")
+    applyDelta(spark, baseDir, delta, key, orderCols, man.nBuckets,
+      maintain, txn = -1L)
   }
 
   /** Compaction (OPTIMIZE) for [[streamUpsertSink]] snapshots — the
@@ -527,7 +614,7 @@ object Loader {
       writeMaintenance(spark, mt, next, baseDir, seq))
     writeManifest(fs, next,
       Manifest(man.buckets ++ fragmented.map(_._1 -> seq),
-        man.nBuckets, -1L))
+        man.nBuckets, -1L, man.schema)) // compaction never evolves
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some(next)
   }
@@ -567,8 +654,15 @@ object Loader {
       case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
     }
     // discovery probe: matching files only — zone/dict-pruned when the
-    // snapshot's metadata is registered (the root set matches)
-    val touchedFiles = spark.read.parquet(dirs: _*).filter(cond)
+    // snapshot's metadata is registered (the root set matches); the
+    // manifest's recorded schema spares the footer pass
+    val probe = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    val snapSchema = probe.schema
+    val touchedFiles = probe.filter(cond)
       .select(input_file_name().as("f"))
       .groupBy(col("f")).agg(cnt(lit(1)).as("n"))
       .collect()
@@ -589,7 +683,9 @@ object Loader {
     val keepCond = not(coalesce(cond, lit(false)))
     val emptied = scala.collection.mutable.Set.empty[Int]
     for (b <- touched.toSeq.sorted) {
-      val kept0 = spark.read
+      // the SNAPSHOT schema, not the file schema: a predicate may name
+      // a column this bucket's era predates (reads back NULL)
+      val kept0 = spark.read.schema(snapSchema)
         .parquet(s"$baseDir/v${man.buckets(b)}/$BucketCol=$b")
         .filter(keepCond).coalesce(1)
       val kept = maintain.flatMap(_.clusterBy).fold(kept0)(
@@ -611,7 +707,8 @@ object Loader {
     require(buckets.nonEmpty,
       s"deleteWhere: every row of $baseDir matched — refusing to " +
       "commit an empty snapshot (drop the table instead)")
-    writeManifest(fs, next, Manifest(buckets, man.nBuckets, -1L))
+    writeManifest(fs, next,
+      Manifest(buckets, man.nBuckets, -1L, Some(snapSchema)))
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some((next, deleted))
   }

@@ -296,6 +296,79 @@ class TimeTravelSkewSpec extends SparkSpec {
       6L - users.length)
   }
 
+  test("upsertEvolve widens the schema (add column, NULL backfill), " +
+       "nulls dropped columns on replaced rows, refuses type changes") {
+    import graft.operators.Upsert
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, 99L, 1.5), (3L, 30L, 2.5))
+      .toDF("k", "v", "score") // no name (dropped), new score
+    val out = Upsert.upsertEvolve(target, updates, "k")
+    assert(out.columns.toSeq == Seq("k", "name", "v", "score"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), r.getLong(2), Option(r.get(3)))).toMap
+    assert(rows(1L) == (Some("a"), 10L, None))   // untouched era-A row
+    assert(rows(2L) == (None, 99L, Some(1.5)))   // replaced: name nulled
+    assert(rows(3L) == (None, 30L, Some(2.5)))   // new key, era-B shape
+    // type change refused loudly
+    val bad = Seq((1L, "not-a-long")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertEvolve(target, bad, "k")
+    }
+    assert(e.getMessage.contains("changed type"))
+  }
+
+  test("upsertBatch evolves a streamed layout; history keeps the old " +
+       "schema; the stream continues after the batch commit") {
+    val base = Files.createTempDirectory("graft-evo").toString
+    val src = s"$base/src"; val sink = s"$base/sink"
+    val schema = (1L to 2L).map(ev)
+      .toDF("event_id", "ts", "user_id", "value").schema
+    def runSink(): Unit = {
+      val q = graft.sources.Loader.streamUpsertSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src),
+        sink, key = "user_id", orderCols = Seq("ts", "event_id"),
+        checkpointDir = Some(s"$base/ck"),
+        trigger = Some(Trigger.AvailableNow()))._1
+      q.awaitTermination()
+    }
+    addFile(src, "f0.parquet", 1000000L, (1L to 30L).map(ev))
+    runSink()
+    // era-B batch commit: user 3 gains a tag column
+    val delta = Seq((3L, 777.0, "gold")).toDF("user_id", "value", "tag")
+    val ndir = graft.sources.Loader.upsertBatch(spark, sink, delta,
+      key = "user_id", orderCols = Seq("user_id"))
+    val after = graft.sources.Loader.readSnapshot(spark, ndir)
+    assert(after.columns.contains("tag"))
+    assert(after.count() == 7L)
+    val u3 = after.filter(col("user_id") === 3L).head()
+    assert(u3.getAs[Double]("value") == 777.0 &&
+      u3.getAs[String]("tag") == "gold")
+    // rows the batch never touched read tag as NULL
+    assert(after.filter(col("tag").isNull).count() == 6L)
+    // history: the pre-evolution version reads back WITHOUT tag
+    val v0 = graft.sources.Loader.snapshotVersions(spark, sink).head._1
+    assert(!graft.sources.Loader.readSnapshot(spark, s"$sink/v$v0")
+      .columns.contains("tag"))
+    // the stream continues past the maintenance commit: batch 1 lands
+    // on the next slot and the evolved column survives the merge
+    addFile(src, "f1.parquet", 2000000L,
+      Seq((500L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00"),
+        3L, 111.0)))
+    runSink()
+    val vs = graft.sources.Loader.snapshotVersions(spark, sink)
+    assert(vs.map(_._2) == Seq(0L, -1L, 1L), vs.toString)
+    val fin = graft.sources.Loader.readSnapshot(spark,
+      s"$sink/v${vs.last._1}")
+    val u3f = fin.filter(col("user_id") === 3L).head()
+    // the stream era still has no tag column: user 3's replacement
+    // row nulls it (total replacement, not a patch)
+    assert(u3f.getAs[Double]("value") == 111.0 &&
+      u3f.getAs[String]("tag") == null)
+    assert(fin.count() == 7L)
+  }
+
   test("a registered histogram drives RANGE pricing in the injected " +
        "broadcast rule where uniform interval arithmetic stays silent") {
     import graft.plans.{StatsRegistry, StatsBroadcastRule}
