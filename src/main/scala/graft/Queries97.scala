@@ -318,6 +318,42 @@ object Queries97 {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // CDC recovered from TIME TRAVEL: diff two committed versions of
+    // the maintained sink — the pre-batch snapshot (still readable AS
+    // OF its commit) against the post-batch one. The batch refreshes
+    // every fifth user (changed: cents bumped, the replaced rows null
+    // the stream-era columns) and inserts two brand-new keys (added).
+    // Composition of three first-class pieces: snapshotVersions /
+    // readSnapshot (time travel), upsertBatch (the batch writer), and
+    // Snapshot.diff (one full-outer key shuffle) — the oracle replays
+    // both status classes from the latest-per-key state
+    "q239_snapshot_cdc_travel" -> ((s, d) => {
+      val (vdir, _, maintain) =
+        Queries95.runMaintainedSink(s, d, "q239_sink")
+      val baseDir = new java.io.File(vdir).getParent
+      val pre = sources.Loader.readSnapshot(s, vdir)
+      val ss = s
+      import ss.implicits._
+      val delta = pre.filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), (col("cents") + 7).as("cents"))
+        // NEGATIVE ids: provably absent at every fixture scale (the
+        // 10× fixture shifts copied ids UP by 10⁷ per copy — any
+        // positive synthetic key risks colliding with a copy)
+        .unionByName(Seq((-1L, 4200L), (-2L, 31400L))
+          .toDF("user_id", "cents"))
+      val ndir = sources.Loader.upsertBatch(s, baseDir, delta,
+        key = "user_id", orderCols = Seq("user_id"), Some(maintain))
+      // time travel: vdir still resolves (nothing vacuumed)
+      val oldSnap = sources.Loader.readSnapshot(s, vdir)
+      val newSnap = sources.Loader.readSnapshot(s, ndir)
+      operators.Snapshot.diff(oldSnap, newSnap, "user_id")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(coalesce(col("old_cents"), lit(0L))).as("old_cents_sum"),
+          sum(coalesce(col("new_cents"), lit(0L))).as("new_cents_sum"))
+        .orderBy(col("status"))
+    }),
+
     "q237_sink_delete" -> ((s, d) => {
       val (vdir, _, maintain) =
         Queries95.runMaintainedSink(s, d, "q237_sink")
@@ -587,6 +623,28 @@ object Queries97 {
          |  CAST(COUNT(flag) AS BIGINT) AS n_flagged
          |FROM snap1 JOIN customer ON c_custkey = user_id
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // two status classes from the latest-per-key state: 'added' = the
+    // two synthetic keys (old side all-null → sums coalesce to 0);
+    // 'changed' = every fifth user (cents bumped by 7, so new_sum =
+    // old_sum + 7n); no 'removed' by construction
+    "q239_snapshot_cdc_travel" ->
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1)
+         |SELECT * FROM (
+         |  SELECT 'added' AS status, CAST(2 AS BIGINT) AS n_keys,
+         |    CAST(0 AS BIGINT) AS old_cents_sum,
+         |    CAST(35600 AS BIGINT) AS new_cents_sum
+         |  UNION ALL
+         |  SELECT 'changed', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(cents) AS BIGINT),
+         |    CAST(SUM(cents + 7) AS BIGINT)
+         |  FROM snap WHERE user_id % 5 = 0)
+         |ORDER BY status""".stripMargin,
 
     // the delete replays as a filter on the latest-per-key state: rows
     // at or above the midpoint are gone, the deleted count is their
