@@ -213,7 +213,8 @@ object Bench {
     "q231_dict_zone_skip", "q232_time_travel", "q233_skew_salted",
     "q234_in_list_skip", "q235_in_broadcast", "e44_sink_point_lookup",
     "q236_heavy_equality", "q237_sink_delete",
-    "q238_sink_schema_evolution", "q239_snapshot_cdc_travel")
+    "q238_sink_schema_evolution", "q239_snapshot_cdc_travel",
+    "e45_stream_dict_ingest")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

@@ -145,6 +145,82 @@ object Queries97 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the STREAMED twin of q231: the residue files arrive as
+    // micro-batches, and each batch appends BOTH metadata halves —
+    // min/max zones AND dictionaries — computed from one pass over the
+    // files IT wrote (e42's live-maintenance loop extended to the
+    // dictionary half). After the stream drains, the accumulated
+    // manifest prunes the same plain equality read; the oracle is
+    // q231's VERBATIM, so streamed == batch is part of the hash match
+    "e45_stream_dict_ingest" -> ((s, d) => {
+      val work = Scratch.fresh("e45_dicts", d)
+      val layout = s"$work/table"; val stage = s"$work/stage"
+      val srcDir = s"$work/src"
+      val meta = s"$work/meta"; val dicts = s"$work/dicts"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linenumber"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("fid", pmod(col("l_linenumber"), lit(NRes)))
+        .repartition(col("fid"))
+        .write.mode("overwrite").partitionBy("fid").parquet(stage)
+      new java.io.File(srcDir).mkdirs()
+      new java.io.File(layout).mkdirs()
+      for (r <- 0 until NRes) {
+        val parts = new java.io.File(s"$stage/fid=$r").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"e45: expected one file for residue $r, got ${parts.length}")
+        val dst = java.nio.file.Paths.get(s"$srcDir/r$r.parquet")
+        java.nio.file.Files.move(parts(0).toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L * (r + 1)))
+      }
+      def dataFiles(dir: String): Set[String] =
+        Option(new java.io.File(dir).listFiles())
+          .getOrElse(Array.empty)
+          .map(_.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+                       !n.startsWith("."))
+          .toSet
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val before = dataFiles(layout)
+            b.coalesce(1).write.mode("append").parquet(layout)
+            val fresh = (dataFiles(layout) -- before).toSeq.sorted
+              .map(n => s"$layout/$n")
+            // BOTH metadata halves from one pass over the batch's own
+            // files — the table is never rescanned
+            if (fresh.nonEmpty) {
+              val nv = s.read.parquet(fresh: _*)
+              Zones.analyzeFiles(nv, Seq("l_linenumber"))
+                .write.mode("append").parquet(meta)
+              Zones.analyzeDictFiles(nv, Seq("l_linenumber"), MaxDict)
+                .write.mode("append").parquet(dicts)
+            }
+            ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Zones.registerFromMetadataRoots(s, Seq(layout), Seq(meta),
+        Seq(dicts))
+      val res = s.read.parquet(layout)
+        .filter(col("l_linenumber") === Probe)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = keptOf(res)
+      require(kept < NRes,
+        s"e45: streamed dictionary zones did not prune ($kept/$NRes)")
+      res.withColumn("n_files_kept", lit(kept))
+        .withColumn("n_files_total", lit(NRes.toLong))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // an IN-LIST on the same interleaved layout: a disjunction of
     // equalities, pruned as the OR of per-literal dictionary tests —
     // IN (5, 6) keeps the two residue files that actually contain a
@@ -474,28 +550,32 @@ object Queries97 {
       res
     }))
 
+  // kept = files whose EXACT value set contains the probe (the
+  // dictionary test) = residue classes with any probe row; the
+  // aggregate replays the unpruned filtered answer, so dictionary
+  // pruning provably hid no rows. e45 (the STREAMED ingest) shares it
+  // VERBATIM — streamed == batch is part of the hash match.
+  private lazy val dictZoneOracle: String =
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT l_linenumber % $NRes AS fid, l_linenumber
+       |  FROM lineitem),
+       |fl AS MATERIALIZED (
+       |  SELECT CAST(COUNT(DISTINCT CASE WHEN l_linenumber = $Probe
+       |      THEN fid END) AS BIGINT) AS kept,
+       |    CAST(COUNT(DISTINCT fid) AS BIGINT) AS total
+       |  FROM f)
+       |SELECT l_returnflag,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+       |  (SELECT kept FROM fl) AS n_files_kept,
+       |  (SELECT total FROM fl) AS n_files_total
+       |FROM lineitem
+       |WHERE l_linenumber = $Probe
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // kept = files whose EXACT value set contains the probe (the
-    // dictionary test) = residue classes with any probe row; the
-    // aggregate replays the unpruned filtered answer, so dictionary
-    // pruning provably hid no rows
-    "q231_dict_zone_skip" ->
-      s"""WITH f AS MATERIALIZED (
-         |  SELECT l_linenumber % $NRes AS fid, l_linenumber
-         |  FROM lineitem),
-         |fl AS MATERIALIZED (
-         |  SELECT CAST(COUNT(DISTINCT CASE WHEN l_linenumber = $Probe
-         |      THEN fid END) AS BIGINT) AS kept,
-         |    CAST(COUNT(DISTINCT fid) AS BIGINT) AS total
-         |  FROM f)
-         |SELECT l_returnflag,
-         |  CAST(COUNT(*) AS BIGINT) AS n,
-         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
-         |  (SELECT kept FROM fl) AS n_files_kept,
-         |  (SELECT total FROM fl) AS n_files_total
-         |FROM lineitem
-         |WHERE l_linenumber = $Probe
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q231_dict_zone_skip" -> dictZoneOracle,
+    "e45_stream_dict_ingest" -> dictZoneOracle,
 
     // kept = residue files containing ANY IN member (the OR of exact
     // membership tests); the aggregate replays the unpruned answer
