@@ -47,6 +47,61 @@ object Queries95 {
   private[graft] val NFiles = 3
   private[graft] val TargetFiles = 16L // m = ceil(nUsers / TargetFiles)
 
+  // The maintained-sink fixture is the most expensive one in the repo
+  // (a staging shuffle of events + a 3-micro-batch stream, ~12 s at
+  // sf0.1) and SEVEN queries consume it. Building it per query — worse,
+  // per bench rep — is what timed out the round-11 driver bench
+  // (VERDICT r11 task 1). It is built ONCE per (process, sfDir) here
+  // and shared: read-only consumers (e43/e44/q232) read the shared
+  // committed layout directly; mutating consumers (q228 compaction,
+  // q237 delete, q238/q239 batch upserts) go through
+  // [[mutableMaintainedSink]], which CLONES the committed layout with a
+  // plain file copy — versions, manifests, and maintenance metadata are
+  // all just files, so a copy is a bit-identical table — and registers
+  // the clone's metadata, leaving the shared fixture untouched.
+  private val sinkFixture = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, sources.Loader.Maintain)]()
+
+  private[graft] def sharedMaintainedSink(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : (String, Long, sources.Loader.Maintain) =
+    sinkFixture.computeIfAbsent(d,
+      _ => runMaintainedSink(s, d, "sink_shared"))
+
+  private def copyTree(src: java.nio.file.Path,
+                       dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    } finally walk.close()
+  }
+
+  /** A private, mutable clone of the shared fixture for queries that
+    * compact / delete / batch-upsert the table: same committed state
+    * (the copy preserves every version dir, manifest, and metadata
+    * table), fresh registries for the clone's roots, zero interference
+    * with the shared read-only consumers.
+    */
+  private[graft] def mutableMaintainedSink(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String)
+      : (String, Long, sources.Loader.Maintain) = {
+    val (vdir, m, mt) = sharedMaintainedSink(s, d)
+    val srcBase = java.nio.file.Paths.get(vdir).getParent
+    val dstBase = java.nio.file.Paths.get(Scratch.fresh(tag, d), "sink")
+    copyTree(srcBase, dstBase)
+    val nvdir = dstBase.resolve(
+      java.nio.file.Paths.get(vdir).getFileName.toString).toString
+    // the clone's registries, exactly as the stream's last batch left
+    // the shared ones
+    sources.Loader.registerSnapshot(s, nvdir, mt)
+    (nvdir, m, mt)
+  }
+
   /** Stage events as [[NFiles]] user-keyed arrival units, stream them
     * through the self-maintaining upsert sink, and return the final
     * version dir plus the ingest `maxRecordsPerFile` and the Maintain
@@ -105,7 +160,7 @@ object Queries95 {
 
   val sparkQueries: Map[String, Q] = Map(
     "e43_sink_zone_skip" -> ((s, d) => {
-      val (vdir, _, _) = runMaintainedSink(s, d, "e43_sink")
+      val (vdir, _, _) = sharedMaintainedSink(s, d)
       // total files: the UNFILTERED resolved snapshot's listing
       val total = sources.Loader.readSnapshot(s, vdir).inputFiles.length
       val bounds = sources.Loader.readSnapshot(s, vdir)
@@ -158,7 +213,7 @@ object Queries95 {
     // row in the window) — and the aggregate proves compaction+vacuum
     // changed no answer.
     "q228_sink_compaction" -> ((s, d) => {
-      val (vdir, _, maintain) = runMaintainedSink(s, d, "q228_sink")
+      val (vdir, _, maintain) = mutableMaintainedSink(s, d, "q228_sink")
       val baseDir = new java.io.File(vdir).getParent
       val before = sources.Loader.readSnapshot(s, vdir)
         .inputFiles.length

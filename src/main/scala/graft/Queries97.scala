@@ -302,8 +302,7 @@ object Queries97 {
     // `readSnapshot().filter(user_id = X)` to exactly ONE file — the
     // 100-TB point-read shape, O(1 file) instead of O(snapshot)
     "e44_sink_point_lookup" -> ((s, d) => {
-      val (vdir, _, _) =
-        Queries95.runMaintainedSink(s, d, "e44_sink")
+      val (vdir, _, _) = Queries95.sharedMaintainedSink(s, d)
       val snapAll = sources.Loader.readSnapshot(s, vdir)
       val total = snapAll.inputFiles.length
       val probe = snapAll.agg(min(col("user_id"))).head().getLong(0)
@@ -319,8 +318,7 @@ object Queries97 {
     }),
 
     "q232_time_travel" -> ((s, d) => {
-      val (vdir, _, _) =
-        Queries95.runMaintainedSink(s, d, "q232_sink")
+      val (vdir, _, _) = Queries95.sharedMaintainedSink(s, d)
       val baseDir = new java.io.File(vdir).getParent
       val versions = sources.Loader.snapshotVersions(s, baseDir)
       val dataVs = versions.filter(_._2 >= 0)
@@ -369,7 +367,7 @@ object Queries97 {
     // split
     "q238_sink_schema_evolution" -> ((s, d) => {
       val (vdir, _, maintain) =
-        Queries95.runMaintainedSink(s, d, "q238_sink")
+        Queries95.mutableMaintainedSink(s, d, "q238_sink")
       val baseDir = new java.io.File(vdir).getParent
       val pre = sources.Loader.readSnapshot(s, vdir)
       require(!pre.columns.contains("flag"), "q238: fixture already evolved")
@@ -405,7 +403,7 @@ object Queries97 {
     // both status classes from the latest-per-key state
     "q239_snapshot_cdc_travel" -> ((s, d) => {
       val (vdir, _, maintain) =
-        Queries95.runMaintainedSink(s, d, "q239_sink")
+        Queries95.mutableMaintainedSink(s, d, "q239_sink")
       val baseDir = new java.io.File(vdir).getParent
       val pre = sources.Loader.readSnapshot(s, vdir)
       val ss = s
@@ -432,7 +430,7 @@ object Queries97 {
 
     "q237_sink_delete" -> ((s, d) => {
       val (vdir, _, maintain) =
-        Queries95.runMaintainedSink(s, d, "q237_sink")
+        Queries95.mutableMaintainedSink(s, d, "q237_sink")
       val baseDir = new java.io.File(vdir).getParent
       val bounds = sources.Loader.readSnapshot(s, vdir)
         .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))

@@ -330,7 +330,12 @@ private[plans] object StatsLeaf {
       // predSelectivity returns (1,1) for manifest-unknown columns —
       // a filter we can't price never discounts
       val sels = ps.distinct.map {
-        case CmpPred(c, "in", vs)          =>
+        // the manifest-known guard matters here more than in the =/range
+        // paths (which return (1,1) for unknown columns inside
+        // predSelectivity): ndv()'s missing-column fallback is `rows`,
+        // so an unguarded IN would discount by k/rows and could stamp a
+        // BROADCAST hint on an arbitrarily large side
+        case CmpPred(c, "in", vs) if s.cols.contains(c) =>
           // k distinct members, uniformity over distinct values:
           // min(k, ndv)/ndv — the k-fold System R equality selectivity
           val ndv = BigInt(s.ndv(c))

@@ -515,13 +515,41 @@ object Loader {
       // history is never rescanned
       maintain.foreach(mt =>
         writeMaintenance(spark, mt, next, baseDir, seq))
+      // the recorded snapshot schema must be MONOTONE across
+      // partial-bucket commits: `merged` unions the delta with only the
+      // TOUCHED buckets' files, so a column evolved earlier into
+      // buckets this batch does not touch would vanish from the record
+      // — and readSnapshot's schema-specified read would then silently
+      // drop it for EVERY row, including rows whose files carry it.
+      // Union with the prior manifest's schema (same-name fields keep
+      // the post-merge shape; prior-only fields append nullable, since
+      // the touched buckets' files null-fill them). A pre-schema legacy
+      // manifest falls back to one mergeSchema footer pass over the
+      // prior snapshot.
+      val mergedSchema = org.apache.spark.sql.types.StructType(
+        merged.schema.filterNot(_.name == BucketCol))
+      val priorSchema = priorManifest.flatMap { pm =>
+        pm.schema.orElse {
+          val pdirs = pm.buckets.toSeq.sorted.map {
+            case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
+          }
+          if (pdirs.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(
+            spark.read.option("mergeSchema", "true").parquet(pdirs: _*)
+              .schema.filterNot(_.name == BucketCol)))
+        }
+      }
+      val recordedSchema = priorSchema.fold(mergedSchema) { ps =>
+        val have = mergedSchema.map(_.name).toSet
+        org.apache.spark.sql.types.StructType(mergedSchema ++
+          ps.filterNot(f => have.contains(f.name))
+            .map(_.copy(nullable = true)))
+      }
       // manifest last = commit marker: touched buckets live here,
-      // untouched buckets keep pointing at their current version; the
-      // recorded schema is the post-merge (possibly widened) one
+      // untouched buckets keep pointing at their current version
       writeManifest(fs, next,
         Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, txn,
-          Some(org.apache.spark.sql.types.StructType(
-            merged.schema.filterNot(_.name == BucketCol)))))
+          Some(recordedSchema)))
       // refresh the driver-side registries from the new manifest so
       // the NEXT plain read plans from fresh metadata
       maintain.foreach(mt => registerSnapshot(spark, next, mt))
@@ -688,15 +716,21 @@ object Loader {
       val kept0 = spark.read.schema(snapSchema)
         .parquet(s"$baseDir/v${man.buckets(b)}/$BucketCol=$b")
         .filter(keepCond).coalesce(1)
+      // persist around the isEmpty/write pair: without it the filtered
+      // bucket read runs twice (once for the emptiness probe, once for
+      // the write) — the survivors are one bucket's worth of rows, a
+      // bounded cache
       val kept = maintain.flatMap(_.clusterBy).fold(kept0)(
-        c => kept0.sortWithinPartitions(col(c)))
-      if (kept.isEmpty) { emptied += b; () }
-      else {
-        val w0 = kept.write.mode(SaveMode.Overwrite)
-        val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
-          m => w0.option("maxRecordsPerFile", m.toString))
-        w1.parquet(s"$next/$BucketCol=$b")
-      }
+        c => kept0.sortWithinPartitions(col(c))).persist()
+      try {
+        if (kept.isEmpty) { emptied += b; () }
+        else {
+          val w0 = kept.write.mode(SaveMode.Overwrite)
+          val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+            m => w0.option("maxRecordsPerFile", m.toString))
+          w1.parquet(s"$next/$BucketCol=$b")
+        }
+      } finally { kept.unpersist(); () }
     }
     val rewritten = touched -- emptied
     if (rewritten.nonEmpty)
