@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-12 queries: the maintained snapshot sink grows the two
+  * multi-writer/lifecycle contracts a shared 100-TB table cannot live
+  * without, each closed end-to-end with a first-principles oracle.
+  *
+  * q240 — OPTIMISTIC CONCURRENCY: two writers race on one baseDir.
+  * Every commit stages privately under `_attempt/<uuid>` and publishes
+  * with ONE atomic no-overwrite rename onto its version slot
+  * ([[graft.sources.Loader]]): the winner's version survives intact,
+  * the loser fails TYPED ([[graft.sources.ConcurrentCommitException]])
+  * with its staged data discarded, and the standard OCC recovery —
+  * re-read the latest snapshot, recompute, retry — lands on the next
+  * slot. The race is forced deterministically through the commit-window
+  * seam (`Loader.testRaceHook`); the oracle replays the final state
+  * from first principles, so the hash match proves the lost attempt
+  * leaked NOTHING (no rows, no slot) and both writers' intents landed
+  * exactly once.
+  *
+  * q243 — TIME-TRAVEL RETENTION: a version can survive vacuum (the
+  * CURRENT manifest still points into it) while an OLDER version it
+  * references did not — an AS-OF read of it must fail loudly, not
+  * return silently-partial data.
+  * [[graft.sources.Loader.snapshotVersionsDetailed]] surfaces the
+  * retention verdict per committed version without paying a failed
+  * read, and [[graft.sources.Loader.readSnapshot]] throws the typed
+  * [[graft.sources.VacuumedVersionException]] on both reclaimed shapes
+  * (manifest gone; manifest alive but a referenced bucket dir gone).
+  * The fixture engineers the partial-survivor chain on a 2-bucket
+  * layout: v0 seeds both buckets, v1 rewrites only bucket 0, v2 only
+  * bucket 1 — vacuum reclaims v0, leaving v1 listed-but-unreadable and
+  * v2 current. The oracle replays the FNV bucket split and both bumps.
+  *
+  * Oracle-parity conventions follow [[Queries]]' scaladoc.
+  */
+object Queries98 {
+  import Queries.Q
+
+  private def bucketCol(n: Int) =
+    pmod(functions.Expressions.fnv_hash(col("user_id").cast("string")),
+      lit(n.toLong))
+
+  val sparkQueries: Map[String, Q] = Map(
+    "q240_concurrent_writers" -> ((s, d) => {
+      val (vdir, _, maintain) =
+        Queries95.mutableMaintainedSink(s, d, "q240_sink")
+      val baseDir = new java.io.File(vdir).getParent
+      def bump(src: DataFrame, m: Int, by: Long): DataFrame =
+        src.filter(col("user_id") % m === 0)
+          .select(col("user_id"), (col("cents") + by).as("cents"))
+      // writer B (the winner) commits INSIDE writer A's commit window —
+      // the deterministic seam sits exactly between A's manifest
+      // staging and A's publish rename
+      sources.Loader.testRaceHook = Some(() => {
+        sources.Loader.upsertBatch(s, baseDir,
+          bump(sources.Loader.readSnapshot(s, vdir), 7, 1000L),
+          key = "user_id", orderCols = Seq("user_id"), Some(maintain))
+        ()
+      })
+      val deltaA0 = bump(sources.Loader.readSnapshot(s, vdir), 5, 7L)
+      val lost =
+        try {
+          sources.Loader.upsertBatch(s, baseDir, deltaA0,
+            key = "user_id", orderCols = Seq("user_id"), Some(maintain))
+          false
+        } catch {
+          case _: sources.ConcurrentCommitException => true
+        }
+      require(lost,
+        "q240: the injected race did not surface as a typed loss")
+      // standard OCC recovery: re-read the (new) latest, recompute,
+      // retry — B's bump is visible to A's recomputed delta
+      val latestV = sources.Loader.snapshotVersions(s, baseDir)
+        .map(_._1).max
+      val ndir = sources.Loader.upsertBatch(s, baseDir,
+        bump(sources.Loader.readSnapshot(s, s"$baseDir/v$latestV"),
+          5, 7L),
+        key = "user_id", orderCols = Seq("user_id"), Some(maintain))
+      val nVersions = sources.Loader.snapshotVersions(s, baseDir).length
+      val after = sources.Loader.readSnapshot(s, ndir)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"))
+        .withColumn("loser_typed", lit(if (lost) 1L else 0L))
+        .withColumn("n_versions", lit(nVersions.toLong))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q243_time_travel_retention" -> ((s, d) => {
+      val work = Scratch.fresh("q243_sink", d)
+      val raw = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      // seed = the global latest-per-key state (the oracle's QUALIFY)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/seed")
+      val schema = s.read.parquet(s"$work/seed").schema
+      val (q, handle) = sources.Loader.streamUpsertSink(
+        s.readStream.schema(schema).parquet(s"$work/seed"),
+        s"$work/sink", key = "user_id", orderCols = Seq("user_id"),
+        checkpointDir = Some(s"$work/ckpt"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = 2)
+      q.awaitTermination()
+      val base = s"$work/sink"
+      val v0 = handle.currentDir.get
+      // v1 rewrites ONLY bucket 0 (+10), v2 ONLY bucket 1 (+100): the
+      // chain where v1 survives vacuum for bucket 0 yet references
+      // bucket 1 in v0, which does not
+      def ofBucket(df: DataFrame, b: Int): DataFrame =
+        df.filter(bucketCol(2) === b)
+          .select(col("user_id"), col("cents"))
+      val d1 = ofBucket(sources.Loader.readSnapshot(s, v0), 0)
+        .select(col("user_id"), (col("cents") + 10).as("cents"))
+      require(d1.limit(1).count() == 1L, "q243: bucket 0 is empty")
+      val v1 = sources.Loader.upsertBatch(s, base, d1,
+        key = "user_id", orderCols = Seq("user_id"))
+      val d2 = ofBucket(sources.Loader.readSnapshot(s, v1), 1)
+        .select(col("user_id"), (col("cents") + 100).as("cents"))
+      require(d2.limit(1).count() == 1L, "q243: bucket 1 is empty")
+      val v2 = sources.Loader.upsertBatch(s, base, d2,
+        key = "user_id", orderCols = Seq("user_id"))
+      val removed = sources.Loader.vacuumSnapshots(s, base)
+      require(removed == Seq(0L),
+        s"q243: vacuum reclaimed $removed, expected Seq(0)")
+      // the retention index: v1 listed but unreadable, v2 readable
+      val detail = sources.Loader.snapshotVersionsDetailed(s, base)
+      require(detail.map(t => (t._1, t._3)) == Seq(1L -> false,
+        2L -> true), s"q243: unexpected retention verdicts $detail")
+      // both reclaimed shapes fail TYPED: manifest gone (v0) and
+      // manifest alive with a vacuumed bucket reference (v1)
+      val typed0 =
+        try { sources.Loader.readSnapshot(s, s"$base/v0"); false }
+        catch { case _: sources.VacuumedVersionException => true }
+      val typed1 =
+        try { sources.Loader.readSnapshot(s, v1); false }
+        catch { case _: sources.VacuumedVersionException => true }
+      require(typed0 && typed1,
+        s"q243: untyped AS-OF failure (v0=$typed0, v1=$typed1)")
+      val after = sources.Loader.readSnapshot(s, v2)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"))
+        .withColumn("n_listed", lit(detail.length.toLong))
+        .withColumn("n_readable", lit(detail.count(_._3).toLong))
+        .withColumn("asof_typed", lit(1L))
+        .orderBy(col("c_mktsegment"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // both writers' intents applied exactly once to the latest-per-key
+    // state: +1000 for every 7th user (the winner), +7 for every 5th
+    // (the loser's RETRY, recomputed off the winner's state); versions
+    // = 3 stream commits + winner + retry — the lost attempt consumed
+    // no slot
+    "q240_concurrent_writers" ->
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id, cents
+         |    + (CASE WHEN user_id % 7 = 0 THEN 1000 ELSE 0 END)
+         |    + (CASE WHEN user_id % 5 = 0 THEN 7 ELSE 0 END) AS cents
+         |  FROM snap)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(1 AS BIGINT) AS loser_typed,
+         |  CAST(5 AS BIGINT) AS n_versions
+         |FROM fin JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the FNV 2-bucket split decides which bump each user got (+10 for
+    // bucket 0, +100 for bucket 1 — every user is in exactly one);
+    // 2 versions listed, 1 readable, both AS-OF failures typed
+    "q243_time_travel_retention" -> {
+      val fnv = ExtensionQueries.FnvSql("CAST(user_id AS VARCHAR)")
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id,
+         |    cents + (CASE WHEN ((((CASE WHEN fu >=
+         |        9223372036854775808::HUGEINT
+         |      THEN fu - 18446744073709551616::HUGEINT
+         |      ELSE fu END) % 2) + 2) % 2) = 0 THEN 10 ELSE 100 END)
+         |      AS cents
+         |  FROM (SELECT user_id, cents, $fnv AS fu FROM snap))
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(2 AS BIGINT) AS n_listed,
+         |  CAST(1 AS BIGINT) AS n_readable,
+         |  CAST(1 AS BIGINT) AS asof_typed
+         |FROM fin JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    })
+}

@@ -64,7 +64,8 @@ object SparkEntry {
       Queries90.sparkQueries ++ Queries91.sparkQueries ++
       Queries92.sparkQueries ++ Queries93.sparkQueries ++
       Queries94.sparkQueries ++ Queries95.sparkQueries ++
-      Queries96.sparkQueries ++ Queries97.sparkQueries
+      Queries96.sparkQueries ++ Queries97.sparkQueries ++
+      Queries98.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -102,5 +103,6 @@ object SparkEntry {
       Queries86.oracleSql ++ Queries87.oracleSql ++ Queries88.oracleSql ++
       Queries89.oracleSql ++ Queries90.oracleSql ++ Queries91.oracleSql ++
       Queries92.oracleSql ++ Queries93.oracleSql ++ Queries94.oracleSql ++
-      Queries95.oracleSql ++ Queries96.oracleSql ++ Queries97.oracleSql
+      Queries95.oracleSql ++ Queries96.oracleSql ++ Queries97.oracleSql ++
+      Queries98.oracleSql
 }

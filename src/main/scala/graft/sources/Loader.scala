@@ -3,6 +3,28 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+/** Thrown when a snapshot commit loses the optimistic-concurrency race:
+  * another writer claimed the same commit slot between this
+  * transaction's read of the latest manifest and its publish. The
+  * losing attempt's data is discarded before the throw — the table is
+  * left exactly as the winner committed it. Callers retry by re-reading
+  * the (new) latest snapshot and re-applying their change against it.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends RuntimeException(msg)
+
+/** Thrown by [[Loader.readSnapshot]] when an AS-OF read targets a
+  * version that is no longer fully readable: either the version dir
+  * (with its manifest) was reclaimed by [[Loader.vacuumSnapshots]], or
+  * the version survives but some bucket it references lived in an
+  * older version that was vacuumed. Time-travel retention is the
+  * vacuum cadence; [[Loader.snapshotVersionsDetailed]] reports which
+  * committed versions are still fully readable without paying a failed
+  * read.
+  */
+final class VacuumedVersionException(msg: String)
+  extends RuntimeException(msg)
+
 /** Sink layer. Mirrors the reference `Loader` contract (`main.py:261-281`):
   * suffix validation, refusal to write an empty result, header row, no
   * synthetic index column. Spark-first difference: large results are written
@@ -128,12 +150,12 @@ object Loader {
     * stats/zone planning loop: after each batch, the rewritten buckets
     * (and ONLY those — one pass over the delta the batch just wrote,
     * never a rescan) contribute per-file zone rows to
-    * `<baseDir>/_zones/v<seq>` and one per-bucket mergeable wide-stats
-    * row to `<baseDir>/_stats/v<seq>`, both durable BEFORE the manifest
-    * commit marker; the current registries are then refreshed from the
-    * manifest so a plain `readSnapshot(...).filter(...)` zone-prunes
-    * and its joins plan from fresh statistics with zero graft calls in
-    * the query.
+    * `v<seq>/_zones` and one per-bucket mergeable wide-stats row to
+    * `v<seq>/_stats`, published atomically WITH the data and the
+    * manifest commit marker (one staged-attempt rename); the current
+    * registries are then refreshed from the manifest so a plain
+    * `readSnapshot(...).filter(...)` zone-prunes and its joins plan
+    * from fresh statistics with zero graft calls in the query.
     *
     * @param zoneCols  columns zone-mapped per file
     * @param statCols  columns ANALYZEd per bucket (mergeable: counts
@@ -190,6 +212,67 @@ object Loader {
                     spark: org.apache.spark.sql.SparkSession) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Test seam for the optimistic-concurrency spec: invoked exactly
+    * once, immediately before the next commit's publish rename, then
+    * cleared — a spec injects a competing committer here to force a
+    * deterministic lost race. Never set in production code.
+    */
+  private[graft] var testRaceHook: Option[() => Unit] = None
+
+  /** Publish a fully-written attempt directory (data files, maintenance
+    * metadata, manifest — everything) as commit slot `v<seq>` in ONE
+    * atomic no-overwrite rename: the optimistic-concurrency commit
+    * point. Every writer stages privately under `_attempt/<uuid>`, so
+    * two racing transactions can never scribble on each other's files;
+    * the first rename onto the slot wins, the loser's rename fails
+    * (FileContext rename without OVERWRITE), its staged attempt is
+    * deleted, and it surfaces as a typed
+    * [[graft.sources.ConcurrentCommitException]] — the caller re-reads
+    * the latest snapshot and retries. Crash recovery is unchanged in
+    * spirit but simpler in mechanics: a crashed attempt leaves an
+    * orphan under `_attempt/` (reclaimed by [[vacuumSnapshots]]) and
+    * the slot stays EMPTY, so a replayed batch stages afresh and
+    * publishes onto the same slot — a committed `v<seq>` now appears
+    * atomically complete or not at all.
+    */
+  private def commitAttempt(spark: org.apache.spark.sql.SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            baseDir: String, attemptDir: String,
+                            seq: Long): String = {
+    testRaceHook.foreach { h => testRaceHook = None; h() }
+    val next = s"$baseDir/v$seq"
+    val src = new org.apache.hadoop.fs.Path(attemptDir)
+    val dst = new org.apache.hadoop.fs.Path(next)
+    val lost =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, spark.sessionState.newHadoopConf())
+        fc.rename(src, dst) // Options.Rename.NONE: fails if dst exists
+        false
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+        case e: java.io.IOException =>
+          // classify: slot materialized under us → lost race; anything
+          // else is a real I/O failure and must surface as itself
+          if (fs.exists(dst)) true else throw e
+      }
+    if (lost) {
+      fs.delete(src, true)
+      throw new ConcurrentCommitException(
+        s"commit slot v$seq under $baseDir was claimed by a concurrent " +
+        "writer; this attempt's staged data was discarded — re-read " +
+        "the latest snapshot and retry the transaction")
+    }
+    next
+  }
+
+  private def newAttemptDir(fs: org.apache.hadoop.fs.FileSystem,
+                            baseDir: String): String = {
+    val d = s"$baseDir/_attempt/${java.util.UUID.randomUUID()}"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(d))
+    d
+  }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             versionDir: String,
@@ -278,12 +361,32 @@ object Loader {
     val fs = fsFor(versionDir, spark)
     val base = new org.apache.hadoop.fs.Path(versionDir)
       .getParent.toString
+    // typed retention contract: an AS-OF read of a reclaimed version
+    // fails as [[VacuumedVersionException]], never as a raw
+    // FileNotFound deep inside a parquet scan
+    if (!fs.exists(new org.apache.hadoop.fs.Path(versionDir,
+        ManifestName)))
+      throw new VacuumedVersionException(
+        s"readSnapshot: $versionDir has no committed manifest — the " +
+        "version was never committed or was reclaimed by " +
+        "vacuumSnapshots (retention is the vacuum cadence; " +
+        "snapshotVersionsDetailed lists what is still readable)")
     val man = readManifest(fs, versionDir)
     val dirs = man.buckets.toSeq.sorted.map {
       case (b, v) => s"$base/v$v/$BucketCol=$b"
     }
     require(dirs.nonEmpty,
       s"readSnapshot: $versionDir has an empty manifest")
+    // a SURVIVING manifest can still reference a bucket whose holding
+    // version was vacuumed (it was live for the CURRENT manifest, not
+    // for this historical one) — bounded check, one exists() per bucket
+    val gone = dirs.filterNot(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d)))
+    if (gone.nonEmpty)
+      throw new VacuumedVersionException(
+        s"readSnapshot: $versionDir references ${gone.length} bucket " +
+        s"dir(s) reclaimed by vacuumSnapshots (first: ${gone.head}) — " +
+        "this historical version is no longer fully readable")
     // schema evolution means bucket files can span eras: the manifest's
     // recorded schema reads them uniformly (files that predate a column
     // null-fill it) with NO footer pass; pre-schema manifests fall back
@@ -313,6 +416,30 @@ object Loader {
       v -> readManifest(fs, s"$baseDir/v$v").txn)
   }
 
+  /** [[snapshotVersions]] plus the RETENTION verdict per version:
+    * (seq, txn, readable) where readable means every bucket dir the
+    * version's manifest references still exists — i.e. an AS-OF
+    * `readSnapshot` of it would succeed rather than throw
+    * [[VacuumedVersionException]]. A version can be listed yet
+    * unreadable: it survived vacuum because the CURRENT manifest still
+    * points into it, while an OLDER version it references did not.
+    * Bounded driver work: one manifest read + ≤ nBuckets exists()
+    * probes per committed version — never a data scan.
+    */
+  def snapshotVersionsDetailed(spark: org.apache.spark.sql.SparkSession,
+                               baseDir: String)
+      : Seq[(Long, Long, Boolean)] = {
+    val fs = fsFor(baseDir, spark)
+    committedVersions(fs, baseDir).map { v =>
+      val man = readManifest(fs, s"$baseDir/v$v")
+      val readable = man.buckets.forall { case (b, mv) =>
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$baseDir/v$mv/$BucketCol=$b"))
+      }
+      (v, man.txn, readable)
+    }
+  }
+
   /** Remove [[streamUpsertSink]] snapshot versions that the CURRENT
     * manifest no longer references — the VACUUM every copy-on-write
     * table format pairs with its writer. A version is live iff it is
@@ -334,8 +461,9 @@ object Loader {
           .buckets.values.toSet + current
         val dead = committed.filterNot(live.contains)
         dead.foreach { v =>
+          // in-version maintenance metadata dies with the version dir;
+          // the legacy external layout (`_kind/v<seq>`) is swept too
           fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v$v"), true)
-          // the version's maintenance metadata dies with it
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$baseDir/_zones/v$v"), true)
           fs.delete(new org.apache.hadoop.fs.Path(
@@ -344,6 +472,11 @@ object Loader {
             s"$baseDir/_dicts/v$v"), true)
           ()
         }
+        // orphaned staging attempts (a crashed or lost-race writer's
+        // leftovers): with every writer stopped — the vacuum contract —
+        // any dir still under _attempt/ was never published
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$baseDir/_attempt"), true)
         dead
     }
   }
@@ -361,11 +494,13 @@ object Loader {
     * Hadoop FileSystem API so recovery works on any scheme (hdfs://,
     * s3a://). A replayed batch whose txn is already committed is
     * SKIPPED (it fully applied; only the checkpoint commit was lost);
-    * a half-written attempt left no manifest, so the retry lands on
-    * the same slot and the static partition overwrite truncates it —
-    * the snapshot chain a restarted run produces equals an
-    * uninterrupted run's version-for-version (pinned by
-    * CheckpointRestartSpec's fifth shape). The layout's bucket count
+    * a half-written attempt is an orphan under `_attempt/` that never
+    * reached its slot (commits are one atomic staged-dir rename — see
+    * [[ConcurrentCommitException]]), so the retry stages afresh and
+    * publishes onto the same still-empty slot — the snapshot chain a
+    * restarted run produces equals an uninterrupted run's
+    * version-for-version (pinned by CheckpointRestartSpec's fifth
+    * shape). The layout's bucket count
     * and hash are persisted in every manifest and `require`d to match
     * on restart — a different bucketing would silently miss prior
     * rows. Pass `checkpointDir` for restartable sources; without it a
@@ -479,9 +614,11 @@ object Loader {
       // maintenance commit alike
       val priorMap = priorManifest.map(_.buckets)
         .getOrElse(Map.empty[Int, Long])
-      // the next version SLOT, independent of the batch id: a
-      // half-written attempt (no manifest) sits at this same slot and
-      // is truncated by the static overwrite below
+      // the next version SLOT, independent of the batch id — computed
+      // from the SAME listing the prior state was read from, so the
+      // publish rename below is a true optimistic-concurrency check:
+      // any writer that committed after this listing occupies the slot
+      // and this transaction loses cleanly
       val seq = committed.lastOption.getOrElse(-1L) + 1
       // copy-on-write: read ONLY the touched buckets' current files;
       // mergeSchema reconciles bucket files from different schema eras
@@ -494,12 +631,13 @@ object Loader {
           spark.read.option("mergeSchema", "true")
             .parquet(priorDirs: _*),
           batchData, key)
-      val next = s"$baseDir/v$seq"
-      // STATIC partition overwrite truncates a stale replay attempt.
-      // With clusterBy, rows sort (bucket, cluster) so the writer's
-      // required partition ordering is already satisfied (no re-sort)
-      // and each rolled file covers a contiguous cluster range — tight
-      // zones within the bucket.
+      // every attempt stages PRIVATELY (uuid dir): racing writers can
+      // never scribble on each other's files, and a crashed attempt is
+      // an orphan the slot never saw. With clusterBy, rows sort
+      // (bucket, cluster) so the writer's required partition ordering
+      // is already satisfied (no re-sort) and each rolled file covers
+      // a contiguous cluster range — tight zones within the bucket.
+      val attempt = newAttemptDir(fs, baseDir)
       val bucketed = merged
         .withColumn(BucketCol, bucketOf(key, nBuckets))
         .repartition(col(BucketCol))
@@ -508,13 +646,12 @@ object Loader {
       val w0 = clustered.write.mode(SaveMode.Overwrite)
       val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
         m => w0.option("maxRecordsPerFile", m.toString))
-      w1.partitionBy(BucketCol).parquet(next)
-      // metadata BEFORE the commit marker (a crash between them leaves
-      // an uncommitted attempt; a committed version always has its
-      // zones/stats): one pass over ONLY the files this delta wrote —
-      // history is never rescanned
+      w1.partitionBy(BucketCol).parquet(attempt)
+      // metadata INSIDE the attempt (published atomically with the
+      // data and the manifest): one pass over ONLY the files this
+      // delta wrote — history is never rescanned
       maintain.foreach(mt =>
-        writeMaintenance(spark, mt, next, baseDir, seq))
+        writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
       // the recorded snapshot schema must be MONOTONE across
       // partial-bucket commits: `merged` unions the delta with only the
       // TOUCHED buckets' files, so a column evolved earlier into
@@ -545,11 +682,14 @@ object Loader {
           ps.filterNot(f => have.contains(f.name))
             .map(_.copy(nullable = true)))
       }
-      // manifest last = commit marker: touched buckets live here,
-      // untouched buckets keep pointing at their current version
-      writeManifest(fs, next,
+      // manifest into the attempt (touched buckets live at this slot,
+      // untouched buckets keep pointing at their current version),
+      // then the PUBLISH: one atomic no-overwrite rename onto the slot
+      // — the commit marker and the concurrency check in one step
+      writeManifest(fs, attempt,
         Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, txn,
           Some(recordedSchema)))
+      val next = commitAttempt(spark, fs, baseDir, attempt, seq)
       // refresh the driver-side registries from the new manifest so
       // the NEXT plain read plans from fresh metadata
       maintain.foreach(mt => registerSnapshot(spark, next, mt))
@@ -625,9 +765,8 @@ object Loader {
     }
     if (fragmented.isEmpty) return None
     val seq = latest + 1
-    val next = s"$baseDir/v$seq"
-    // a half-written earlier attempt at this slot is truncated first
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    // private staging + atomic publish rename: see [[commitAttempt]]
+    val attempt = newAttemptDir(fs, baseDir)
     for ((b, v) <- fragmented) {
       val one = spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b")
         .coalesce(1)
@@ -636,13 +775,14 @@ object Loader {
       val w0 = sorted.write.mode(SaveMode.Overwrite)
       val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
         mrf => w0.option("maxRecordsPerFile", mrf.toString))
-      w1.parquet(s"$next/$BucketCol=$b")
+      w1.parquet(s"$attempt/$BucketCol=$b")
     }
     maintain.foreach(mt =>
-      writeMaintenance(spark, mt, next, baseDir, seq))
-    writeManifest(fs, next,
+      writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
+    writeManifest(fs, attempt,
       Manifest(man.buckets ++ fragmented.map(_._1 -> seq),
         man.nBuckets, -1L, man.schema)) // compaction never evolves
+    val next = commitAttempt(spark, fs, baseDir, attempt, seq)
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some(next)
   }
@@ -705,8 +845,8 @@ object Loader {
           s"deleteWhere: no bucket in path ${r.getString(0)}")
       }).toSet
     val seq = latest + 1
-    val next = s"$baseDir/v$seq"
-    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    // private staging + atomic publish rename: see [[commitAttempt]]
+    val attempt = newAttemptDir(fs, baseDir)
     // SQL DELETE: remove iff cond is TRUE — NULL keeps the row
     val keepCond = not(coalesce(cond, lit(false)))
     val emptied = scala.collection.mutable.Set.empty[Int]
@@ -728,47 +868,64 @@ object Loader {
           val w0 = kept.write.mode(SaveMode.Overwrite)
           val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
             m => w0.option("maxRecordsPerFile", m.toString))
-          w1.parquet(s"$next/$BucketCol=$b")
+          w1.parquet(s"$attempt/$BucketCol=$b")
         }
       } finally { kept.unpersist(); () }
     }
     val rewritten = touched -- emptied
     if (rewritten.nonEmpty)
       maintain.foreach(mt =>
-        writeMaintenance(spark, mt, next, baseDir, seq))
+        writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
     val buckets = (man.buckets -- emptied) ++
       rewritten.map(_ -> seq).toMap
     require(buckets.nonEmpty,
       s"deleteWhere: every row of $baseDir matched — refusing to " +
       "commit an empty snapshot (drop the table instead)")
-    writeManifest(fs, next,
+    writeManifest(fs, attempt,
       Manifest(buckets, man.nBuckets, -1L, Some(snapSchema)))
+    val next = commitAttempt(spark, fs, baseDir, attempt, seq)
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some((next, deleted))
   }
 
   /** One commit's maintenance metadata, from one pass over ONLY the
-    * files the commit wrote (`versionDir`) — history is never
-    * rescanned: per-file zone rows, per-bucket mergeable wide stats,
-    * per-file dictionaries. Written BEFORE the manifest commit marker.
+    * files the commit wrote (the staged `attemptDir`) — history is
+    * never rescanned: per-file zone rows, per-bucket mergeable wide
+    * stats, per-file dictionaries. Written INSIDE the attempt
+    * (underscore dirs are invisible to Spark data listings), so the
+    * publish rename commits data + metadata + manifest in one atomic
+    * step. File-keyed metadata (zones, dicts) is analyzed while the
+    * files still live at the attempt path, so the `file` keys are
+    * rewritten to the path the files WILL have once the attempt lands
+    * on its commit slot (`finalDir`) — the registered keys then match
+    * the committed listing exactly.
     */
   private def writeMaintenance(spark: org.apache.spark.sql.SparkSession,
-                               mt: Maintain, versionDir: String,
-                               baseDir: String, seq: Long): Unit = {
-    val newVer = spark.read.parquet(versionDir)
+                               mt: Maintain, attemptDir: String,
+                               finalDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    val newVer = spark.read.parquet(attemptDir)
+    val aPath = new org.apache.hadoop.fs.Path(attemptDir)
+      .toUri.getPath
+    val fPath = new org.apache.hadoop.fs.Path(finalDir).toUri.getPath
+    def rekey(df: DataFrame): DataFrame =
+      df.withColumn("file", regexp_replace(col("file"),
+        lit(java.util.regex.Pattern.quote(aPath)),
+        lit(java.util.regex.Matcher.quoteReplacement(fPath))))
     if (mt.zoneCols.nonEmpty)
-      graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols)
+      rekey(graft.plans.Zones.analyzeFiles(newVer, mt.zoneCols))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$baseDir/_zones/v$seq")
+        .parquet(s"$attemptDir/_zones")
     if (mt.statCols.nonEmpty)
       graft.operators.StatsPlanner.analyzeWideBy(
           newVer, BucketCol, mt.statCols.map(c => c -> c))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$baseDir/_stats/v$seq")
+        .parquet(s"$attemptDir/_stats")
     if (mt.dictCols.nonEmpty)
-      graft.plans.Zones.analyzeDictFiles(newVer, mt.dictCols, mt.dictMax)
+      rekey(graft.plans.Zones.analyzeDictFiles(newVer, mt.dictCols,
+          mt.dictMax))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$baseDir/_dicts/v$seq")
+        .parquet(s"$attemptDir/_dicts")
   }
 
   /** Refresh the driver-side stats/zone registries for a committed
@@ -798,12 +955,21 @@ object Loader {
       case (b, v) => s"$base/v$v/$BucketCol=$b"
     }
     val versions = man.buckets.values.toSet.toSeq.sorted
+    // metadata lives INSIDE each version dir (published atomically
+    // with it); the pre-OCC layout kept it under `<base>/_kind/v<seq>`
+    // — resolve the in-version location first, fall back to legacy
+    def metaOf(v: Long, kind: String): Option[String] =
+      Seq(s"$base/v$v/$kind", s"$base/$kind/v$v")
+        .find(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     if (maintain.statCols.nonEmpty) {
       val exprs = maintain.statCols.map(c => c -> c)
       val byVer = man.buckets.groupBy(_._2)
       val wide = versions.map { v =>
         val bs = byVer(v).keys.toSeq
-        spark.read.parquet(s"$base/_stats/v$v")
+        val sdir = metaOf(v, "_stats").getOrElse(sys.error(
+          s"registerSnapshot: version v$v of $base has no _stats " +
+          "metadata (was it written with statCols maintenance?)"))
+        spark.read.parquet(sdir)
           .filter(col(BucketCol).isin(bs: _*))
       }.reduce(_ unionByName _)
       val stats = graft.operators.StatsPlanner.tableStatsFromWide(
@@ -811,10 +977,8 @@ object Loader {
       graft.plans.StatsRegistry.registerRoots(dirs, stats)
     }
     if (maintain.zoneCols.nonEmpty || maintain.dictCols.nonEmpty) {
-      val zdirs = versions.map(v => s"$base/_zones/v$v")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      val ddirs = versions.map(v => s"$base/_dicts/v$v")
-        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      val zdirs = versions.flatMap(v => metaOf(v, "_zones"))
+      val ddirs = versions.flatMap(v => metaOf(v, "_dicts"))
       if (zdirs.nonEmpty || ddirs.nonEmpty)
         graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs,
           ddirs)

@@ -571,8 +571,9 @@ class CheckpointRestartSpec extends SparkSpec {
       Some(maintain.copy(maxRecordsPerFile = None)))
     assert(compact.contains(s"$sink/v2"), compact.toString)
     // the compaction version's zone metadata references ONLY its own
-    // (compacted) files — the incremental-maintenance rule
-    val zfiles = spark.read.parquet(s"$sink/_zones/v2")
+    // (compacted) files — the incremental-maintenance rule; metadata
+    // now lives INSIDE the version dir (published atomically with it)
+    val zfiles = spark.read.parquet(s"$sink/v2/_zones")
       .select(col("file")).collect().map(_.getString(0))
     assert(zfiles.nonEmpty && zfiles.forall(_.contains("/v2/")),
       zfiles.take(3).mkString(","))
