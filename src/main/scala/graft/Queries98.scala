@@ -40,6 +40,11 @@ import org.apache.spark.sql.streaming.Trigger
 object Queries98 {
   import Queries.Q
 
+  private val qtyCents =
+    "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"
+  private val NRes = 3      // q241 residue files
+  private val DictCap = 64  // q241: provably past the dictionary cap
+
   private def bucketCol(n: Int) =
     pmod(functions.Expressions.fnv_hash(col("user_id").cast("string")),
       lit(n.toLong))
@@ -91,6 +96,92 @@ object Queries98 {
         .withColumn("loser_typed", lit(if (lost) 1L else 0L))
         .withColumn("n_versions", lit(nVersions.toLong))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // q241 — BLOOM point-lookup skipping PAST the dictionary cap
+    // (round-11's one real pruning hole, VERDICT task 5): the layout
+    // interleaves l_orderkey residues across three files, so every
+    // file's [min, max] straddles the mid-domain probe (range zones
+    // prune nothing — pinned from the metadata table) and per-file NDV
+    // provably exceeds the dictionary cap (analyzeDictFiles at the cap
+    // is EMPTY — pinned). Only the per-file Bloom (32 bits/value, 5
+    // seeded FNV probes) prunes the plain equality read — down to
+    // exactly the ONE file whose residue class contains the probe,
+    // which the query requires loudly (a false positive would surface
+    // as kept > 1, never as a wrong answer).
+    "q241_bloom_point_skip" -> ((s, d) => {
+      val work = Scratch.fresh("q241_bloom", d)
+      val layout = s"$work/table"; val stage = s"$work/stage"
+      val meta = s"$work/meta"; val blooms = s"$work/blooms"
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          expr(qtyCents).as("qty_cents"))
+        .withColumn("fid", pmod(col("l_orderkey"), lit(NRes)))
+        .repartition(col("fid"))
+        .write.mode("overwrite").partitionBy("fid").parquet(stage)
+      new java.io.File(layout).mkdirs()
+      for (r <- 0 until NRes) {
+        val parts = new java.io.File(s"$stage/fid=$r").listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+                       f.getName.endsWith(".parquet"))
+        require(parts.length == 1,
+          s"q241: expected one file for residue $r, got ${parts.length}")
+        java.nio.file.Files.move(parts(0).toPath,
+          java.nio.file.Paths.get(s"$layout/r$r.parquet"))
+      }
+      val flat = s.read.parquet(layout)
+      // premise 1: PAST the dictionary cap — no file earns a dictionary
+      require(graft.plans.Zones.analyzeDictFiles(flat,
+          Seq("l_orderkey"), DictCap).isEmpty,
+        "q241: some file's NDV fit the dictionary cap — the fixture " +
+        "no longer isolates the Bloom path")
+      // Bloom sized to the data: 32 bits per distinct value of the
+      // largest file (~1e-4 per-file FP at 5 hashes), scale-adaptive
+      val maxNdv = flat
+        .groupBy(pmod(col("l_orderkey"), lit(NRes)))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .agg(max(col("n"))).head().getLong(0)
+      val mBits = math.min((32L * maxNdv + 63) / 64 * 64, 1L << 26).toInt
+      graft.plans.Zones.writeMetadata(
+        graft.plans.Zones.analyzeFiles(flat, Seq("l_orderkey")), meta)
+      graft.plans.Zones.writeMetadata(
+        graft.plans.Zones.analyzeBloomFiles(flat, Seq("l_orderkey"),
+          mBits, 5), blooms)
+      graft.plans.Zones.registerFromMetadataRoots(s, Seq(layout),
+        Seq(meta), Nil, Seq(blooms))
+      // mid-domain probe: the smallest key above the midpoint, so every
+      // file's range straddles it
+      val bounds = flat.agg(
+        min(col("l_orderkey")).cast("long").as("mn"),
+        max(col("l_orderkey")).cast("long").as("mx")).head()
+      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+      val probe = flat.filter(col("l_orderkey") > mid)
+        .agg(min(col("l_orderkey")).cast("long")).head().getLong(0)
+      // premise 2: every file's [min, max] RANGE contains the probe —
+      // min/max zones alone would keep all three files
+      val mm = s.read.parquet(meta)
+        .select(col("min_repr").cast("long").as("mn"),
+          col("max_repr").cast("long").as("mx")).collect()
+      require(mm.length == NRes &&
+        mm.forall(r => r.getLong(0) <= probe && probe <= r.getLong(1)),
+        s"q241: ranges do not all straddle $probe — the fixture no " +
+        "longer isolates Bloom pruning")
+      val res = flat.filter(col("l_orderkey") === probe)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty_cents")).as("qty_cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation }
+        .collect { case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.length }
+        .sum.toLong
+      require(kept == 1L,
+        s"q241: Bloom pruning kept $kept of $NRes files (1 expected; " +
+        ">1 = a false positive or a dead rule)")
+      res.withColumn("n_files_kept", lit(kept))
+        .withColumn("n_files_total", lit(NRes.toLong))
+        .orderBy(col("l_returnflag"))
     }),
 
     "q243_time_travel_retention" -> ((s, d) => {
@@ -187,6 +278,23 @@ object Queries98 {
          |  CAST(5 AS BIGINT) AS n_versions
          |FROM fin JOIN customer ON c_custkey = user_id
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the probe lives in exactly its own residue class's file — kept
+    // is 1 by exact membership (the query itself pins that the Bloom's
+    // might-contain agreed); the aggregate replays the unpruned answer
+    "q241_bloom_point_skip" ->
+      s"""WITH prm AS MATERIALIZED (
+         |  SELECT MIN(l_orderkey) AS probe FROM lineitem
+         |  WHERE l_orderkey > (SELECT (MIN(l_orderkey) + MAX(l_orderkey)) // 2
+         |                      FROM lineitem))
+         |SELECT l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM($qtyCents) AS BIGINT) AS qty_cents_sum,
+         |  CAST(1 AS BIGINT) AS n_files_kept,
+         |  CAST($NRes AS BIGINT) AS n_files_total
+         |FROM lineitem
+         |WHERE l_orderkey = (SELECT probe FROM prm)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the FNV 2-bucket split decides which bump each user got (+10 for
     // bucket 0, +100 for bucket 1 — every user is in exactly one);

@@ -37,10 +37,40 @@ object ZoneRegistry {
     * is provably absent. Files whose per-file NDV exceeded the cap are
     * simply absent here (kept — conservative).
     */
+  /** A per-(file, column) Bloom filter over the column's canonical
+    * string renderings — the point-lookup pruning path for columns
+    * whose per-file NDV exceeds the dictionary cap: a dictionary is
+    * EXACT but size-bounded; a Bloom is one bit array regardless of
+    * NDV, with might-contain semantics (false positives keep a file —
+    * conservative, never hides rows; a definite miss prunes it).
+    * `words` is the sparse nonzero-word map of the bitset; position j
+    * is splitmix64(FNV-1a64(repr) XOR (j+1)·golden) mod numBits — one
+    * base hash from the graft chain, k probes diversified before the
+    * finalizer (see [[Zones.analyzeBloomFiles]] for why seeded FNV
+    * alone is not k independent hashes), bit-replayable anywhere.
+    */
+  final case class BloomSketch(numBits: Int, numHashes: Int,
+                               words: Map[Int, Long]) {
+    def mightContain(repr: String): Boolean = {
+      val h = Zones.fnvString(repr, 0L)
+      var j = 0
+      while (j < numHashes) {
+        val pos = java.lang.Math.floorMod(
+          graft.functions.Expressions.splitmix64(
+            h ^ ((j + 1L) * 0x9e3779b97f4a7c15L)), numBits.toLong).toInt
+        if ((words.getOrElse(pos >> 6, 0L) >>> (pos & 63) & 1L) == 0L)
+          return false
+        j += 1
+      }
+      true
+    }
+  }
+
   final case class ZoneManifest(
       files: Map[String, Map[String, (String, String)]],
       tags: Map[String, String] = Map.empty,
-      dicts: Map[String, Map[String, Set[String]]] = Map.empty)
+      dicts: Map[String, Map[String, Set[String]]] = Map.empty,
+      blooms: Map[String, Map[String, BloomSketch]] = Map.empty)
 
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, ZoneManifest]()
@@ -171,6 +201,81 @@ object Zones {
     }.reduce(_ unionByName _).orderBy(col("file"), col("col_name"))
   }
 
+  /** Driver-side twin of the `fnv_hash` expression — the probe hashing
+    * [[ZoneRegistry.BloomSketch.mightContain]] runs must agree bit-for-
+    * bit with the authoring hashing [[analyzeBloomFiles]] ran in Spark.
+    */
+  private[graft] def fnvString(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ seed
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Per-file BLOOM manifest of `df` over `cols`: one row per
+    * (file, column, nonzero bitset word), `numBits` bits and
+    * `numHashes` seeded FNV probes per (file, column). This is the
+    * point-lookup pruning for columns PAST the dictionary cap
+    * ([[analyzeDictFiles]]'s `maxDict`): a dictionary's size grows with
+    * NDV and gets dropped above the cap (file kept conservatively —
+    * round-11's one real pruning hole); a Bloom stays `numBits/8` bytes
+    * however many distinct values the file holds, trading exactness for
+    * might-contain — false positives only ever KEEP a file. Size
+    * `numBits` ≈ 32× the largest per-file NDV for a ~1e-4 per-file FP
+    * rate at 5 hashes.
+    *
+    * Scale shape: one distinct-projection per column (map-side
+    * combining), k position expansions per distinct rendering, and a
+    * bit_or word aggregation — the output is metadata-sized (≤
+    * numBits/64 rows per file × column), never data-sized.
+    */
+  def analyzeBloomFiles(df: DataFrame, cols: Seq[String],
+                        numBits: Int = 1 << 16,
+                        numHashes: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "Zones.analyzeBloomFiles: no columns")
+    require(numBits >= 64 && numBits % 64 == 0,
+      "Zones.analyzeBloomFiles: numBits must be a positive multiple of 64")
+    require(numHashes >= 1, "Zones.analyzeBloomFiles: bad numHashes")
+    cols.map { c =>
+      val dv = df.select(input_file_name().as("file"),
+          col(c).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      // k probe positions from ONE base hash, diversified by XORing a
+      // distinct 64-bit golden multiple BEFORE the splitmix finalizer.
+      // Seeded FNV (seed XORed into the basis) is NOT k independent
+      // hashes: the seed term is arithmetically equivalent to
+      // perturbing the string's FIRST character ("5979" at seed j
+      // collides 64-bit-EXACTLY with "4979" at a neighboring seed), so
+      // sequential integer keys measured 34% FP at a 12% bit load —
+      // and no post-hoc mixer can separate exact collisions. The XOR
+      // constant has no p-power structure for digit edits to mimic;
+      // measured FP drops to the independent-hash formula (0 of 5000
+      // in the residue-class sim at 32 bits/value, 5 hashes).
+      val base = graft.functions.Expressions.fnv_hash(col("v"))
+      val posArr = array((0 until numHashes).map { i =>
+        val cj = (i + 1L) * 0x9e3779b97f4a7c15L
+        pmod(graft.functions.Expressions.mix64(base.bitwiseXOR(lit(cj))),
+          lit(numBits.toLong))
+      }: _*)
+      dv.select(col("file"), explode(posArr).as("pos"))
+        .select(col("file"), expr("CAST(pos DIV 64 AS INT)").as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .as("bit"))
+        .groupBy(col("file"), col("w"))
+        .agg(expr("bit_or(bit)").as("word"))
+        .select(col("file"), lit(c).as("col_name"),
+          lit(numBits).as("num_bits"), lit(numHashes).as("num_hashes"),
+          col("w"), col("word"),
+          lit(tagOf(df.schema(c).dataType)).as("col_tag"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("file"), col("col_name"), col("w"))
+  }
+
   /** Persist a zone manifest as the table's parquet metadata table. */
   def writeMetadata(zones: DataFrame, metaDir: String): Unit =
     zones.write.mode("overwrite").parquet(metaDir)
@@ -195,9 +300,10 @@ object Zones {
     */
   def registerFromMetadataRoots(spark: SparkSession, dirs: Seq[String],
                                 metaDirs: Seq[String],
-                                dictDirs: Seq[String] = Nil): Unit =
+                                dictDirs: Seq[String] = Nil,
+                                bloomDirs: Seq[String] = Nil): Unit =
     ZoneRegistry.registerRoots(dirs, mergedManifest(spark, metaDirs,
-      dictDirs))
+      dictDirs, bloomDirs))
 
   /** Catalog-table variant: `spark.table(name)` plans then zone-prune
     * with zero paths in the query (see [[ZoneRegistry.registerTable]]).
@@ -208,18 +314,45 @@ object Zones {
     ZoneRegistry.registerTable(spark, tableName,
       mergedManifest(spark, metaDirs, dictDirs))
 
-  /** The min/max halves and the dictionary halves merged into one
-    * manifest. Either side may be absent (a dictionary-only table still
-    * prunes equalities; tags merge from both metadata shapes).
+  /** The min/max, dictionary, and Bloom halves merged into one
+    * manifest. Any side may be absent (a dictionary- or Bloom-only
+    * table still prunes equalities; tags merge from every metadata
+    * shape).
     */
   private def mergedManifest(spark: SparkSession, metaDirs: Seq[String],
-                             dictDirs: Seq[String])
+                             dictDirs: Seq[String],
+                             bloomDirs: Seq[String] = Nil)
       : ZoneRegistry.ZoneManifest = {
     val mm = if (metaDirs.isEmpty) ZoneRegistry.ZoneManifest(Map.empty)
              else loadManifest(spark, metaDirs)
     val (dicts, dtags) = loadDicts(spark, dictDirs)
-    mm.copy(dicts = dicts, tags = mm.tags ++ dtags)
+    val (blooms, btags) = loadBlooms(spark, bloomDirs)
+    mm.copy(dicts = dicts, blooms = blooms,
+      tags = mm.tags ++ dtags ++ btags)
   }
+
+  private def loadBlooms(spark: SparkSession, bloomDirs: Seq[String])
+      : (Map[String, Map[String, ZoneRegistry.BloomSketch]],
+         Map[String, String]) =
+    if (bloomDirs.isEmpty) (Map.empty, Map.empty)
+    else {
+      // one row per (file, col, nonzero word) — metadata-sized collect
+      val rows = spark.read.parquet(bloomDirs: _*)
+        .select(col("file"), col("col_name"), col("num_bits"),
+          col("num_hashes"), col("w"), col("word"), col("col_tag"))
+        .collect()
+      val blooms = rows
+        .groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+        .map { case (f, rs) =>
+          f -> rs.groupBy(_.getString(1)).map { case (c, ws) =>
+            c -> ZoneRegistry.BloomSketch(ws.head.getInt(2),
+              ws.head.getInt(3),
+              ws.map(r => r.getInt(4) -> r.getLong(5)).toMap)
+          }
+        }
+      val tags = rows.map(r => r.getString(1) -> r.getString(6)).toMap
+      (blooms, tags)
+    }
 
   private def loadDicts(spark: SparkSession, dictDirs: Seq[String])
       : (Map[String, Map[String, Set[String]]], Map[String, String]) =
@@ -479,6 +612,7 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
     */
   private def oneKeeps(zones: Map[String, (String, String)],
                        dicts: Map[String, Set[String]],
+                       blooms: Map[String, ZoneRegistry.BloomSketch],
                        tags: Map[String, String],
                        c: String, op: String,
                        lit: Either[Long, String]): Boolean = {
@@ -493,7 +627,12 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
     }
     val dictKeeps = op != "=" || dicts.get(c).forall(set =>
       litRepr(lit, tags.get(c)).forall(set.contains))
-    minmaxKeeps && dictKeeps
+    // the Bloom is the dictionary's past-the-cap sibling: equality
+    // survives only if the filter might contain the rendering — a
+    // definite miss prunes, a false positive merely keeps (conservative)
+    val bloomKeeps = op != "=" || blooms.get(c).forall(b =>
+      litRepr(lit, tags.get(c)).forall(b.mightContain))
+    minmaxKeeps && dictKeeps && bloomKeeps
   }
 
   /** A predicate keeps a file: comparisons test their single literal;
@@ -502,11 +641,13 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
     */
   private def predKeeps(zones: Map[String, (String, String)],
                         dicts: Map[String, Set[String]],
+                        blooms: Map[String, ZoneRegistry.BloomSketch],
                         tags: Map[String, String],
                         p: StatsLeaf.CmpPred): Boolean =
     if (p.op == "in")
-      p.lits.exists(l => oneKeeps(zones, dicts, tags, p.col, "=", l))
-    else oneKeeps(zones, dicts, tags, p.col, p.op, p.lit)
+      p.lits.exists(l =>
+        oneKeeps(zones, dicts, blooms, tags, p.col, "=", l))
+    else oneKeeps(zones, dicts, blooms, tags, p.col, p.op, p.lit)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (ZoneRegistry.isEmpty) plan // fast path: no zones, no effect
@@ -531,10 +672,14 @@ object ZoneSkipRule extends Rule[LogicalPlan] {
                           .getOrElse(fk, Map.empty[String, (String, String)])
                         val dicts = manifest.dicts
                           .getOrElse(fk, Map.empty[String, Set[String]])
+                        val blooms = manifest.blooms.getOrElse(fk,
+                          Map.empty[String, ZoneRegistry.BloomSketch])
                         // fully unmanifested file: keep
-                        if (zones.isEmpty && dicts.isEmpty) true
+                        if (zones.isEmpty && dicts.isEmpty &&
+                            blooms.isEmpty) true
                         else ps.forall(p =>
-                          predKeeps(zones, dicts, manifest.tags, p))
+                          predKeeps(zones, dicts, blooms,
+                            manifest.tags, p))
                       }
                       if (survivors.length >= files.length) f
                       else {

@@ -179,13 +179,25 @@ object Loader {
     * @param dictMax per-file distinct cap for `dictCols` — files above
     *        it carry no dictionary (kept conservatively); bounds
     *        metadata size
+    * @param bloomCols columns Bloom-filtered per file
+    *        ([[graft.plans.Zones.analyzeBloomFiles]]): the point-lookup
+    *        pruning for key columns whose per-file NDV exceeds
+    *        `dictMax` — a Bloom stays `bloomBits/8` bytes however many
+    *        distinct values a file holds; equality/IN prunes on
+    *        might-contain (false positives keep, never hide)
+    * @param bloomBits bits per (file, column) Bloom — size ≈ 32× the
+    *        largest per-file NDV for a ~1e-4 per-file FP rate
+    * @param bloomHashes seeded FNV probes per value
     */
   final case class Maintain(zoneCols: Seq[String] = Nil,
                             statCols: Seq[String] = Nil,
                             clusterBy: Option[String] = None,
                             maxRecordsPerFile: Option[Long] = None,
                             dictCols: Seq[String] = Nil,
-                            dictMax: Int = 2048)
+                            dictMax: Int = 2048,
+                            bloomCols: Seq[String] = Nil,
+                            bloomBits: Int = 1 << 16,
+                            bloomHashes: Int = 5)
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
@@ -470,6 +482,8 @@ object Loader {
             s"$baseDir/_stats/v$v"), true)
           fs.delete(new org.apache.hadoop.fs.Path(
             s"$baseDir/_dicts/v$v"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$baseDir/_blooms/v$v"), true)
           ()
         }
         // orphaned staging attempts (a crashed or lost-race writer's
@@ -926,6 +940,11 @@ object Loader {
           mt.dictMax))
         .write.mode(SaveMode.Overwrite)
         .parquet(s"$attemptDir/_dicts")
+    if (mt.bloomCols.nonEmpty)
+      rekey(graft.plans.Zones.analyzeBloomFiles(newVer, mt.bloomCols,
+          mt.bloomBits, mt.bloomHashes))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$attemptDir/_blooms")
   }
 
   /** Refresh the driver-side stats/zone registries for a committed
@@ -976,12 +995,14 @@ object Loader {
         graft.operators.StatsPlanner.mergeWide(wide, exprs.length), exprs)
       graft.plans.StatsRegistry.registerRoots(dirs, stats)
     }
-    if (maintain.zoneCols.nonEmpty || maintain.dictCols.nonEmpty) {
+    if (maintain.zoneCols.nonEmpty || maintain.dictCols.nonEmpty ||
+        maintain.bloomCols.nonEmpty) {
       val zdirs = versions.flatMap(v => metaOf(v, "_zones"))
       val ddirs = versions.flatMap(v => metaOf(v, "_dicts"))
-      if (zdirs.nonEmpty || ddirs.nonEmpty)
+      val bdirs = versions.flatMap(v => metaOf(v, "_blooms"))
+      if (zdirs.nonEmpty || ddirs.nonEmpty || bdirs.nonEmpty)
         graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs,
-          ddirs)
+          ddirs, bdirs)
     }
   }
 
