@@ -184,6 +184,66 @@ object Queries98 {
         .orderBy(col("l_returnflag"))
     }),
 
+    // q242 — SCHEMA WIDENING through the batch writer (VERDICT task
+    // 7): the stream era wrote `cents` as INT; a batch commit carries
+    // values past the int ceiling as LONG. upsertEvolve widens the
+    // column along the lossless int→long chain (narrow-era values cast
+    // up exactly), the manifest records the widened type, and the
+    // MULTI-ERA read resolves era-A's untouched int files and era-B's
+    // long files under one long schema. Time travel across the
+    // widening still reads the old version in its own era-A shape.
+    "q242_sink_type_widening" -> ((s, d) => {
+      val work = Scratch.fresh("q242_widen", d)
+      val raw = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      // era A: latest-per-key, cents deliberately INT (values fit)
+      raw.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("cents").cast("int").as("cents"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$work/seed")
+      val schema = s.read.parquet(s"$work/seed").schema
+      val (q, handle) = sources.Loader.streamUpsertSink(
+        s.readStream.schema(schema).parquet(s"$work/seed"),
+        s"$work/sink", key = "user_id", orderCols = Seq("user_id"),
+        checkpointDir = Some(s"$work/ckpt"),
+        trigger = Some(Trigger.AvailableNow()), nBuckets = 4)
+      q.awaitTermination()
+      val base = s"$work/sink"
+      val v0 = handle.currentDir.get
+      val pre = sources.Loader.readSnapshot(s, v0)
+      require(pre.schema("cents").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "q242: the stream era did not land as int")
+      // era B: every 5th user's cents bumped PAST the int ceiling —
+      // only a widened column can hold it
+      val delta = pre.filter(col("user_id") % 5 === 0)
+        .select(col("user_id"),
+          (col("cents").cast("long") + 5000000000L).as("cents"))
+      val ndir = sources.Loader.upsertBatch(s, base, delta,
+        key = "user_id", orderCols = Seq("user_id"))
+      val after = sources.Loader.readSnapshot(s, ndir)
+      require(after.schema("cents").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "q242: the batch commit did not widen cents to long")
+      // time travel ACROSS the widening: era A keeps its own shape
+      require(sources.Loader.readSnapshot(s, v0).schema("cents")
+        .dataType == org.apache.spark.sql.types.IntegerType,
+        "q242: history changed type")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("cents_sum"),
+          sum((col("cents") > 2147483647L).cast("long")).as("n_big"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q243_time_travel_retention" -> ((s, d) => {
       val work = Scratch.fresh("q243_sink", d)
       val raw = s.read.parquet(s"$d/events.parquet")
@@ -295,6 +355,28 @@ object Queries98 {
          |FROM lineitem
          |WHERE l_orderkey = (SELECT probe FROM prm)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the era-A int cast is lossless (values fit int), so the replay
+    // is the latest-per-key state with every 5th user bumped past the
+    // int ceiling; n_big counts exactly the widened rows
+    "q242_sink_type_widening" ->
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id, cents + (CASE WHEN user_id % 5 = 0
+         |    THEN 5000000000 ELSE 0 END) AS cents
+         |  FROM snap)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(SUM(CASE WHEN cents > 2147483647 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_big
+         |FROM fin JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the FNV 2-bucket split decides which bump each user got (+10 for
     // bucket 0, +100 for bucket 1 — every user is in exactly one);

@@ -42,33 +42,70 @@ object Upsert {
     }: _*)
   }
 
+  /** The lossless widening lattice evolution supports: integral types
+    * widen up the byte→short→int→long chain, float widens to double.
+    * Everything else (string↔numeric, decimal scale changes, any
+    * narrowing) has either no value-preserving embedding or a silent
+    * precision cliff — refused loudly. Returns the WIDER of the two
+    * types when both sit on one chain, None otherwise.
+    */
+  private def widened(a: org.apache.spark.sql.types.DataType,
+                      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val intRank: Map[DataType, Int] = Map(
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    if (a == b) Some(a)
+    else if (intRank.contains(a) && intRank.contains(b))
+      Some(if (intRank(a) >= intRank(b)) a else b)
+    else if ((a == FloatType && b == DoubleType) ||
+             (a == DoubleType && b == FloatType)) Some(DoubleType)
+    else None
+  }
+
   /** Schema-EVOLVING upsert: like [[upsert]], but the result schema is
     * the UNION of both inputs' columns (target's order first, then
     * updates-only columns appended) — rows lacking a column carry NULL.
     * This is the ADD COLUMN path every table format supports: a new
     * ingest era starts carrying an extra field, old rows read back as
     * NULL, and a replacing row that DROPPED a field nulls it (the
-    * replacement is total, not a patch). Shared columns must agree on
-    * type — silent coercion between eras is how tables rot.
+    * replacement is total, not a patch). Shared columns may differ in
+    * type only along the LOSSLESS widening chains (int→long,
+    * float→double — [[widened]]): the result carries the wider type
+    * and the narrower era's values cast up exactly, the ALTER COLUMN
+    * TYPE widening every table format added after refusing it first.
+    * Any other type change is refused loudly — silent coercion between
+    * eras is how tables rot.
     */
   def upsertEvolve(target: DataFrame, updates: DataFrame,
                    key: String): DataFrame = {
     val tCols = target.columns.toIndexedSeq
     val extra = updates.columns.toIndexedSeq.filterNot(tCols.contains)
     val allCols = tCols ++ extra
-    for (c <- updates.columns if tCols.contains(c)) {
-      val tt = target.schema(c).dataType; val ut = updates.schema(c).dataType
-      require(tt == ut,
-        s"upsertEvolve: column $c changed type across eras ($tt vs $ut)" +
-        " — evolution adds columns, it never coerces them")
-    }
+    val finalType: Map[String, org.apache.spark.sql.types.DataType] =
+      allCols.map { c =>
+        val tt = if (tCols.contains(c)) Some(target.schema(c).dataType)
+                 else None
+        val ut = if (updates.columns.contains(c))
+                   Some(updates.schema(c).dataType)
+                 else None
+        val ft = (tt, ut) match {
+          case (Some(a), Some(b)) => widened(a, b).getOrElse(
+            throw new IllegalArgumentException(
+              s"upsertEvolve: column $c changed type across eras " +
+              s"($a vs $b) — evolution adds columns or widens them " +
+              "losslessly (int->long, float->double), it never coerces"))
+          case (a, b) => a.orElse(b).get
+        }
+        c -> ft
+      }.toMap
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(allCols.map { c =>
-        if (have(c)) col(c)
-        else lit(null).cast(
-          (if (tCols.contains(c)) target else updates).schema(c).dataType
-        ).as(c)
+        if (have(c)) {
+          if (df.schema(c).dataType == finalType(c)) col(c)
+          else col(c).cast(finalType(c)).as(c) // lossless widen up
+        } else lit(null).cast(finalType(c)).as(c)
       }: _*)
     }
     upsert(align(target), align(updates), key)

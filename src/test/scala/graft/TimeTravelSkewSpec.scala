@@ -310,10 +310,45 @@ class TimeTravelSkewSpec extends SparkSpec {
     assert(rows(1L) == (Some("a"), 10L, None))   // untouched era-A row
     assert(rows(2L) == (None, 99L, Some(1.5)))   // replaced: name nulled
     assert(rows(3L) == (None, 30L, Some(2.5)))   // new key, era-B shape
-    // type change refused loudly
+    // NON-widenable type change refused loudly
     val bad = Seq((1L, "not-a-long")).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
       Upsert.upsertEvolve(target, bad, "k")
+    }
+    assert(e.getMessage.contains("changed type"))
+  }
+
+  test("upsertEvolve widens losslessly along int->long and " +
+       "float->double; values cast up exactly in BOTH directions") {
+    import graft.operators.Upsert
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    // target int, updates long past the int ceiling: result is long
+    val tInt = Seq((1L, 10), (2L, 20)).toDF("k", "v")
+    val uLong = Seq((2L, 5000000099L), (3L, 30L)).toDF("k", "v")
+    val wide = Upsert.upsertEvolve(tInt, uLong, "k")
+    assert(wide.schema("v").dataType == LongType)
+    val m1 = wide.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == Map(1L -> 10L, 2L -> 5000000099L, 3L -> 30L))
+    // the other direction: target long, updates int — table stays long
+    val tLong = Seq((1L, 5000000000L)).toDF("k", "v")
+    val uInt = Seq((2L, 7)).toDF("k", "v")
+    val wide2 = Upsert.upsertEvolve(tLong, uInt, "k")
+    assert(wide2.schema("v").dataType == LongType)
+    val m2 = wide2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(1L -> 5000000000L, 2L -> 7L))
+    // float -> double
+    val tF = Seq((1L, 1.5f)).toDF("k", "x")
+    val uD = Seq((2L, 2.25)).toDF("k", "x")
+    val wide3 = Upsert.upsertEvolve(tF, uD, "k")
+    assert(wide3.schema("x").dataType == DoubleType)
+    val m3 = wide3.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m3 == Map(1L -> 1.5, 2L -> 2.25))
+    // long -> int narrowing is NOT a thing: long wins regardless of
+    // which side carries it (covered above); double -> float same
+    // (wide3). Incompatible chains still refuse:
+    val e = intercept[IllegalArgumentException] {
+      Upsert.upsertEvolve(Seq((1L, 1.5)).toDF("k", "x"),
+        Seq((2L, 7L)).toDF("k", "x"), "k") // long vs double: no chain
     }
     assert(e.getMessage.contains("changed type"))
   }
