@@ -214,7 +214,13 @@ object Bench {
     "q234_in_list_skip", "q235_in_broadcast", "e44_sink_point_lookup",
     "q236_heavy_equality", "q237_sink_delete",
     "q238_sink_schema_evolution", "q239_snapshot_cdc_travel",
-    "e45_stream_dict_ingest")
+    "e45_stream_dict_ingest",
+    // round-12: optimistic concurrency, Bloom point skipping past the
+    // dictionary cap, lossless type widening, time-travel retention,
+    // and the deterministic fixed-shard Misra-Gries promotion
+    "q240_concurrent_writers", "q241_bloom_point_skip",
+    "q242_sink_type_widening", "q243_time_travel_retention",
+    "t20_misra_gries")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across
@@ -222,7 +228,7 @@ object Bench {
     * 5). Seed = 20260814 + round; PLANS.md records each round's seed
     * and slice.
     */
-  val rotationSeed: Long = 20260814L + 11
+  val rotationSeed: Long = 20260814L + 12
   val rotationSize: Int = 20
 
   def main(args: Array[String]): Unit = {

@@ -94,18 +94,27 @@ object Queries13 {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
-    // Misra–Gries sketch over all corpus tokens (k=16): bounded-memory
-    // heavy hitters whose (frequency > n/k ⇒ present) and (undercount
-    // ≤ n/k) guarantees are pinned in Queries13Spec — sketch CONTENTS
-    // are partitioning-dependent by design, hence rows-only
-    "t20_misra_gries" -> ((s, d) =>
-      docs(s, d)
+    // Misra–Gries heavy hitters over all corpus tokens (k=16), in the
+    // DETERMINISTIC fixed-shard form (VERDICT r11 task 6 — formerly
+    // rows-only because the udaf sketch's contents depend on physical
+    // partitioning): tokens shard by FNV(token) mod 8 — a pure function
+    // of the value — each shard caps by the closed-form one-shot merge
+    // of its exact counts, and the shard sketches fold in shard order
+    // through the same SketchAgg.merge the streaming aggregator uses.
+    // Every step is value-deterministic, so the DuckDB oracle replays
+    // the sketch hash-for-hash; the mergeable-summaries error bound
+    // (undercount ≤ n/k, every >n/k item present) is unchanged and
+    // stays pinned in Queries13Spec against the udaf form.
+    "t20_misra_gries" -> ((s, d) => {
+      val toks = docs(s, d)
         .select(explode(graft.operators.TextAnalysis.tokens(
           graft.operators.TextAnalysis.normalize(col("text")))).as("tok"))
-        .agg(MisraGries.misra_gries(16)(col("tok")).as("sketch"))
-        .select(explode(col("sketch")).as("hh"))
-        .select(col("hh._1").as("term"), col("hh._2").as("est"))
-        .orderBy(col("est").desc, col("term")))
+      val sketch = MisraGries.fixedShardSketch(toks, "tok", k = 16,
+        numShards = 8)
+      val ss = s
+      import ss.implicits._
+      sketch.toDF("term", "est").orderBy(col("est").desc, col("term"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,6 +203,63 @@ object Queries13 {
         |SELECT purchase_id, user_id, click_id, c_ts,
         |  CAST(1000000 // COUNT(*) OVER (PARTITION BY purchase_id)
         |    AS BIGINT) AS weight_ppm
-        |FROM j ORDER BY purchase_id, click_id""".stripMargin
+        |FROM j ORDER BY purchase_id, click_id""".stripMargin,
+
+    // the full fixed-shard MG replay: FNV token sharding, per-shard
+    // closed-form cap (count minus the shard's k-th largest count,
+    // keep strictly above), then 7 sequential mergeable-summaries
+    // merges in shard order — each merge sums counters and, past k-1
+    // survivors, subtracts the k-th largest sum. Bit-for-bit the
+    // arithmetic MisraGries.fixedShardSketch runs.
+    "t20_misra_gries" -> {
+      val k = 16; val nS = 8
+      val fnv = ExtensionQueries.FnvSql("tok")
+      val head =
+        s"""WITH toks AS MATERIALIZED (
+           |  SELECT unnest(regexp_extract_all(
+           |    ${ExtensionQueries.NormSql}, '\\S+')) AS tok
+           |  FROM documents),
+           |sc AS MATERIALIZED (
+           |  SELECT ((((CASE WHEN fu >= 9223372036854775808::HUGEINT
+           |       THEN fu - 18446744073709551616::HUGEINT
+           |       ELSE fu END) % $nS) + $nS) % $nS) AS shard, tok AS item
+           |  FROM (SELECT tok, $fnv AS fu FROM toks)),
+           |cnt AS MATERIALIZED (
+           |  SELECT shard, item, COUNT(*) AS c
+           |  FROM sc GROUP BY shard, item),
+           |kth AS MATERIALIZED (
+           |  SELECT shard, c AS kc FROM (
+           |    SELECT shard, c,
+           |      row_number() OVER (PARTITION BY shard ORDER BY c DESC)
+           |        AS rn
+           |    FROM cnt) WHERE rn = $k),
+           |sh AS MATERIALIZED (
+           |  SELECT shard, item, c - coalesce(kc, 0) AS est
+           |  FROM cnt LEFT JOIN kth USING (shard)
+           |  WHERE c > coalesce(kc, 0)),
+           |m0 AS MATERIALIZED (
+           |  SELECT item, est FROM sh WHERE shard = 0)"""
+      val merges = (1 until nS).map { i =>
+        s""",
+           |su$i AS MATERIALIZED (
+           |  SELECT coalesce(a.item, b.item) AS item,
+           |    coalesce(a.est, 0) + coalesce(b.est, 0) AS est
+           |  FROM m${i - 1} a FULL JOIN
+           |    (SELECT item, est FROM sh WHERE shard = $i) b
+           |    ON a.item = b.item),
+           |k$i AS MATERIALIZED (
+           |  SELECT coalesce((SELECT est FROM (
+           |    SELECT est, row_number() OVER (ORDER BY est DESC) AS rn
+           |    FROM su$i) WHERE rn = $k), 0) AS kc),
+           |m$i AS MATERIALIZED (
+           |  SELECT item, est - (SELECT kc FROM k$i) AS est
+           |  FROM su$i WHERE est > (SELECT kc FROM k$i))"""
+      }.mkString
+      val tail =
+        s"""
+           |SELECT item AS term, CAST(est AS BIGINT) AS est
+           |FROM m${nS - 1} ORDER BY est DESC, term"""
+      (head + merges + tail).stripMargin
+    }
   )
 }
