@@ -49,6 +49,41 @@ object Queries98 {
     pmod(functions.Expressions.fnv_hash(col("user_id").cast("string")),
       lit(n.toLong))
 
+  /** Seed a fresh one-commit snapshot sink from the latest-per-key
+    * events state (the oracle's QUALIFY convention): one arrival file,
+    * one stream batch, v0 = the whole state. `mkMaintain` sees the
+    * user count so size-derived knobs (roll bounds, Bloom bits) can be
+    * computed before the sink is built. Returns (baseDir, v0 dir).
+    */
+  private def seedSnapshotSink(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String,
+      nBuckets: Int,
+      mkMaintain: Long => Option[sources.Loader.Maintain],
+      centsType: String = "long"): (String, String) = {
+    val work = Scratch.fresh(tag, d)
+    val raw = s.read.parquet(s"$d/events.parquet")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("cents").cast(centsType).as("cents"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$work/seed")
+    val seed = s.read.parquet(s"$work/seed")
+    val maintain = mkMaintain(seed.count())
+    val (q, handle) = sources.Loader.streamUpsertSink(
+      s.readStream.schema(seed.schema).parquet(s"$work/seed"),
+      s"$work/sink", key = "user_id", orderCols = Seq("user_id"),
+      checkpointDir = Some(s"$work/ckpt"),
+      trigger = Some(Trigger.AvailableNow()), nBuckets = nBuckets,
+      maintain = maintain)
+    q.awaitTermination()
+    (s"$work/sink", handle.currentDir.get)
+  }
+
   val sparkQueries: Map[String, Q] = Map(
     "q240_concurrent_writers" -> ((s, d) => {
       val (vdir, _, maintain) =
@@ -193,28 +228,9 @@ object Queries98 {
     // long files under one long schema. Time travel across the
     // widening still reads the old version in its own era-A shape.
     "q242_sink_type_widening" -> ((s, d) => {
-      val work = Scratch.fresh("q242_widen", d)
-      val raw = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
       // era A: latest-per-key, cents deliberately INT (values fit)
-      raw.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("cents").cast("int").as("cents"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$work/seed")
-      val schema = s.read.parquet(s"$work/seed").schema
-      val (q, handle) = sources.Loader.streamUpsertSink(
-        s.readStream.schema(schema).parquet(s"$work/seed"),
-        s"$work/sink", key = "user_id", orderCols = Seq("user_id"),
-        checkpointDir = Some(s"$work/ckpt"),
-        trigger = Some(Trigger.AvailableNow()), nBuckets = 4)
-      q.awaitTermination()
-      val base = s"$work/sink"
-      val v0 = handle.currentDir.get
+      val (base, v0) = seedSnapshotSink(s, d, "q242_widen", 4,
+        _ => None, centsType = "int")
       val pre = sources.Loader.readSnapshot(s, v0)
       require(pre.schema("cents").dataType ==
         org.apache.spark.sql.types.IntegerType,
@@ -244,29 +260,95 @@ object Queries98 {
         .orderBy(col("c_mktsegment"))
     }),
 
-    "q243_time_travel_retention" -> ((s, d) => {
-      val work = Scratch.fresh("q243_sink", d)
-      val raw = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-      // seed = the global latest-per-key state (the oracle's QUALIFY)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      raw.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+    // e46 — the sink's BLOOM half closes the point-lookup path where
+    // its dictionaries cannot go (e44's sibling, q241's sink-integrated
+    // form): a high-NDV hash-bucketed key column carries no per-file
+    // dictionary (past the cap by construction — none authored) and no
+    // min/max zones on the key (bucket files all straddle), so a plain
+    // `readSnapshot().filter(user_id = X)` can only be pruned by the
+    // self-maintained per-file Blooms — down to exactly ONE file,
+    // required loudly (a false positive surfaces as kept > 1, never as
+    // a wrong answer). Bloom sized 64 bits/row at 5 probes (~2e-6
+    // per-file FP).
+    "e46_sink_bloom_lookup" -> ((s, d) => {
+      val (base, v0) = seedSnapshotSink(s, d, "e46_sink", 4, nUsers => {
+        val m = (nUsers + Queries95.TargetFiles - 1) /
+          Queries95.TargetFiles
+        val bits = math.min((64L * m + 63) / 64 * 64, 1L << 26).toInt
+        Some(sources.Loader.Maintain(clusterBy = Some("cents"),
+          maxRecordsPerFile = Some(m), bloomCols = Seq("user_id"),
+          bloomBits = bits, bloomHashes = 5))
+      })
+      val snap = sources.Loader.readSnapshot(s, v0)
+      val total = snap.inputFiles.length
+      require(total > 1, s"e46: unfragmented fixture ($total files)")
+      val probe = snap.agg(min(col("user_id"))).head().getLong(0)
+      val res = sources.Loader.readSnapshot(s, v0)
+        .filter(col("user_id") === probe)
         .select(col("user_id"), col("cents"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$work/seed")
-      val schema = s.read.parquet(s"$work/seed").schema
-      val (q, handle) = sources.Loader.streamUpsertSink(
-        s.readStream.schema(schema).parquet(s"$work/seed"),
-        s"$work/sink", key = "user_id", orderCols = Seq("user_id"),
-        checkpointDir = Some(s"$work/ckpt"),
-        trigger = Some(Trigger.AvailableNow()), nBuckets = 2)
-      q.awaitTermination()
-      val base = s"$work/sink"
-      val v0 = handle.currentDir.get
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation }
+        .collect { case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.length }
+        .sum.toLong
+      require(kept == 1L,
+        s"e46: Bloom point lookup touched $kept of $total files")
+      res.withColumn("n_files_kept", lit(kept))
+        .withColumn("n_files_total", lit(total.toLong))
+        .orderBy(col("user_id"))
+    }),
+
+    // q244 — CHECK constraints on the maintained table: a declared
+    // row invariant rejects a violating commit TYPED
+    // ([[graft.sources.ConstraintViolationException]]) before anything
+    // is staged — no version slot consumed, table untouched — while
+    // NULL rows pass (the SQL CHECK rule) and valid commits proceed.
+    "q244_sink_constraints" -> ((s, d) => {
+      val mt = Some(sources.Loader.Maintain(
+        check = Some(("cents_nonneg", "cents >= 0"))))
+      val (base, v0) = seedSnapshotSink(s, d, "q244_sink", 4, _ => mt)
+      val pre = sources.Loader.readSnapshot(s, v0)
+      val bad = pre.filter(col("user_id") % 3 === 0)
+        .select(col("user_id"), (-col("cents") - 1).as("cents"))
+      val violated =
+        try {
+          sources.Loader.upsertBatch(s, base, bad, key = "user_id",
+            orderCols = Seq("user_id"), mt)
+          false
+        } catch {
+          case _: sources.ConstraintViolationException => true
+        }
+      require(violated, "q244: the violating commit was not rejected")
+      require(sources.Loader.snapshotVersions(s, base).map(_._1) ==
+        Seq(0L), "q244: the rejected commit left state behind")
+      // NULL passes the CHECK (SQL semantics) — committed on a key
+      // that joins nothing, so the aggregate stays replayable
+      val ss = s
+      import ss.implicits._
+      sources.Loader.upsertBatch(s, base,
+        Seq((-1L, Option.empty[Long])).toDF("user_id", "cents"),
+        key = "user_id", orderCols = Seq("user_id"), mt)
+      val good = pre.filter(col("user_id") % 3 === 0)
+        .select(col("user_id"), (col("cents") + 3).as("cents"))
+      val ndir = sources.Loader.upsertBatch(s, base, good,
+        key = "user_id", orderCols = Seq("user_id"), mt)
+      val nVersions = sources.Loader.snapshotVersions(s, base).length
+      val after = sources.Loader.readSnapshot(s, ndir)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).as("cents_sum"))
+        .withColumn("violated_typed", lit(if (violated) 1L else 0L))
+        .withColumn("n_versions", lit(nVersions.toLong))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q243_time_travel_retention" -> ((s, d) => {
+      // seed = the global latest-per-key state (the oracle's QUALIFY)
+      val (base, v0) = seedSnapshotSink(s, d, "q243_sink", 2, _ => None)
       // v1 rewrites ONLY bucket 0 (+10), v2 ONLY bucket 1 (+100): the
       // chain where v1 survives vacuum for bucket 0 yet references
       // bucket 1 in v0, which does not
@@ -355,6 +437,34 @@ object Queries98 {
          |FROM lineitem
          |WHERE l_orderkey = (SELECT probe FROM prm)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // identical replay to e44: the snapshot holds one row per key in
+    // one file, every file carries a Bloom, so kept = 1; total = the
+    // cluster-sorted roll arithmetic over FNV buckets (same constants)
+    "e46_sink_bloom_lookup" ->
+      Queries97.oracleSql("e44_sink_point_lookup"),
+
+    // the rejected commit contributes NOTHING (no slot, no rows); the
+    // NULL-pass row lives on a key outside customer; the valid commit
+    // bumps every 3rd user by 3 — versions = seed + null-pass + good
+    "q244_sink_constraints" ->
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id, cents + (CASE WHEN user_id % 3 = 0
+         |    THEN 3 ELSE 0 END) AS cents
+         |  FROM snap)
+         |SELECT c_mktsegment,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  CAST(1 AS BIGINT) AS violated_typed,
+         |  CAST(3 AS BIGINT) AS n_versions
+         |FROM fin JOIN customer ON c_custkey = user_id
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the era-A int cast is lossless (values fit int), so the replay
     // is the latest-per-key state with every 5th user bumped past the

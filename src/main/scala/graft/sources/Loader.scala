@@ -13,6 +13,16 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 final class ConcurrentCommitException(msg: String)
   extends RuntimeException(msg)
 
+/** Thrown when a commit's delta violates the table's declared CHECK
+  * constraint ([[Loader.Maintain.check]]): the transaction is rejected
+  * BEFORE anything is staged or written — no version slot is consumed,
+  * the table is untouched. SQL CHECK semantics: a row violates iff the
+  * predicate evaluates to FALSE (NULL/UNKNOWN passes). The message
+  * carries the constraint name and the violating-row count.
+  */
+final class ConstraintViolationException(msg: String)
+  extends RuntimeException(msg)
+
 /** Thrown by [[Loader.readSnapshot]] when an AS-OF read targets a
   * version that is no longer fully readable: either the version dir
   * (with its manifest) was reclaimed by [[Loader.vacuumSnapshots]], or
@@ -188,6 +198,16 @@ object Loader {
     * @param bloomBits bits per (file, column) Bloom — size ≈ 32× the
     *        largest per-file NDV for a ~1e-4 per-file FP rate
     * @param bloomHashes seeded FNV probes per value
+    * @param check optional table CHECK constraint (name, boolean SQL
+    *        expression over the delta's columns): every incoming
+    *        commit's delta is validated in one bounded pass BEFORE
+    *        anything is staged — a row violating (predicate FALSE;
+    *        NULL passes, the SQL CHECK rule) rejects the whole
+    *        transaction with a typed
+    *        [[graft.sources.ConstraintViolationException]] and no slot
+    *        is consumed. Enforcement is on writes; existing history is
+    *        never re-validated (declare constraints at table birth, or
+    *        audit history explicitly before adding one)
     */
   final case class Maintain(zoneCols: Seq[String] = Nil,
                             statCols: Seq[String] = Nil,
@@ -197,7 +217,8 @@ object Loader {
                             dictMax: Int = 2048,
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 1 << 16,
-                            bloomHashes: Int = 5)
+                            bloomHashes: Int = 5,
+                            check: Option[(String, String)] = None)
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
@@ -620,6 +641,18 @@ object Loader {
       .withColumn(BucketCol, bucketOf(key, nBuckets))
       .persist()
     try {
+      // CHECK constraint gate: one bounded pass over the delta's
+      // per-key winners, before anything is staged — a violating
+      // commit consumes no slot and leaves the table untouched. SQL
+      // semantics: violation iff the predicate is FALSE (NULL passes).
+      maintain.flatMap(_.check).foreach { case (cname, sql) =>
+        val bad = latest.filter(!coalesce(expr(sql), lit(true))).count()
+        if (bad > 0L)
+          throw new ConstraintViolationException(
+            s"applyDelta: $bad row(s) of the incoming commit violate " +
+            s"CHECK constraint '$cname' ($sql) — transaction rejected, " +
+            "no version written")
+      }
       // the buckets this delta touches: bounded by nBuckets
       val touched = latest.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.sources.{ConcurrentCommitException, Loader}
+import graft.sources.{ConcurrentCommitException, ConstraintViolationException, Loader}
 
 /** Optimistic-concurrency pins for the maintained snapshot sink
   * (VERDICT r11 task 4): every commit stages privately under
@@ -125,5 +125,32 @@ class ConcurrentCommitSpec extends SparkSpec {
     Loader.compactSnapshot(spark, sink, Some(Loader.Maintain()))
     val snap = snapshotMap(sink)
     assert(snap(3L) === 333L && snap.size === 40)
+  }
+
+  test("CHECK constraint rejects a violating commit typed, consumes " +
+       "no slot, and lets NULL rows pass (SQL semantics)") {
+    val base = Files.createTempDirectory("graft-check").toString
+    val sink = seedSink(base)
+    val mt = Some(Loader.Maintain(
+      check = Some(("cents_nonneg", "cents >= 0"))))
+    val ts = lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    val bad = Seq((5L, -1L)).toDF("user_id", "cents").withColumn("ts", ts)
+    val e = intercept[ConstraintViolationException] {
+      Loader.upsertBatch(spark, sink, bad, key = "user_id",
+        orderCols = Seq("ts"), mt)
+    }
+    assert(e.getMessage.contains("cents_nonneg"))
+    // no slot consumed, table untouched
+    assert(Loader.snapshotVersions(spark, sink).map(_._1) === Seq(0L))
+    assert(snapshotMap(sink)(5L) === 500L)
+    // NULL passes: CHECK is violated only by FALSE, not UNKNOWN
+    val nul = Seq((41L, Option.empty[Long])).toDF("user_id", "cents")
+      .withColumn("ts", ts)
+    Loader.upsertBatch(spark, sink, nul, key = "user_id",
+      orderCols = Seq("ts"), mt)
+    val got = Loader.readSnapshot(spark,
+        s"$sink/v${Loader.snapshotVersions(spark, sink).map(_._1).max}")
+      .filter(col("user_id") === 41L).select(col("cents")).collect()
+    assert(got.length === 1 && got(0).isNullAt(0))
   }
 }
