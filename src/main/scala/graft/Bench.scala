@@ -319,6 +319,13 @@ object Bench {
     // whose single pass exceeds 5 s get their reps cut to ≤ 3 below — the
     // floor-hunting value of reps 4-5 is negligible against the wall they
     // burn (the round-11 driver bench ran past the cap on exactly this).
+    // Shared fixtures are prebuilt FIRST so the build lands on no entry's
+    // warm-up wall: without this, whichever sink-family query warms first
+    // (e43 in headline order) absorbs the ~10 s fixture build, classifies
+    // as slow, and loses reps its steady-state (0.4 s) deserves.
+    try { Queries95.sharedMaintainedSink(spark, sfDir); () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] shared fixture prebuild failed: $e") }
     val warmWall = declared.map(n => n -> once(n, sfDir)).toMap
     drainStreamMs() // warm-up streams must not pollute the first bucket
     // SEEDED-shuffled timed order: with declared order, residual

@@ -48,6 +48,13 @@ object ZoneRegistry {
     * base hash from the graft chain, k probes diversified before the
     * finalizer (see [[Zones.analyzeBloomFiles]] for why seeded FNV
     * alone is not k independent hashes), bit-replayable anywhere.
+    *
+    * Driver-memory sizing: the registry holds ≤ numBits/8 bytes per
+    * (file, column). Per-file Blooms are for the BUCKET-FILE tier
+    * (10³–10⁴ files — a snapshot's rolled bucket files, a table's
+    * compacted segments), where even 64 KiB each is megabytes of
+    * driver state; a 10⁶-raw-file lake should Bloom its compacted
+    * tier, not every ingest fragment.
     */
   final case class BloomSketch(numBits: Int, numHashes: Int,
                                words: Map[Int, Long]) {
