@@ -221,7 +221,7 @@ object Bench {
     "q240_concurrent_writers", "q241_bloom_point_skip",
     "q242_sink_type_widening", "q243_time_travel_retention",
     "t20_misra_gries", "e46_sink_bloom_lookup",
-    "q244_sink_constraints")
+    "q244_sink_constraints", "q245_sink_history")
 
   /** Per-round rotation: a fixed-seed sample of currently-unbenched
     * queries joins the timed set, so timing history accumulates across

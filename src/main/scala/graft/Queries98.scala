@@ -346,6 +346,27 @@ object Queries98 {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // q245 — DESCRIBE HISTORY: the audit surface every table format
+    // exposes, from one manifest read per version — which commits were
+    // data vs maintenance (txn ≥ 0 vs −1), how many buckets each
+    // wrote, and how many of each commit's buckets the LATEST manifest
+    // still resolves to it (the copy-on-write survival count). The
+    // oracle replays every count from the FNV bucket assignment of the
+    // two batch deltas' key sets — nothing is hardcoded but the
+    // version/txn skeleton the fixture constructs.
+    "q245_sink_history" -> ((s, d) => {
+      val (base, v0) = seedSnapshotSink(s, d, "q245_sink", 4, _ => None)
+      val pre = sources.Loader.readSnapshot(s, v0)
+      def bump(m: Int, by: Long): DataFrame =
+        pre.filter(col("user_id") % m === 0)
+          .select(col("user_id"), (col("cents") + by).as("cents"))
+      sources.Loader.upsertBatch(s, base, bump(3, 1L),
+        key = "user_id", orderCols = Seq("user_id"))
+      sources.Loader.upsertBatch(s, base, bump(5, 2L),
+        key = "user_id", orderCols = Seq("user_id"))
+      sources.Loader.describeHistory(s, base).orderBy(col("version"))
+    }),
+
     "q243_time_travel_retention" -> ((s, d) => {
       // seed = the global latest-per-key state (the oracle's QUALIFY)
       val (base, v0) = seedSnapshotSink(s, d, "q243_sink", 2, _ => None)
@@ -437,6 +458,52 @@ object Queries98 {
          |FROM lineitem
          |WHERE l_orderkey = (SELECT probe FROM prm)
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // every count replayed from the FNV-4 bucket sets of the deltas'
+    // key classes: written(v) = |buckets(delta keys)|, current(v0) =
+    // buckets untouched by both batches, current(v1) = b3 \ b5,
+    // current(v2) = b5; txn 0 = the stream commit, -1 = batch commits
+    "q245_sink_history" -> {
+      val fnv = ExtensionQueries.FnvSql("CAST(user_id AS VARCHAR)")
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |bk AS MATERIALIZED (
+         |  SELECT user_id,
+         |    ((((CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |         THEN fu - 18446744073709551616::HUGEINT
+         |         ELSE fu END) % 4) + 4) % 4) AS b
+         |  FROM (SELECT user_id, $fnv AS fu FROM snap)),
+         |b3 AS MATERIALIZED (
+         |  SELECT DISTINCT b FROM bk WHERE user_id % 3 = 0),
+         |b5 AS MATERIALIZED (
+         |  SELECT DISTINCT b FROM bk WHERE user_id % 5 = 0),
+         |ball AS MATERIALIZED (SELECT DISTINCT b FROM bk)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS txn,
+         |    CAST(0 AS BIGINT) AS is_maintenance,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ball)
+         |      AS n_buckets_written,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ball
+         |     WHERE b NOT IN (SELECT b FROM b3)
+         |       AND b NOT IN (SELECT b FROM b5)) AS n_buckets_current,
+         |    'user_id,cents' AS schema_cols
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), CAST(-1 AS BIGINT),
+         |    CAST(1 AS BIGINT),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b3),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b3
+         |     WHERE b NOT IN (SELECT b FROM b5)),
+         |    'user_id,cents'
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(-1 AS BIGINT),
+         |    CAST(1 AS BIGINT),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b5),
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM b5),
+         |    'user_id,cents')
+         |ORDER BY version""".stripMargin
+    },
 
     // identical replay to e44: the snapshot holds one row per key in
     // one file, every file carries a Bloom, so kept = 1; total = the

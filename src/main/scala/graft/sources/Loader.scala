@@ -473,6 +473,35 @@ object Loader {
     }
   }
 
+  /** DESCRIBE HISTORY for a [[streamUpsertSink]] layout: one row per
+    * committed version — (version, txn, is_maintenance,
+    * n_buckets_written = buckets whose current files this commit
+    * wrote, n_buckets_current = buckets the LATEST manifest still
+    * resolves to this version, schema_cols = the schema recorded at
+    * the commit). The audit surface every table format exposes:
+    * which commits were data vs maintenance, how much of the table
+    * each rewrote, and how much of each survives. Bounded driver
+    * work — one manifest read per version, never a data scan.
+    */
+  def describeHistory(spark: org.apache.spark.sql.SparkSession,
+                      baseDir: String): DataFrame = {
+    val fs = fsFor(baseDir, spark)
+    val vs = committedVersions(fs, baseDir)
+    val latest = vs.lastOption
+      .map(v => readManifest(fs, s"$baseDir/v$v").buckets)
+      .getOrElse(Map.empty[Int, Long])
+    val rows = vs.map { v =>
+      val man = readManifest(fs, s"$baseDir/v$v")
+      (v, man.txn, if (man.txn < 0) 1L else 0L,
+        man.buckets.count(_._2 == v).toLong,
+        latest.count(_._2 == v).toLong,
+        man.schema.map(_.fieldNames.mkString(",")).orNull)
+    }
+    import spark.implicits._
+    rows.toDF("version", "txn", "is_maintenance", "n_buckets_written",
+      "n_buckets_current", "schema_cols")
+  }
+
   /** Remove [[streamUpsertSink]] snapshot versions that the CURRENT
     * manifest no longer references — the VACUUM every copy-on-write
     * table format pairs with its writer. A version is live iff it is
