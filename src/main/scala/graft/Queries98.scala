@@ -102,6 +102,10 @@ object Queries98 {
         ()
       })
       val deltaA0 = bump(sources.Loader.readSnapshot(s, vdir), 5, 7L)
+      // finally-reset: if A's upsert dies BEFORE commitAttempt consumes
+      // the hook (any error ahead of the publish rename), a stale hook
+      // must not survive to fire inside an unrelated sink query's next
+      // commit in this process
       val lost =
         try {
           sources.Loader.upsertBatch(s, baseDir, deltaA0,
@@ -109,7 +113,7 @@ object Queries98 {
           false
         } catch {
           case _: sources.ConcurrentCommitException => true
-        }
+        } finally sources.Loader.testRaceHook = None
       require(lost,
         "q240: the injected race did not surface as a typed loss")
       // standard OCC recovery: re-read the (new) latest, recompute,

@@ -49,8 +49,8 @@ object Upsert {
     * precision cliff — refused loudly. Returns the WIDER of the two
     * types when both sit on one chain, None otherwise.
     */
-  private def widened(a: org.apache.spark.sql.types.DataType,
-                      b: org.apache.spark.sql.types.DataType)
+  private[graft] def widened(a: org.apache.spark.sql.types.DataType,
+                             b: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     val intRank: Map[DataType, Int] = Map(

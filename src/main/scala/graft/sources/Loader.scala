@@ -200,13 +200,17 @@ object Loader {
     * @param bloomHashes seeded FNV probes per value
     * @param check optional table CHECK constraint (name, boolean SQL
     *        expression over the delta's columns): every incoming
-    *        commit's delta is validated in one bounded pass BEFORE
-    *        anything is staged — a row violating (predicate FALSE;
-    *        NULL passes, the SQL CHECK rule) rejects the whole
-    *        transaction with a typed
-    *        [[graft.sources.ConstraintViolationException]] and no slot
-    *        is consumed. Enforcement is on writes; existing history is
-    *        never re-validated (declare constraints at table birth, or
+    *        commit's RAW delta is validated in one bounded pass BEFORE
+    *        anything is staged — including rows superseded by a newer
+    *        row for the same key in the same batch (each intermediate
+    *        update must satisfy the constraint, not just the per-key
+    *        winner). A row violating (predicate FALSE; NULL passes,
+    *        the SQL CHECK rule) rejects the whole transaction with a
+    *        typed [[graft.sources.ConstraintViolationException]] and
+    *        no slot is consumed; a constraint referencing a column the
+    *        delta lacks rejects the same typed way, up front.
+    *        Enforcement is on writes; existing history is never
+    *        re-validated (declare constraints at table birth, or
     *        audit history explicitly before adding one)
     */
   final case class Maintain(zoneCols: Seq[String] = Nil,
@@ -412,14 +416,35 @@ object Loader {
       s"readSnapshot: $versionDir has an empty manifest")
     // a SURVIVING manifest can still reference a bucket whose holding
     // version was vacuumed (it was live for the CURRENT manifest, not
-    // for this historical one) — bounded check, one exists() per bucket
-    val gone = dirs.filterNot(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(d)))
-    if (gone.nonEmpty)
-      throw new VacuumedVersionException(
-        s"readSnapshot: $versionDir references ${gone.length} bucket " +
-        s"dir(s) reclaimed by vacuumSnapshots (first: ${gone.head}) — " +
-        "this historical version is no longer fully readable")
+    // for this historical one) — bounded check, one exists() per
+    // bucket. Probed ONLY for historical (AS-OF) reads: the latest
+    // manifest's buckets are vacuum-protected by invariant, so the hot
+    // latest-snapshot path must not pay nBuckets metadata RPCs per
+    // query just to improve the error type of a case that cannot
+    // occur. Latest-ness costs ONE raw listing of the base dir (the
+    // cheap op on object stores) instead of nBuckets HEADs — no
+    // per-version manifest probes: publish is an atomic rename of a
+    // fully-staged dir (manifest written before the rename), so every
+    // listed v<seq> dir is a committed version and max(listed) is the
+    // latest.
+    val thisSeq = new org.apache.hadoop.fs.Path(versionDir).getName
+      .stripPrefix("v").toLongOption
+    val latestListed = fs.listStatus(
+        new org.apache.hadoop.fs.Path(base)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .flatMap(_.drop(1).toLongOption)
+      .maxOption
+    val isLatest = thisSeq.isDefined && thisSeq == latestListed
+    if (!isLatest) {
+      val gone = dirs.filterNot(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (gone.nonEmpty)
+        throw new VacuumedVersionException(
+          s"readSnapshot: $versionDir references ${gone.length} bucket " +
+          s"dir(s) reclaimed by vacuumSnapshots (first: ${gone.head}) " +
+          "— this historical version is no longer fully readable")
+    }
     // schema evolution means bucket files can span eras: the manifest's
     // recorded schema reads them uniformly (files that predate a column
     // null-fill it) with NO footer pass; pre-schema manifests fall back
@@ -670,12 +695,31 @@ object Loader {
       .withColumn(BucketCol, bucketOf(key, nBuckets))
       .persist()
     try {
-      // CHECK constraint gate: one bounded pass over the delta's
-      // per-key winners, before anything is staged — a violating
+      // CHECK constraint gate: one bounded pass over the RAW delta
+      // (pre-dedup — a violating row superseded by a newer row for the
+      // same key in the same batch still rejects, matching the
+      // "every incoming commit's delta is validated" contract: each
+      // intermediate update must satisfy the constraint, not just the
+      // per-key winner), before anything is staged — a violating
       // commit consumes no slot and leaves the table untouched. SQL
       // semantics: violation iff the predicate is FALSE (NULL passes).
+      // Column references are validated up front so a constraint
+      // naming a column absent from the delta surfaces as the typed
+      // exception, not an untyped AnalysisException at count() time.
       maintain.flatMap(_.check).foreach { case (cname, sql) =>
-        val bad = latest.filter(!coalesce(expr(sql), lit(true))).count()
+        val unknown = spark.sessionState.sqlParser.parseExpression(sql)
+          .collect {
+            case u: org.apache.spark.sql.catalyst.analysis
+                      .UnresolvedAttribute => u.nameParts.last
+          }.distinct.filterNot(n =>
+            delta.columns.exists(_.equalsIgnoreCase(n)))
+        if (unknown.nonEmpty)
+          throw new ConstraintViolationException(
+            s"applyDelta: CHECK constraint '$cname' ($sql) references " +
+            s"column(s) ${unknown.mkString(", ")} absent from the " +
+            s"incoming delta (has: ${delta.columns.mkString(", ")}) — " +
+            "transaction rejected, no version written")
+        val bad = delta.filter(!coalesce(expr(sql), lit(true))).count()
         if (bad > 0L)
           throw new ConstraintViolationException(
             s"applyDelta: $bad row(s) of the incoming commit violate " +
@@ -734,11 +778,18 @@ object Loader {
       // buckets this batch does not touch would vanish from the record
       // — and readSnapshot's schema-specified read would then silently
       // drop it for EVERY row, including rows whose files carry it.
-      // Union with the prior manifest's schema (same-name fields keep
-      // the post-merge shape; prior-only fields append nullable, since
-      // the touched buckets' files null-fill them). A pre-schema legacy
-      // manifest falls back to one mergeSchema footer pass over the
-      // prior snapshot.
+      // Union with the prior manifest's schema; prior-only fields
+      // append nullable, since the touched buckets' files null-fill
+      // them. Same-name fields must be monotone in TYPE too, not just
+      // in column set: after a partial-bucket int→long widening the
+      // manifest records long, and a later commit that touches only
+      // int-era buckets with an int delta produces merged=int — if the
+      // record followed merged, readSnapshot would read the UNTOUCHED
+      // buckets' long files with an int-specified schema (fail or
+      // corrupt). So same-name fields take the WIDER of merged vs
+      // prior along Upsert.widened's lossless lattice. A pre-schema
+      // legacy manifest falls back to one mergeSchema footer pass over
+      // the prior snapshot.
       val mergedSchema = org.apache.spark.sql.types.StructType(
         merged.schema.filterNot(_.name == BucketCol))
       val priorSchema = priorManifest.flatMap { pm =>
@@ -753,8 +804,17 @@ object Loader {
         }
       }
       val recordedSchema = priorSchema.fold(mergedSchema) { ps =>
+        val priorByName = ps.map(f => f.name -> f).toMap
         val have = mergedSchema.map(_.name).toSet
-        org.apache.spark.sql.types.StructType(mergedSchema ++
+        val monotone = mergedSchema.map { f =>
+          priorByName.get(f.name).fold(f) { pf =>
+            val wide = graft.operators.Upsert
+              .widened(f.dataType, pf.dataType).getOrElse(f.dataType)
+            f.copy(dataType = wide,
+                   nullable = f.nullable || pf.nullable)
+          }
+        }
+        org.apache.spark.sql.types.StructType(monotone ++
           ps.filterNot(f => have.contains(f.name))
             .map(_.copy(nullable = true)))
       }

@@ -153,4 +153,40 @@ class ConcurrentCommitSpec extends SparkSpec {
       .filter(col("user_id") === 41L).select(col("cents")).collect()
     assert(got.length === 1 && got(0).isNullAt(0))
   }
+
+  test("CHECK validates the RAW delta — a violating row superseded by " +
+       "a same-key newer row still rejects; unknown columns reject " +
+       "typed, up front") {
+    val base = Files.createTempDirectory("graft-check2").toString
+    val sink = seedSink(base)
+    val mt = Some(Loader.Maintain(
+      check = Some(("cents_nonneg", "cents >= 0"))))
+    // same key twice in one batch: the OLDER row violates, the per-key
+    // winner passes — every intermediate update must satisfy the
+    // constraint, so the commit rejects (pre-dedup validation)
+    val delta = Seq(
+      (5L, -1L, java.sql.Timestamp.valueOf("2026-02-01 00:00:00")),
+      (5L, 900L, java.sql.Timestamp.valueOf("2026-02-02 00:00:00")))
+      .toDF("user_id", "cents", "ts")
+    val e = intercept[ConstraintViolationException] {
+      Loader.upsertBatch(spark, sink, delta, key = "user_id",
+        orderCols = Seq("ts"), mt)
+    }
+    assert(e.getMessage.contains("cents_nonneg"))
+    assert(Loader.snapshotVersions(spark, sink).map(_._1) === Seq(0L))
+    assert(snapshotMap(sink)(5L) === 500L)
+    // a constraint naming a column the delta lacks: the TYPED
+    // exception, not an untyped AnalysisException at count() time
+    val mtBad = Some(Loader.Maintain(
+      check = Some(("oops", "no_such_col >= 0"))))
+    val ok = Seq((6L, 100L)).toDF("user_id", "cents")
+      .withColumn("ts",
+        lit(java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+    val e2 = intercept[ConstraintViolationException] {
+      Loader.upsertBatch(spark, sink, ok, key = "user_id",
+        orderCols = Seq("ts"), mtBad)
+    }
+    assert(e2.getMessage.contains("no_such_col"))
+    assert(Loader.snapshotVersions(spark, sink).map(_._1) === Seq(0L))
+  }
 }

@@ -507,4 +507,62 @@ class TimeTravelSkewSpec extends SparkSpec {
       large, small, "k", Nil, salt = 4)
     assert(sorted(none) == sorted(large.join(small, Seq("k"))))
   }
+
+  test("manifest schema stays monotone in TYPE across partial-bucket " +
+       "commits: an int-era commit after a widening never narrows the " +
+       "recorded long") {
+    val base = Files.createTempDirectory("graft-widen-mono").toString
+    val src = s"$base/src"; val sink = s"$base/sink"
+    val schema = (1L to 2L).map(ev)
+      .toDF("event_id", "ts", "user_id", "value").schema
+    addFile(src, "f0.parquet", 1000000L, (1L to 30L).map(ev))
+    val q = graft.sources.Loader.streamUpsertSink(
+      spark.readStream.schema(schema).parquet(src),
+      sink, key = "user_id", orderCols = Seq("ts", "event_id"),
+      checkpointDir = Some(s"$base/ck"),
+      trigger = Some(Trigger.AvailableNow()))._1
+    q.awaitTermination()
+    // two seeded users living in DIFFERENT buckets, discovered from
+    // the committed layout itself (FNV bucketing is not id % n)
+    val v0 = new java.io.File(sink).listFiles()
+      .filter(_.getName.startsWith("v")).map(_.toString).min
+    val bucketDirs = new java.io.File(v0).listFiles()
+      .filter(_.getName.startsWith("graft_bucket=")).map(_.toString)
+    assert(bucketDirs.length >= 2, s"need >=2 buckets, got $v0")
+    def anyUser(dir: String): Long =
+      spark.read.parquet(dir).select(col("user_id"))
+        .head().getLong(0)
+    val uA = anyUser(bucketDirs(0))
+    val uB = anyUser(bucketDirs(1))
+    assert(uA != uB)
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    def latestSnap() = graft.sources.Loader.readSnapshot(spark,
+      s"$sink/v${graft.sources.Loader.snapshotVersions(spark, sink)
+        .map(_._1).max}")
+    // era 1: both buckets gain an int-typed score column
+    graft.sources.Loader.upsertBatch(spark, sink,
+      Seq((uA, 1), (uB, 2)).toDF("user_id", "score"),
+      key = "user_id", orderCols = Seq("user_id"))
+    assert(latestSnap().schema("score").dataType == IntegerType)
+    // era 2: bucket A widens score to long (value past the int ceiling)
+    graft.sources.Loader.upsertBatch(spark, sink,
+      Seq((uA, 5000000099L)).toDF("user_id", "score"),
+      key = "user_id", orderCols = Seq("user_id"))
+    assert(latestSnap().schema("score").dataType == LongType)
+    // era 3: a commit touching ONLY the int-era bucket B with an int
+    // delta — merged(schema of touched buckets)=int, but the RECORDED
+    // schema must stay long or the untouched bucket A's long files
+    // would be read back with an int-specified schema
+    graft.sources.Loader.upsertBatch(spark, sink,
+      Seq((uB, 7)).toDF("user_id", "score"),
+      key = "user_id", orderCols = Seq("user_id"))
+    val fin = latestSnap()
+    assert(fin.schema("score").dataType == LongType)
+    val scores = fin.filter(col("user_id").isin(uA, uB))
+      .select(col("user_id"), col("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(uA) == 5000000099L, "widened value must survive the " +
+      "later narrow-era commit")
+    assert(scores(uB) == 7L)
+  }
 }
