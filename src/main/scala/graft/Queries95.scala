@@ -56,9 +56,10 @@ object Queries95 {
   // committed layout directly; mutating consumers (q228 compaction,
   // q237 delete, q238/q239 batch upserts) go through
   // [[mutableMaintainedSink]], which CLONES the committed layout with a
-  // plain file copy — versions, manifests, and maintenance metadata are
-  // all just files, so a copy is a bit-identical table — and registers
-  // the clone's metadata, leaving the shared fixture untouched.
+  // hardlink tree ([[copyTree]] — versions, manifests, and maintenance
+  // metadata are all immutable files, so a link tree is a bit-identical
+  // table at metadata cost) and registers the clone's metadata, leaving
+  // the shared fixture untouched.
   private val sinkFixture = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Long, sources.Loader.Maintain)]()
 
@@ -68,15 +69,32 @@ object Queries95 {
     sinkFixture.computeIfAbsent(d,
       _ => runMaintainedSink(s, d, "sink_shared"))
 
-  private def copyTree(src: java.nio.file.Path,
-                       dst: java.nio.file.Path): Unit = {
+  /** Clone a committed layout tree by HARDLINK, not byte copy: the
+    * sink's files are immutable by construction (commits stage new
+    * files privately and publish by atomic rename; mutation is always
+    * new-version new-files; vacuum/compaction only UNLINK, which never
+    * affects the other link). So a link tree is a bit-identical,
+    * fully isolated table at O(file count) metadata cost instead of
+    * O(bytes) — the difference between a ~10 s fixture wall per bench
+    * rep and a ~10 ms one (VERDICT r12 task 2). Falls back to a real
+    * copy when the filesystem refuses links (cross-device, exotic FS).
+    */
+  private[graft] def copyTree(src: java.nio.file.Path,
+                              dst: java.nio.file.Path): Unit = {
     val walk = java.nio.file.Files.walk(src)
     try walk.forEach { p =>
       val t = dst.resolve(src.relativize(p).toString)
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        java.nio.file.Files.deleteIfExists(t)
+        try { java.nio.file.Files.createLink(t, p); () }
+        catch { case _: UnsupportedOperationException |
+                     _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+        }
+      }
       ()
     } finally walk.close()
   }

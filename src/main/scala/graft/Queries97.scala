@@ -436,13 +436,14 @@ object Queries97 {
         .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
         .head()
       val x = (bounds.getLong(0) + bounds.getLong(1)) / 2
-      val before = sources.Loader.readSnapshot(s, vdir).count()
       val (ndir, deleted) = sources.Loader.deleteWhere(s, baseDir,
           col("cents") >= x, Some(maintain))
         .getOrElse(sys.error("q237: nothing matched the delete window"))
+      // the before/after row-conservation invariant is spec-pinned
+      // (TimeTravelSkewSpec's deleteWhere test); re-counting the whole
+      // snapshot twice here would only re-prove it per bench rep. The
+      // oracle still replays n_deleted and the surviving aggregate.
       val after = sources.Loader.readSnapshot(s, ndir)
-      require(after.count() == before - deleted,
-        s"q237: $before - $deleted != ${after.count()}")
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
       cust.join(after, col("c_custkey") === col("user_id"))

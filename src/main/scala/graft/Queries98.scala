@@ -55,11 +55,38 @@ object Queries98 {
     * user count so size-derived knobs (roll bounds, Bloom bits) can be
     * computed before the sink is built. Returns (baseDir, v0 dir).
     */
+  // Seeded-sink MASTERS, built once per (process, tag, sfDir) and
+  // hardlink-cloned per call (Queries95.copyTree): the seed window +
+  // stream startup is ~3-6 s of pure fixture wall that a bench rep
+  // must not re-pay — the rep should time the OPERATOR (commit,
+  // vacuum, probe), not the fixture (VERDICT r12 task 2). The clone
+  // keeps per-call isolation for the mutating consumers.
+  private val seededMasters = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Option[sources.Loader.Maintain])]()
+
   private def seedSnapshotSink(
       s: org.apache.spark.sql.SparkSession, d: String, tag: String,
       nBuckets: Int,
       mkMaintain: Long => Option[sources.Loader.Maintain],
       centsType: String = "long"): (String, String) = {
+    val (mbase, mv0, mt) = seededMasters.computeIfAbsent(s"$tag|$d",
+      _ => buildSeedSink(s, d, s"${tag}_master", nBuckets, mkMaintain,
+        centsType))
+    val work = Scratch.fresh(tag, d)
+    val dst = java.nio.file.Paths.get(work, "sink")
+    Queries95.copyTree(java.nio.file.Paths.get(mbase), dst)
+    val nv0 = dst.resolve(
+      java.nio.file.Paths.get(mv0).getFileName.toString).toString
+    mt.foreach(m => sources.Loader.registerSnapshot(s, nv0, m))
+    (dst.toString, nv0)
+  }
+
+  private def buildSeedSink(
+      s: org.apache.spark.sql.SparkSession, d: String, tag: String,
+      nBuckets: Int,
+      mkMaintain: Long => Option[sources.Loader.Maintain],
+      centsType: String)
+      : (String, String, Option[sources.Loader.Maintain]) = {
     val work = Scratch.fresh(tag, d)
     val raw = s.read.parquet(s"$d/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -81,7 +108,79 @@ object Queries98 {
       trigger = Some(Trigger.AvailableNow()), nBuckets = nBuckets,
       maintain = maintain)
     q.awaitTermination()
-    (s"$work/sink", handle.currentDir.get)
+    (s"$work/sink", handle.currentDir.get, maintain)
+  }
+
+  private val q241Fixture = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long)]()
+
+  /** Build + premise-check + register q241's flat residue layout: three
+    * parquet files whose l_orderkey residues interleave so every file's
+    * [min, max] straddles the mid-domain probe (ranges prune nothing)
+    * and per-file NDV exceeds the dictionary cap (dictionaries are
+    * absent) — ONLY the per-file Blooms can prune the point lookup.
+    * Built and registered ONCE per (process, sfDir): it is read-only,
+    * so consumers share it. Returns (layout dir, probe key).
+    */
+  private def buildQ241Fixture(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, Long) = {
+    val work = Scratch.fresh("q241_bloom", d)
+    val layout = s"$work/table"; val stage = s"$work/stage"
+    val meta = s"$work/meta"; val blooms = s"$work/blooms"
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        expr(qtyCents).as("qty_cents"))
+      .withColumn("fid", pmod(col("l_orderkey"), lit(NRes)))
+      .repartition(col("fid"))
+      .write.mode("overwrite").partitionBy("fid").parquet(stage)
+    new java.io.File(layout).mkdirs()
+    for (r <- 0 until NRes) {
+      val parts = new java.io.File(s"$stage/fid=$r").listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+                     f.getName.endsWith(".parquet"))
+      require(parts.length == 1,
+        s"q241: expected one file for residue $r, got ${parts.length}")
+      java.nio.file.Files.move(parts(0).toPath,
+        java.nio.file.Paths.get(s"$layout/r$r.parquet"))
+    }
+    val flat = s.read.parquet(layout)
+    // premise 1: PAST the dictionary cap — no file earns a dictionary
+    require(graft.plans.Zones.analyzeDictFiles(flat,
+        Seq("l_orderkey"), DictCap).isEmpty,
+      "q241: some file's NDV fit the dictionary cap — the fixture " +
+      "no longer isolates the Bloom path")
+    // Bloom sized to the data: 32 bits per distinct value of the
+    // largest file (~1e-4 per-file FP at 5 hashes), scale-adaptive
+    val maxNdv = flat
+      .groupBy(pmod(col("l_orderkey"), lit(NRes)))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    val mBits = math.min((32L * maxNdv + 63) / 64 * 64, 1L << 26).toInt
+    graft.plans.Zones.writeMetadata(
+      graft.plans.Zones.analyzeFiles(flat, Seq("l_orderkey")), meta)
+    graft.plans.Zones.writeMetadata(
+      graft.plans.Zones.analyzeBloomFiles(flat, Seq("l_orderkey"),
+        mBits, 5), blooms)
+    graft.plans.Zones.registerFromMetadataRoots(s, Seq(layout),
+      Seq(meta), Nil, Seq(blooms))
+    // mid-domain probe: the smallest key above the midpoint, so every
+    // file's range straddles it
+    val bounds = flat.agg(
+      min(col("l_orderkey")).cast("long").as("mn"),
+      max(col("l_orderkey")).cast("long").as("mx")).head()
+    val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val probe = flat.filter(col("l_orderkey") > mid)
+      .agg(min(col("l_orderkey")).cast("long")).head().getLong(0)
+    // premise 2: every file's [min, max] RANGE contains the probe —
+    // min/max zones alone would keep all three files
+    val mm = s.read.parquet(meta)
+      .select(col("min_repr").cast("long").as("mn"),
+        col("max_repr").cast("long").as("mx")).collect()
+    require(mm.length == NRes &&
+      mm.forall(r => r.getLong(0) <= probe && probe <= r.getLong(1)),
+      s"q241: ranges do not all straddle $probe — the fixture no " +
+      "longer isolates Bloom pruning")
+    (layout, probe)
   }
 
   val sparkQueries: Map[String, Q] = Map(
@@ -149,62 +248,14 @@ object Queries98 {
     // which the query requires loudly (a false positive would surface
     // as kept > 1, never as a wrong answer).
     "q241_bloom_point_skip" -> ((s, d) => {
-      val work = Scratch.fresh("q241_bloom", d)
-      val layout = s"$work/table"; val stage = s"$work/stage"
-      val meta = s"$work/meta"; val blooms = s"$work/blooms"
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"),
-          expr(qtyCents).as("qty_cents"))
-        .withColumn("fid", pmod(col("l_orderkey"), lit(NRes)))
-        .repartition(col("fid"))
-        .write.mode("overwrite").partitionBy("fid").parquet(stage)
-      new java.io.File(layout).mkdirs()
-      for (r <- 0 until NRes) {
-        val parts = new java.io.File(s"$stage/fid=$r").listFiles()
-          .filter(f => f.getName.startsWith("part-") &&
-                       f.getName.endsWith(".parquet"))
-        require(parts.length == 1,
-          s"q241: expected one file for residue $r, got ${parts.length}")
-        java.nio.file.Files.move(parts(0).toPath,
-          java.nio.file.Paths.get(s"$layout/r$r.parquet"))
-      }
+      // read-only residue layout: built + premise-checked ONCE per
+      // (process, sfDir) — a bench rep must time the pruned point
+      // probe, not the two lineitem staging passes (VERDICT r12
+      // task 2). Registration happens in the builder; the registry
+      // survives across calls in one session.
+      val (layout, probe) = q241Fixture.computeIfAbsent(d,
+        _ => buildQ241Fixture(s, d))
       val flat = s.read.parquet(layout)
-      // premise 1: PAST the dictionary cap — no file earns a dictionary
-      require(graft.plans.Zones.analyzeDictFiles(flat,
-          Seq("l_orderkey"), DictCap).isEmpty,
-        "q241: some file's NDV fit the dictionary cap — the fixture " +
-        "no longer isolates the Bloom path")
-      // Bloom sized to the data: 32 bits per distinct value of the
-      // largest file (~1e-4 per-file FP at 5 hashes), scale-adaptive
-      val maxNdv = flat
-        .groupBy(pmod(col("l_orderkey"), lit(NRes)))
-        .agg(countDistinct(col("l_orderkey")).as("n"))
-        .agg(max(col("n"))).head().getLong(0)
-      val mBits = math.min((32L * maxNdv + 63) / 64 * 64, 1L << 26).toInt
-      graft.plans.Zones.writeMetadata(
-        graft.plans.Zones.analyzeFiles(flat, Seq("l_orderkey")), meta)
-      graft.plans.Zones.writeMetadata(
-        graft.plans.Zones.analyzeBloomFiles(flat, Seq("l_orderkey"),
-          mBits, 5), blooms)
-      graft.plans.Zones.registerFromMetadataRoots(s, Seq(layout),
-        Seq(meta), Nil, Seq(blooms))
-      // mid-domain probe: the smallest key above the midpoint, so every
-      // file's range straddles it
-      val bounds = flat.agg(
-        min(col("l_orderkey")).cast("long").as("mn"),
-        max(col("l_orderkey")).cast("long").as("mx")).head()
-      val mid = (bounds.getLong(0) + bounds.getLong(1)) / 2
-      val probe = flat.filter(col("l_orderkey") > mid)
-        .agg(min(col("l_orderkey")).cast("long")).head().getLong(0)
-      // premise 2: every file's [min, max] RANGE contains the probe —
-      // min/max zones alone would keep all three files
-      val mm = s.read.parquet(meta)
-        .select(col("min_repr").cast("long").as("mn"),
-          col("max_repr").cast("long").as("mx")).collect()
-      require(mm.length == NRes &&
-        mm.forall(r => r.getLong(0) <= probe && probe <= r.getLong(1)),
-        s"q241: ranges do not all straddle $probe — the fixture no " +
-        "longer isolates Bloom pruning")
       val res = flat.filter(col("l_orderkey") === probe)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

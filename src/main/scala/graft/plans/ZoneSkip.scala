@@ -308,9 +308,28 @@ object Zones {
   def registerFromMetadataRoots(spark: SparkSession, dirs: Seq[String],
                                 metaDirs: Seq[String],
                                 dictDirs: Seq[String] = Nil,
-                                bloomDirs: Seq[String] = Nil): Unit =
+                                bloomDirs: Seq[String] = Nil,
+                                rebaseTo: Option[String] = None): Unit =
     ZoneRegistry.registerRoots(dirs, mergedManifest(spark, metaDirs,
-      dictDirs, bloomDirs))
+      dictDirs, bloomDirs, rebaseTo))
+
+  /** Reinterpret a durably-recorded file path against the table base
+    * it is being REGISTERED under: metadata rows record absolute paths
+    * at write time, but a table is relocatable (a restored backup, a
+    * cloned layout, a renamed mount) — only the `v<seq>/...` suffix is
+    * location-independent. Rebasing maps `<old base>/v3/b=1/f.parquet`
+    * to `<new base>/v3/b=1/f.parquet`; a path with no version
+    * component (flat layouts) passes through untouched, as does
+    * everything when no rebase target is given.
+    */
+  private def rebasedKey(to: Option[String])(p: String): String =
+    to.fold(p) { base =>
+      val segs = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        .stripPrefix("/").split('/')
+      val i = segs.lastIndexWhere(_.matches("v\\d+"))
+      if (i < 0) p
+      else base.stripSuffix("/") + "/" + segs.drop(i).mkString("/")
+    }
 
   /** Catalog-table variant: `spark.table(name)` plans then zone-prune
     * with zero paths in the query (see [[ZoneRegistry.registerTable]]).
@@ -328,17 +347,19 @@ object Zones {
     */
   private def mergedManifest(spark: SparkSession, metaDirs: Seq[String],
                              dictDirs: Seq[String],
-                             bloomDirs: Seq[String] = Nil)
+                             bloomDirs: Seq[String] = Nil,
+                             rebaseTo: Option[String] = None)
       : ZoneRegistry.ZoneManifest = {
     val mm = if (metaDirs.isEmpty) ZoneRegistry.ZoneManifest(Map.empty)
-             else loadManifest(spark, metaDirs)
-    val (dicts, dtags) = loadDicts(spark, dictDirs)
-    val (blooms, btags) = loadBlooms(spark, bloomDirs)
+             else loadManifest(spark, metaDirs, rebaseTo)
+    val (dicts, dtags) = loadDicts(spark, dictDirs, rebaseTo)
+    val (blooms, btags) = loadBlooms(spark, bloomDirs, rebaseTo)
     mm.copy(dicts = dicts, blooms = blooms,
       tags = mm.tags ++ dtags ++ btags)
   }
 
-  private def loadBlooms(spark: SparkSession, bloomDirs: Seq[String])
+  private def loadBlooms(spark: SparkSession, bloomDirs: Seq[String],
+                         rebaseTo: Option[String] = None)
       : (Map[String, Map[String, ZoneRegistry.BloomSketch]],
          Map[String, String]) =
     if (bloomDirs.isEmpty) (Map.empty, Map.empty)
@@ -349,7 +370,8 @@ object Zones {
           col("num_hashes"), col("w"), col("word"), col("col_tag"))
         .collect()
       val blooms = rows
-        .groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+        .groupBy(r => ZoneRegistry.fileKey(
+          rebasedKey(rebaseTo)(r.getString(0))))
         .map { case (f, rs) =>
           f -> rs.groupBy(_.getString(1)).map { case (c, ws) =>
             c -> ZoneRegistry.BloomSketch(ws.head.getInt(2),
@@ -361,7 +383,8 @@ object Zones {
       (blooms, tags)
     }
 
-  private def loadDicts(spark: SparkSession, dictDirs: Seq[String])
+  private def loadDicts(spark: SparkSession, dictDirs: Seq[String],
+                        rebaseTo: Option[String] = None)
       : (Map[String, Map[String, Set[String]]], Map[String, String]) =
     if (dictDirs.isEmpty) (Map.empty, Map.empty)
     else {
@@ -372,7 +395,8 @@ object Zones {
       val cols = Seq(col("file"), col("col_name"), col("dict_repr")) ++
         (if (hasTag) Seq(col("col_tag")) else Nil)
       val rows = raw.select(cols: _*).collect()
-      val dicts = rows.groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+      val dicts = rows.groupBy(r => ZoneRegistry.fileKey(
+        rebasedKey(rebaseTo)(r.getString(0))))
         .map { case (f, rs) =>
           f -> rs.map(r =>
             r.getString(1) -> r.getSeq[String](2).toSet).toMap
@@ -383,7 +407,8 @@ object Zones {
       (dicts, tags)
     }
 
-  private def loadManifest(spark: SparkSession, metaDirs: Seq[String])
+  private def loadManifest(spark: SparkSession, metaDirs: Seq[String],
+                           rebaseTo: Option[String] = None)
       : ZoneRegistry.ZoneManifest = {
     val raw = spark.read.parquet(metaDirs: _*)
     // pre-tag metadata tables load with no tags (parse-based behavior)
@@ -391,7 +416,8 @@ object Zones {
     val cols = Seq(col("file"), col("col_name"), col("min_repr"),
       col("max_repr")) ++ (if (hasTag) Seq(col("col_tag")) else Nil)
     val rows = raw.select(cols: _*).collect()
-    val files = rows.groupBy(r => ZoneRegistry.fileKey(r.getString(0)))
+    val files = rows.groupBy(r => ZoneRegistry.fileKey(
+      rebasedKey(rebaseTo)(r.getString(0))))
       .map { case (f, rs) =>
         f -> rs.map(r => r.getString(1) -> (r.getString(2), r.getString(3)))
           .toMap

@@ -1123,8 +1123,13 @@ object Loader {
       val ddirs = versions.flatMap(v => metaOf(v, "_dicts"))
       val bdirs = versions.flatMap(v => metaOf(v, "_blooms"))
       if (zdirs.nonEmpty || ddirs.nonEmpty || bdirs.nonEmpty)
+        // rebaseTo: metadata rows record paths as of WRITE time, but
+        // this layout may since have been relocated (restored backup,
+        // cloned table, renamed mount) — reinterpret the location-
+        // independent v<seq>/... suffix against the base being
+        // registered, so a moved table's zones/dicts/Blooms still prune
         graft.plans.Zones.registerFromMetadataRoots(spark, dirs, zdirs,
-          ddirs, bdirs)
+          ddirs, bdirs, rebaseTo = Some(base))
     }
   }
 
