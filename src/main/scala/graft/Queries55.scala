@@ -16,15 +16,19 @@ object Queries55 {
   val sparkQueries: Map[String, Q] = Map(
     // Does cheap blocking find the real duplicates? Candidates =
     // sorted-neighborhood pairs (d17's scheme, unverified — maxDist
-    // unbounded); truth = exact n-gram Jaccard >= 0.7 (d02's set).
-    // Precision/recall as exact ppm integers. This is the dedup-tuning
-    // loop as a first-class query: blocking schemes are chosen by
-    // exactly this measurement. Cost: one SNM window + one shingle
-    // inverted-index join — both bounded, never doc².
+    // unbounded) through the d23 RANK-EQUI-JOIN generator (lossless,
+    // output-identical to the lead() window, no whole-corpus
+    // single-task stage — GlobalWindowAuditSpec would flag the exact
+    // form here, since the evaluation corpus is unbounded); truth =
+    // exact n-gram Jaccard >= 0.7 (d02's set). Precision/recall as
+    // exact ppm integers. This is the dedup-tuning loop as a
+    // first-class query: blocking schemes are chosen by exactly this
+    // measurement. Cost: one rank join + one shingle inverted-index
+    // join — both bounded, never doc².
     "d21_blocking_eval" -> ((s, d) => {
       val docsDf = Tables.documents(s, d)
-      val cand = Entity.sortedNeighborPairs(docsDf, "text", "doc_id",
-          window = 2, maxDist = Int.MaxValue)
+      val cand = Entity.sortedNeighborPairsScalable(docsDf, "text",
+          "doc_id", window = 2, maxDist = Int.MaxValue)
         .select(col("id_a"), col("id_b"))
       val truth = Dedup.ngramJaccardPairs(docsDf, "text", "doc_id",
           n = 5, threshold = 0.7, shingleCap = Dedup.ShingleCap.Off)

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 queries: closing the last global-window candidate path in
+  * the entity-resolution family (VERDICT r12 task 3).
+  *
+  * d33 — d20's Jaro-Winkler sorted-neighborhood pairing through the
+  * d23 scale path: candidate (row, next-row) pairs under the
+  * (sort-key, id) total order come from an equi-join on the
+  * range-partitioned global rank
+  * ([[operators.Entity.jaroNeighborPairsScalable]]) instead of a
+  * whole-corpus `lead()` window — LOSSLESS (rank j pairs with ranks
+  * j+1..j+window, exactly what lead() emits under the same order), so
+  * it hash-matches d20's own DuckDB oracle, while no stage anywhere
+  * funnels through one task (PlanAuditSpec pins the plan).
+  *
+  * Oracle-parity conventions follow [[Queries]]' scaladoc.
+  */
+object Queries99 {
+  import Queries.Q
+
+  val sparkQueries: Map[String, Q] = Map(
+    "d33_jaro_neighbors_scale" -> ((s, d) =>
+      operators.Entity.jaroNeighborPairsScalable(
+          Tables.documents(s, d), "text", "doc_id",
+          window = 2, minSim = 0.8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // t25's compression signal cannot be value-oracled (deflate output
+    // bytes are zlib-implementation-defined — DuckDB cannot replay
+    // them), but its INVARIANTS can (VERDICT r12 task 8): this
+    // companion reduces the whole corpus to replayable integers plus
+    // genuinely-computed violation counts the oracle asserts are zero.
+    // A zlib regression (overhead past the stored-block worst case, or
+    // concatenation shrinking the stream beyond slack) flips a count
+    // to nonzero → hash mismatch → the gate fails. n_docs/sum_bytes
+    // tie the row to the real corpus so the check cannot pass vacuously.
+    "t69_compression_invariants" -> ((s, d) => {
+      val sig = Tables.documents(s, d)
+        .filter(octet_length(col("text")) > 0)
+        .select(octet_length(col("text")).cast("long").as("n_bytes"),
+          functions.Expressions.deflate_len(col("text")).as("d1"),
+          functions.Expressions.deflate_len(
+            concat(col("text"), col("text"))).as("d2"))
+      sig.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        // zlib worst case: 5 bytes per ≤16383-byte stored block + 2
+        // header + 4 adler; 11 covers both plus rounding
+        sum(when(col("d1") > col("n_bytes") + lit(11L) +
+            (col("n_bytes") / 16383L + 1L) * 5L, 1L).otherwise(0L))
+          .as("n_overhead_violations"),
+        // doubling the text must not SHRINK the stream (64-byte slack
+        // absorbs block-boundary re-decisions near the seam)
+        sum(when(col("d2") < col("d1") - 64L, 1L).otherwise(0L))
+          .as("n_concat_violations"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // output-identical to the global-window form, so the scale path
+    // answers to the SAME oracle — any divergence is a hash mismatch
+    "d33_jaro_neighbors_scale" -> Queries39.oracleSql("d20_jaro_neighbors"),
+
+    "t69_compression_invariants" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+        |    AS sum_bytes,
+        |  CAST(0 AS BIGINT) AS n_overhead_violations,
+        |  CAST(0 AS BIGINT) AS n_concat_violations
+        |FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) > 0""".stripMargin
+  )
+}

@@ -65,7 +65,7 @@ object SparkEntry {
       Queries92.sparkQueries ++ Queries93.sparkQueries ++
       Queries94.sparkQueries ++ Queries95.sparkQueries ++
       Queries96.sparkQueries ++ Queries97.sparkQueries ++
-      Queries98.sparkQueries
+      Queries98.sparkQueries ++ Queries99.sparkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -104,5 +104,5 @@ object SparkEntry {
       Queries89.oracleSql ++ Queries90.oracleSql ++ Queries91.oracleSql ++
       Queries92.oracleSql ++ Queries93.oracleSql ++ Queries94.oracleSql ++
       Queries95.oracleSql ++ Queries96.oracleSql ++ Queries97.oracleSql ++
-      Queries98.oracleSql
+      Queries98.oracleSql ++ Queries99.oracleSql
 }

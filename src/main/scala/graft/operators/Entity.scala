@@ -123,8 +123,27 @@ object Entity {
                                   idCol: String, window: Int = 2,
                                   maxDist: Int = 15, keyLen: Int = 8,
                                   cmpLen: Int = 40,
-                                  numPartitions: Int = 32): DataFrame = {
-    require(window >= 1, s"sortedNeighborPairsScalable: window $window < 1")
+                                  numPartitions: Int = 32): DataFrame =
+    rankJoinCandidates(df, textCol, idCol, window, keyLen, cmpLen,
+        numPartitions)
+      .withColumn("dist", levenshtein(col("probe"), col("nprobe")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("id"), col("nid")).as("id_a"),
+              greatest(col("id"), col("nid")).as("id_b"),
+              col("dist"))
+
+  /** The scale form of [[neighborCandidates]], shared by every
+    * sorted-neighborhood metric (d23 Levenshtein, d33 Jaro-Winkler):
+    * candidate (row, following-row) pairs under the (skey, id) total
+    * order, generated by an equi-join on the range-partitioned global
+    * rank instead of a global-window lead() — identical output, no
+    * single-task stage.
+    */
+  private def rankJoinCandidates(df: DataFrame, textCol: String,
+                                 idCol: String, window: Int,
+                                 keyLen: Int, cmpLen: Int,
+                                 numPartitions: Int): DataFrame = {
+    require(window >= 1, s"rankJoinCandidates: window $window < 1")
     val norm = TextAnalysis.normalize(col(textCol))
     val base = df.select(col(idCol).as("id"),
                          substring(norm, 1, cmpLen).as("probe"))
@@ -139,12 +158,29 @@ object Entity {
       .withColumn("ridx", explode(array(
         (1 to window).map(i => col("idx") + i): _*)))
       .join(right, Seq("ridx")) // inner: ranks past the end simply miss
-      .withColumn("dist", levenshtein(col("probe"), col("nprobe")))
-      .filter(col("dist") <= maxDist)
+      .select(col("id"), col("probe"), col("nid"), col("nprobe"))
+  }
+
+  /** [[jaroNeighborPairs]]' 100 TB form — LOSSLESS, same output: the
+    * d23 rank-equi-join candidate generator ([[rankJoinCandidates]])
+    * with the Jaro-Winkler verify step. This closes the last
+    * global-window candidate path in the entity-resolution family
+    * (VERDICT r12 task 3): the base d20 keeps the lead()-window shape
+    * as the readable spec, this is the form a 10⁹-row corpus runs.
+    */
+  def jaroNeighborPairsScalable(df: DataFrame, textCol: String,
+                                idCol: String, window: Int = 2,
+                                minSim: Double = 0.8, keyLen: Int = 8,
+                                cmpLen: Int = 40,
+                                numPartitions: Int = 32): DataFrame =
+    rankJoinCandidates(df, textCol, idCol, window, keyLen, cmpLen,
+        numPartitions)
+      .withColumn("sim", graft.functions.Expressions.jaro_winkler(
+        col("probe"), col("nprobe")))
+      .filter(col("sim") >= minSim)
       .select(least(col("id"), col("nid")).as("id_a"),
               greatest(col("id"), col("nid")).as("id_b"),
-              col("dist"))
-  }
+              col("sim"))
 
   /** Sorted-neighbor pairing verified with Jaro-Winkler instead of
     * Levenshtein — the right metric when transposed words/typos should

@@ -203,6 +203,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d33 Jaro scale sorted-neighborhood: same rank equi-join shape") {
+    val p = plan("d33_jaro_neighbors_scale")
+    assert(!p.contains("SinglePartition"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("substring-span dedup joins windows on the gram key — no cartesian") {
     for (n <- Seq("d24_dup_substring", "d25_dup_span_coverage")) {
       val p = plan(n)
