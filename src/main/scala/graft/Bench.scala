@@ -223,9 +223,11 @@ object Bench {
     "t20_misra_gries", "e46_sink_bloom_lookup",
     "q244_sink_constraints", "q245_sink_history",
     // round-13: the Jaro sorted-neighborhood scale twin (rank equi-join
-    // candidates — the last global-window candidate path closed), and
-    // the t25 companion that oracles the compression invariants
-    "d33_jaro_neighbors_scale", "t69_compression_invariants")
+    // candidates — the last global-window candidate path closed), the
+    // t25 companion that oracles the compression invariants, and
+    // merge-on-read DELETE via deletion vectors
+    "d33_jaro_neighbors_scale", "t69_compression_invariants",
+    "q246_sink_delete_vectors")
 
   /** The DRIVER FLOOR: the set the default (driver-mode) run times and
     * warms — sized to what the driver can actually consume. The driver

@@ -64,7 +64,7 @@ object Queries98 {
   private val seededMasters = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, Option[sources.Loader.Maintain])]()
 
-  private def seedSnapshotSink(
+  private[graft] def seedSnapshotSink(
       s: org.apache.spark.sql.SparkSession, d: String, tag: String,
       nBuckets: Int,
       mkMaintain: Long => Option[sources.Loader.Maintain],

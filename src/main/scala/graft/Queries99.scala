@@ -27,6 +27,46 @@ object Queries99 {
           window = 2, minSim = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // q246 — DELETION VECTORS (merge-on-read DELETE, the Delta DV /
+    // Iceberg v2 position-delete shape): `deleteWhereVectors`
+    // tombstones matching rows as (file, row-position) metadata — the
+    // query PINS that not one data file changed (the 100 TB point:
+    // a selective delete costs O(tombstones), not O(buckets)) — then a
+    // batch upsert recomputed from the LIVE state lands on top: the
+    // rewritten buckets purge their tombstones physically, untouched
+    // buckets stay masked by the carried set, and no deleted row
+    // resurrects. The oracle replays delete + bump from first
+    // principles on the events table.
+    "q246_sink_delete_vectors" -> ((s, d) => {
+      val (base, v0) = Queries98.seedSnapshotSink(
+        s, d, "q246_sink", 4, _ => None)
+      val filesBefore = sources.Loader.readSnapshot(s, v0).inputFiles
+        .filterNot(_.contains("/_dv/")).toSet
+      val (v1, deleted) = sources.Loader.deleteWhereVectors(s, base,
+          col("cents") % 3 === 0)
+        .getOrElse(sys.error("q246: nothing matched the tombstone"))
+      val filesAfter = sources.Loader.readSnapshot(s, v1).inputFiles
+        .filterNot(_.contains("/_dv/")).toSet
+      require(filesAfter == filesBefore,
+        "q246: merge-on-read DELETE rewrote data files")
+      // the upsert recomputes from the LIVE (tombstone-filtered) state
+      val bump = sources.Loader.readSnapshot(s, v1)
+        .filter(col("user_id") % 5 === 0)
+        .select(col("user_id"), (col("cents") + 7L).as("cents"))
+      val v2 = sources.Loader.upsertBatch(s, base, bump,
+        key = "user_id", orderCols = Seq("user_id"))
+      val after = sources.Loader.readSnapshot(s, v2)
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      cust.join(after, col("c_custkey") === col("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_users"),
+             sum(col("cents")).as("cents_sum"))
+        .withColumn("n_tombstoned", lit(deleted))
+        .withColumn("files_unchanged", lit(1L))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // t25's compression signal cannot be value-oracled (deflate output
     // bytes are zlib-implementation-defined — DuckDB cannot replay
     // them), but its INVARIANTS can (VERDICT r12 task 8): this
@@ -62,6 +102,32 @@ object Queries99 {
     // output-identical to the global-window form, so the scale path
     // answers to the SAME oracle — any divergence is a hash mismatch
     "d33_jaro_neighbors_scale" -> Queries39.oracleSql("d20_jaro_neighbors"),
+
+    // delete + bump replayed from first principles on the events
+    // table: snap = the seeded latest-per-key state, live = snap minus
+    // the tombstoned residue class, fin = live with the %5 bump
+    // (recomputed FROM live — a tombstoned %5 row must not come back)
+    "q246_sink_delete_vectors" ->
+      """WITH snap AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |live AS MATERIALIZED (
+        |  SELECT user_id, cents FROM snap WHERE cents % 3 <> 0),
+        |fin AS MATERIALIZED (
+        |  SELECT user_id, cents
+        |    + (CASE WHEN user_id % 5 = 0 THEN 7 ELSE 0 END) AS cents
+        |  FROM live)
+        |SELECT c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM snap WHERE cents % 3 = 0)
+        |    AS n_tombstoned,
+        |  CAST(1 AS BIGINT) AS files_unchanged
+        |FROM fin JOIN customer ON c_custkey = user_id
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "t69_compression_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

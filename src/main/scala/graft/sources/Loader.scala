@@ -226,7 +226,77 @@ object Loader {
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
+  private val DvDirName = "_dv" // merge-on-read deletion vectors
   private[sources] val HashName = "fnv1a64" // the layout's bucket hash
+
+  /** DELETION VECTORS — merge-on-read DELETE (the Delta DV / Iceberg v2
+    * position-delete shape). A DV commit removes rows by publishing a
+    * (file, position) tombstone table instead of rewriting buckets:
+    * O(matched rows) metadata instead of O(touched buckets) data — the
+    * right trade for selective deletes (GDPR single-key erasure, spot
+    * corrections) on a 100 TB table, where copy-on-write
+    * [[deleteWhere]] would rewrite terabytes to drop kilobytes.
+    *
+    * Layout: each version dir may carry `_dv/` parquet rows
+    * (file: STRING, pos: BIGINT) — `file` is the LOCATION-INDEPENDENT
+    * `v<seq>/graft_bucket=<b>/<name>` suffix (relocation-safe: clones,
+    * restores, renames — the lesson the zone metadata learned the hard
+    * way), `pos` the row's `_metadata.row_index` in that immutable
+    * parquet file. A version's `_dv` holds the COMPLETE applicable set
+    * as of that commit (copy-forward), so a reader consults exactly
+    * one table; history versions keep their own era's set — time
+    * travel shows pre-delete rows, the DV version hides them.
+    *
+    * Readers apply the set as a BROADCAST left-anti join on
+    * (file-suffix, row_index): no shuffle of the data side — the scan
+    * stays a scan. Writers PURGE: any operation that rewrites a bucket
+    * ([[upsertBatch]]'s merge, [[compactSnapshot]], [[deleteWhere]])
+    * reads prior files DV-filtered and drops the rewritten buckets'
+    * entries from the carried-forward set, so DVs never apply to a
+    * file twice and the set shrinks as the table churns; compaction
+    * treats "has DVs" as fragmentation and purges eagerly.
+    */
+  private def dvSuffix(pathCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_extract(pathCol,
+      "(v[0-9]+/" + BucketCol + "=[0-9]+/[^/]+)$", 1)
+
+  /** The applicable DV set recorded at `versionDir`, if any:
+    * (file suffix, pos). */
+  private def readDv(spark: org.apache.spark.sql.SparkSession,
+                     fs: org.apache.hadoop.fs.FileSystem,
+                     versionDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(versionDir, DvDirName)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Remove DV-tombstoned rows from a parquet scan of layout files:
+    * broadcast anti-join on the location-independent file suffix +
+    * in-file row position. Identity when no DV set exists.
+    */
+  private def applyDv(df: DataFrame, dv: Option[DataFrame]): DataFrame =
+    dv.fold(df) { d =>
+      import org.apache.spark.sql.functions.{broadcast, col}
+      df.withColumn("__dv_f", dvSuffix(col("_metadata.file_path")))
+        .withColumn("__dv_p", col("_metadata.row_index"))
+        .join(broadcast(d.select(col("file").as("__dv_f"),
+          col("pos").as("__dv_p"))), Seq("__dv_f", "__dv_p"), "left_anti")
+        .drop("__dv_f", "__dv_p")
+    }
+
+  /** The carried-forward DV set after `rewritten` buckets' files were
+    * rewritten (their tombstones are now physically applied). None if
+    * nothing survives.
+    */
+  private def dvMinusBuckets(dv: Option[DataFrame],
+                             rewritten: Set[Int]): Option[DataFrame] =
+    dv.map { d =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      if (rewritten.isEmpty) d
+      else d.filter(!regexp_extract(col("file"),
+          BucketCol + "=([0-9]+)/", 1).cast("int")
+        .isin(rewritten.toSeq: _*))
+    }.filter(d => d.limit(1).count() > 0)
 
   /** A committed version's manifest: bucket → version holding its
     * current files, plus the LAYOUT parameters (bucket count and hash —
@@ -449,11 +519,14 @@ object Loader {
     // recorded schema reads them uniformly (files that predate a column
     // null-fill it) with NO footer pass; pre-schema manifests fall back
     // to parquet mergeSchema (one distributed footer read)
-    man.schema match {
+    val scan = man.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
+    // merge-on-read: subtract this version's deletion vectors (one
+    // broadcast anti-join; identity when the version has none)
+    applyDv(scan, readDv(spark, fs, versionDir))
   }
 
   /** Committed snapshot versions under a [[streamUpsertSink]] base
@@ -745,11 +818,16 @@ object Loader {
       val priorDirs = touched.toIndexedSeq.flatMap(b =>
         priorMap.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
       val batchData = latest.select(dataCols.map(col): _*)
+      // prior files read DV-FILTERED: a tombstoned row must not
+      // resurrect through the rewrite, and the rewrite PURGES the
+      // touched buckets' tombstones (their files are replaced)
+      val priorDv = committed.lastOption.flatMap(v =>
+        readDv(spark, fs, s"$baseDir/v$v"))
       val merged =
         if (priorDirs.isEmpty) batchData
         else graft.operators.Upsert.upsertEvolve(
-          spark.read.option("mergeSchema", "true")
-            .parquet(priorDirs: _*),
+          applyDv(spark.read.option("mergeSchema", "true")
+            .parquet(priorDirs: _*), priorDv),
           batchData, key)
       // every attempt stages PRIVATELY (uuid dir): racing writers can
       // never scribble on each other's files, and a crashed attempt is
@@ -818,6 +896,10 @@ object Loader {
           ps.filterNot(f => have.contains(f.name))
             .map(_.copy(nullable = true)))
       }
+      // carry forward the untouched buckets' deletion vectors (touched
+      // buckets' tombstones are physically applied by the rewrite)
+      dvMinusBuckets(priorDv, touched.toSet).foreach(dv =>
+        dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
       // manifest into the attempt (touched buckets live at this slot,
       // untouched buckets keep pointing at their current version),
       // then the PUBLISH: one atomic no-overwrite rename onto the slot
@@ -896,7 +978,17 @@ object Loader {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && st.isFile
       }
+    // a bucket is compaction-worthy when its dir fragments into
+    // multiple files OR it carries deletion-vector tombstones (the
+    // merge-on-read debt) — compaction is exactly where DVs get
+    // physically applied and purged
+    val priorDv = readDv(spark, fs, s"$baseDir/v$latest")
+    val dvBuckets: Set[Int] = priorDv.fold(Set.empty[Int])(d =>
+      d.select(org.apache.spark.sql.functions.regexp_extract(col("file"),
+          BucketCol + "=([0-9]+)/", 1).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet)
     val fragmented = man.buckets.toSeq.sorted.filter { case (b, v) =>
+      dvBuckets.contains(b) ||
       dataFiles(s"$baseDir/v$v/$BucketCol=$b") > 1
     }
     if (fragmented.isEmpty) return None
@@ -904,7 +996,8 @@ object Loader {
     // private staging + atomic publish rename: see [[commitAttempt]]
     val attempt = newAttemptDir(fs, baseDir)
     for ((b, v) <- fragmented) {
-      val one = spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b")
+      val one = applyDv(
+          spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b"), priorDv)
         .coalesce(1)
       val sorted = maintain.flatMap(_.clusterBy).fold(one)(
         c => one.sortWithinPartitions(col(c)))
@@ -915,6 +1008,10 @@ object Loader {
     }
     maintain.foreach(mt =>
       writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
+    // every DV'd bucket was rewritten above, so the carried set is
+    // empty by construction — the call stays for the invariant
+    dvMinusBuckets(priorDv, fragmented.map(_._1).toSet).foreach(dv =>
+      dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
     writeManifest(fs, attempt,
       Manifest(man.buckets ++ fragmented.map(_._1 -> seq),
         man.nBuckets, -1L, man.schema)) // compaction never evolves
@@ -959,13 +1056,17 @@ object Loader {
     }
     // discovery probe: matching files only — zone/dict-pruned when the
     // snapshot's metadata is registered (the root set matches); the
-    // manifest's recorded schema spares the footer pass
-    val probe = man.schema match {
+    // manifest's recorded schema spares the footer pass. DV-filtered:
+    // a row already tombstoned by a deletion vector must neither count
+    // as deleted again nor pull its file into the rewrite set.
+    val priorDv = readDv(spark, fs, s"$baseDir/v$latest")
+    val probe0 = man.schema match {
       case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
-    val snapSchema = probe.schema
+    val snapSchema = probe0.schema
+    val probe = applyDv(probe0, priorDv)
     val touchedFiles = probe.filter(cond)
       .select(input_file_name().as("f"))
       .groupBy(col("f")).agg(cnt(lit(1)).as("n"))
@@ -989,8 +1090,9 @@ object Loader {
     for (b <- touched.toSeq.sorted) {
       // the SNAPSHOT schema, not the file schema: a predicate may name
       // a column this bucket's era predates (reads back NULL)
-      val kept0 = spark.read.schema(snapSchema)
-        .parquet(s"$baseDir/v${man.buckets(b)}/$BucketCol=$b")
+      val kept0 = applyDv(spark.read.schema(snapSchema)
+          .parquet(s"$baseDir/v${man.buckets(b)}/$BucketCol=$b"),
+          priorDv)
         .filter(keepCond).coalesce(1)
       // persist around the isEmpty/write pair: without it the filtered
       // bucket read runs twice (once for the emptiness probe, once for
@@ -1012,6 +1114,10 @@ object Loader {
     if (rewritten.nonEmpty)
       maintain.foreach(mt =>
         writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
+    // touched buckets' tombstones are physically applied by the
+    // rewrite (or the bucket emptied); the rest carry forward
+    dvMinusBuckets(priorDv, touched).foreach(dv =>
+      dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
     val buckets = (man.buckets -- emptied) ++
       rewritten.map(_ -> seq).toMap
     require(buckets.nonEmpty,
@@ -1022,6 +1128,81 @@ object Loader {
     val next = commitAttempt(spark, fs, baseDir, attempt, seq)
     maintain.foreach(mt => registerSnapshot(spark, next, mt))
     Some((next, deleted))
+  }
+
+  /** Merge-on-read row-level DELETE: tombstone rows matching `cond`
+    * with DELETION VECTORS instead of rewriting buckets — the
+    * [[deleteWhere]] sibling for SELECTIVE deletes on huge tables
+    * (GDPR single-key erasure, spot corrections), where copy-on-write
+    * would rewrite terabytes to drop kilobytes. See the DV design
+    * note above [[dvSuffix]]. Publishes a maintenance commit whose
+    * manifest is UNCHANGED — no data file is written or moved; the
+    * commit is one probe for matching (file, row_index) positions plus
+    * O(tombstones) metadata. SQL DELETE semantics: removed iff `cond`
+    * is TRUE, NULL keeps the row. Tombstones are applied by every
+    * reader ([[readSnapshot]]) and physically purged by the next
+    * rewrite of their bucket (upsert merge, [[compactSnapshot]],
+    * [[deleteWhere]]). Time travel keeps era semantics: pre-delete
+    * versions still show the rows. Single-writer contract like the
+    * other maintenance ops; OCC-protected like every commit.
+    * Returns (new version dir, rows tombstoned); None when nothing
+    * matched.
+    */
+  def deleteWhereVectors(spark: org.apache.spark.sql.SparkSession,
+                         baseDir: String,
+                         cond: org.apache.spark.sql.Column,
+                         maintain: Option[Maintain] = None)
+      : Option[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(return None)
+    val cur = s"$baseDir/v$latest"
+    val man = readManifest(fs, cur)
+    val dirs = man.buckets.toSeq.sorted.map {
+      case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
+    }
+    val priorDv = readDv(spark, fs, cur)
+    val scan0 = man.schema match {
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    // probe LIVE rows only: an already-tombstoned row must not be
+    // tombstoned twice (the union below stays duplicate-free because
+    // a (file, pos) can appear in at most one of the two sets).
+    // _metadata is captured BEFORE the anti-join: a join's projection
+    // makes the scan's metadata struct unresolvable downstream.
+    val withPos = scan0
+      .withColumn("__dv_f", dvSuffix(col("_metadata.file_path")))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+    val live = priorDv.fold(withPos)(d =>
+      withPos.join(
+        org.apache.spark.sql.functions.broadcast(
+          d.select(col("file").as("__dv_f"), col("pos").as("__dv_p"))),
+        Seq("__dv_f", "__dv_p"), "left_anti"))
+    val newDv = live.filter(coalesce(cond, lit(false)))
+      .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+      .persist()
+    try {
+      val deleted = newDv.count()
+      if (deleted == 0L) return None
+      val all = priorDv.fold(newDv)(d =>
+        d.select(col("file"), col("pos")).unionByName(newDv))
+      // same contract as deleteWhere: a table must never become
+      // invisible — one early-exit survivor probe
+      require(applyDv(scan0, Some(all)).limit(1).count() == 1L,
+        s"deleteWhereVectors: every row of $baseDir matched — " +
+        "refusing to tombstone the whole table (drop it instead)")
+      val attempt = newAttemptDir(fs, baseDir)
+      all.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$attempt/$DvDirName")
+      writeManifest(fs, attempt,
+        Manifest(man.buckets, man.nBuckets, -1L, man.schema))
+      val next = commitAttempt(spark, fs, baseDir, attempt, latest + 1)
+      maintain.foreach(mt => registerSnapshot(spark, next, mt))
+      Some((next, deleted))
+    } finally { newDv.unpersist(); () }
   }
 
   /** One commit's maintenance metadata, from one pass over ONLY the
