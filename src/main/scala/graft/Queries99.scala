@@ -67,6 +67,32 @@ object Queries99 {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // q247 — MERGE INTO: the general conditional write verb (of which
+    // upsert is the unconditional special case) in one transaction:
+    // matched rows whose TARGET cents divide by 5 are DELETED, the
+    // remaining matched rows UPDATE to the source value, and brand-new
+    // keys INSERT — SQL clause order, three-valued logic, copy-on-write
+    // on exactly the source keys' buckets. The oracle replays all
+    // three clauses from first principles on the events table; the
+    // negative insert keys prove unmatched-source routing without
+    // colliding with any seeded user.
+    "q247_sink_merge" -> ((s, d) => {
+      val (base, v0) = Queries98.seedSnapshotSink(
+        s, d, "q247_sink", 4, _ => None)
+      val snap0 = sources.Loader.readSnapshot(s, v0)
+      val source = snap0.filter(col("user_id") % 3 === 0)
+          .select(col("user_id"), (col("cents") + 50L).as("cents"))
+        .unionByName(snap0.filter(col("user_id") % 11 === 0)
+          .select((-col("user_id") - 1L).as("user_id"),
+                  (col("cents") + 7L).as("cents")))
+      val ndir = sources.Loader.mergeInto(s, base, source, "user_id",
+        deleteWhen = Some(col("t_cents") % 5 === 0))
+      sources.Loader.readSnapshot(s, ndir)
+        .groupBy((col("user_id") % 4).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy(col("grp"))
+    }),
+
     // t25's compression signal cannot be value-oracled (deflate output
     // bytes are zlib-implementation-defined — DuckDB cannot replay
     // them), but its INVARIANTS can (VERDICT r12 task 8): this
@@ -128,6 +154,35 @@ object Queries99 {
         |  CAST(1 AS BIGINT) AS files_unchanged
         |FROM fin JOIN customer ON c_custkey = user_id
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the three MERGE clauses replayed: upd = the matched source rows,
+    // ins = the unmatched (negative-key) ones; a matched target row
+    // with cents % 5 = 0 deletes, the rest of the matched update, the
+    // unmatched targets stand, the inserts append
+    "q247_sink_merge" ->
+      """WITH snap AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |upd AS MATERIALIZED (
+        |  SELECT user_id, cents + 50 AS s_cents FROM snap
+        |  WHERE user_id % 3 = 0),
+        |ins AS MATERIALIZED (
+        |  SELECT -user_id - 1 AS user_id, cents + 7 AS cents FROM snap
+        |  WHERE user_id % 11 = 0),
+        |fin AS MATERIALIZED (
+        |  SELECT s.user_id,
+        |    CASE WHEN u.user_id IS NOT NULL THEN u.s_cents
+        |         ELSE s.cents END AS cents
+        |  FROM snap s LEFT JOIN upd u USING (user_id)
+        |  WHERE NOT (u.user_id IS NOT NULL AND s.cents % 5 = 0)
+        |  UNION ALL SELECT user_id, cents FROM ins)
+        |SELECT CAST(user_id % 4 AS BIGINT) AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t69_compression_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -748,6 +748,38 @@ object Loader {
     * semantics every table format provides, with type changes refused
     * loudly.
     */
+  /** The table-CHECK gate shared by every incoming-data commit (upsert
+    * delta, MERGE source): see [[Maintain]]'s `check` scaladoc for the
+    * contract (raw rows validated pre-staging; TRUE/NULL pass, FALSE
+    * rejects typed; unknown column references reject typed up front).
+    */
+  private def checkGate(spark: org.apache.spark.sql.SparkSession,
+                        incoming: DataFrame,
+                        maintain: Option[Maintain],
+                        opName: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    maintain.flatMap(_.check).foreach { case (cname, sql) =>
+      val unknown = spark.sessionState.sqlParser.parseExpression(sql)
+        .collect {
+          case u: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute => u.nameParts.last
+        }.distinct.filterNot(n =>
+          incoming.columns.exists(_.equalsIgnoreCase(n)))
+      if (unknown.nonEmpty)
+        throw new ConstraintViolationException(
+          s"$opName: CHECK constraint '$cname' ($sql) references " +
+          s"column(s) ${unknown.mkString(", ")} absent from the " +
+          s"incoming rows (has: ${incoming.columns.mkString(", ")}) — " +
+          "transaction rejected, no version written")
+      val bad = incoming.filter(!coalesce(expr(sql), lit(true))).count()
+      if (bad > 0L)
+        throw new ConstraintViolationException(
+          s"$opName: $bad row(s) of the incoming commit violate " +
+          s"CHECK constraint '$cname' ($sql) — transaction rejected, " +
+          "no version written")
+    }
+  }
+
   private def applyDelta(spark: org.apache.spark.sql.SparkSession,
                          baseDir: String, delta: DataFrame, key: String,
                          orderCols: Seq[String], nBuckets: Int,
@@ -779,26 +811,7 @@ object Loader {
       // Column references are validated up front so a constraint
       // naming a column absent from the delta surfaces as the typed
       // exception, not an untyped AnalysisException at count() time.
-      maintain.flatMap(_.check).foreach { case (cname, sql) =>
-        val unknown = spark.sessionState.sqlParser.parseExpression(sql)
-          .collect {
-            case u: org.apache.spark.sql.catalyst.analysis
-                      .UnresolvedAttribute => u.nameParts.last
-          }.distinct.filterNot(n =>
-            delta.columns.exists(_.equalsIgnoreCase(n)))
-        if (unknown.nonEmpty)
-          throw new ConstraintViolationException(
-            s"applyDelta: CHECK constraint '$cname' ($sql) references " +
-            s"column(s) ${unknown.mkString(", ")} absent from the " +
-            s"incoming delta (has: ${delta.columns.mkString(", ")}) — " +
-            "transaction rejected, no version written")
-        val bad = delta.filter(!coalesce(expr(sql), lit(true))).count()
-        if (bad > 0L)
-          throw new ConstraintViolationException(
-            s"applyDelta: $bad row(s) of the incoming commit violate " +
-            s"CHECK constraint '$cname' ($sql) — transaction rejected, " +
-            "no version written")
-      }
+      checkGate(spark, delta, maintain, "applyDelta")
       // the buckets this delta touches: bounded by nBuckets
       val touched = latest.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted
@@ -829,90 +842,113 @@ object Loader {
           applyDv(spark.read.option("mergeSchema", "true")
             .parquet(priorDirs: _*), priorDv),
           batchData, key)
-      // every attempt stages PRIVATELY (uuid dir): racing writers can
-      // never scribble on each other's files, and a crashed attempt is
-      // an orphan the slot never saw. With clusterBy, rows sort
-      // (bucket, cluster) so the writer's required partition ordering
-      // is already satisfied (no re-sort) and each rolled file covers
-      // a contiguous cluster range — tight zones within the bucket.
-      val attempt = newAttemptDir(fs, baseDir)
-      val bucketed = merged
-        .withColumn(BucketCol, bucketOf(key, nBuckets))
-        .repartition(col(BucketCol))
-      val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
-        c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
-      val w0 = clustered.write.mode(SaveMode.Overwrite)
-      val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
-        m => w0.option("maxRecordsPerFile", m.toString))
-      w1.partitionBy(BucketCol).parquet(attempt)
-      // metadata INSIDE the attempt (published atomically with the
-      // data and the manifest): one pass over ONLY the files this
-      // delta wrote — history is never rescanned
-      maintain.foreach(mt =>
-        writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
-      // the recorded snapshot schema must be MONOTONE across
-      // partial-bucket commits: `merged` unions the delta with only the
-      // TOUCHED buckets' files, so a column evolved earlier into
-      // buckets this batch does not touch would vanish from the record
-      // — and readSnapshot's schema-specified read would then silently
-      // drop it for EVERY row, including rows whose files carry it.
-      // Union with the prior manifest's schema; prior-only fields
-      // append nullable, since the touched buckets' files null-fill
-      // them. Same-name fields must be monotone in TYPE too, not just
-      // in column set: after a partial-bucket int→long widening the
-      // manifest records long, and a later commit that touches only
-      // int-era buckets with an int delta produces merged=int — if the
-      // record followed merged, readSnapshot would read the UNTOUCHED
-      // buckets' long files with an int-specified schema (fail or
-      // corrupt). So same-name fields take the WIDER of merged vs
-      // prior along Upsert.widened's lossless lattice. A pre-schema
-      // legacy manifest falls back to one mergeSchema footer pass over
-      // the prior snapshot.
-      val mergedSchema = org.apache.spark.sql.types.StructType(
-        merged.schema.filterNot(_.name == BucketCol))
-      val priorSchema = priorManifest.flatMap { pm =>
-        pm.schema.orElse {
-          val pdirs = pm.buckets.toSeq.sorted.map {
-            case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
-          }
-          if (pdirs.isEmpty) None
-          else Some(org.apache.spark.sql.types.StructType(
-            spark.read.option("mergeSchema", "true").parquet(pdirs: _*)
-              .schema.filterNot(_.name == BucketCol)))
-        }
-      }
-      val recordedSchema = priorSchema.fold(mergedSchema) { ps =>
-        val priorByName = ps.map(f => f.name -> f).toMap
-        val have = mergedSchema.map(_.name).toSet
-        val monotone = mergedSchema.map { f =>
-          priorByName.get(f.name).fold(f) { pf =>
-            val wide = graft.operators.Upsert
-              .widened(f.dataType, pf.dataType).getOrElse(f.dataType)
-            f.copy(dataType = wide,
-                   nullable = f.nullable || pf.nullable)
-          }
-        }
-        org.apache.spark.sql.types.StructType(monotone ++
-          ps.filterNot(f => have.contains(f.name))
-            .map(_.copy(nullable = true)))
-      }
-      // carry forward the untouched buckets' deletion vectors (touched
-      // buckets' tombstones are physically applied by the rewrite)
-      dvMinusBuckets(priorDv, touched.toSet).foreach(dv =>
-        dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
-      // manifest into the attempt (touched buckets live at this slot,
-      // untouched buckets keep pointing at their current version),
-      // then the PUBLISH: one atomic no-overwrite rename onto the slot
-      // — the commit marker and the concurrency check in one step
-      writeManifest(fs, attempt,
-        Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, txn,
-          Some(recordedSchema)))
-      val next = commitAttempt(spark, fs, baseDir, attempt, seq)
-      // refresh the driver-side registries from the new manifest so
-      // the NEXT plain read plans from fresh metadata
-      maintain.foreach(mt => registerSnapshot(spark, next, mt))
-      next
+      stageAndPublish(spark, fs, baseDir, merged, touched.toIndexedSeq,
+        priorMap, priorManifest, priorDv, nBuckets, key, maintain, txn,
+        seq)
     } finally { latest.unpersist(); () }
+  }
+
+  /** Shared commit tail of every bucket-REWRITING transaction (upsert
+    * merge, MERGE INTO): stage `merged` — the complete replacement
+    * content of `touched` buckets, withOUT the bucket column — under a
+    * private attempt dir, write the maintenance metadata, record the
+    * MONOTONE snapshot schema, carry forward the untouched buckets'
+    * deletion vectors, write the manifest, and publish with the atomic
+    * OCC rename. Returns the committed version dir.
+    */
+  private def stageAndPublish(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              baseDir: String, merged: DataFrame,
+                              touched: Seq[Int],
+                              priorMap: Map[Int, Long],
+                              priorManifest: Option[Manifest],
+                              priorDv: Option[DataFrame],
+                              nBuckets: Int, key: String,
+                              maintain: Option[Maintain], txn: Long,
+                              seq: Long): String = {
+    import org.apache.spark.sql.functions._
+    // every attempt stages PRIVATELY (uuid dir): racing writers can
+    // never scribble on each other's files, and a crashed attempt is
+    // an orphan the slot never saw. With clusterBy, rows sort
+    // (bucket, cluster) so the writer's required partition ordering
+    // is already satisfied (no re-sort) and each rolled file covers
+    // a contiguous cluster range — tight zones within the bucket.
+    val attempt = newAttemptDir(fs, baseDir)
+    val bucketed = merged
+      .withColumn(BucketCol, bucketOf(key, nBuckets))
+      .repartition(col(BucketCol))
+    val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
+      c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
+    val w0 = clustered.write.mode(SaveMode.Overwrite)
+    val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
+      m => w0.option("maxRecordsPerFile", m.toString))
+    w1.partitionBy(BucketCol).parquet(attempt)
+    // metadata INSIDE the attempt (published atomically with the
+    // data and the manifest): one pass over ONLY the files this
+    // commit wrote — history is never rescanned
+    maintain.foreach(mt =>
+      writeMaintenance(spark, mt, attempt, s"$baseDir/v$seq"))
+    // the recorded snapshot schema must be MONOTONE across
+    // partial-bucket commits: `merged` covers only the TOUCHED
+    // buckets, so a column evolved earlier into buckets this commit
+    // does not touch would vanish from the record — and readSnapshot's
+    // schema-specified read would then silently drop it for EVERY row,
+    // including rows whose files carry it. Union with the prior
+    // manifest's schema; prior-only fields append nullable, since the
+    // touched buckets' files null-fill them. Same-name fields must be
+    // monotone in TYPE too, not just in column set: after a
+    // partial-bucket int→long widening the manifest records long, and
+    // a later commit that touches only int-era buckets with an int
+    // delta produces merged=int — if the record followed merged,
+    // readSnapshot would read the UNTOUCHED buckets' long files with
+    // an int-specified schema (fail or corrupt). So same-name fields
+    // take the WIDER of merged vs prior along Upsert.widened's
+    // lossless lattice. A pre-schema legacy manifest falls back to one
+    // mergeSchema footer pass over the prior snapshot.
+    val mergedSchema = org.apache.spark.sql.types.StructType(
+      merged.schema.filterNot(_.name == BucketCol))
+    val priorSchema = priorManifest.flatMap { pm =>
+      pm.schema.orElse {
+        val pdirs = pm.buckets.toSeq.sorted.map {
+          case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
+        }
+        if (pdirs.isEmpty) None
+        else Some(org.apache.spark.sql.types.StructType(
+          spark.read.option("mergeSchema", "true").parquet(pdirs: _*)
+            .schema.filterNot(_.name == BucketCol)))
+      }
+    }
+    val recordedSchema = priorSchema.fold(mergedSchema) { ps =>
+      val priorByName = ps.map(f => f.name -> f).toMap
+      val have = mergedSchema.map(_.name).toSet
+      val monotone = mergedSchema.map { f =>
+        priorByName.get(f.name).fold(f) { pf =>
+          val wide = graft.operators.Upsert
+            .widened(f.dataType, pf.dataType).getOrElse(f.dataType)
+          f.copy(dataType = wide,
+                 nullable = f.nullable || pf.nullable)
+        }
+      }
+      org.apache.spark.sql.types.StructType(monotone ++
+        ps.filterNot(f => have.contains(f.name))
+          .map(_.copy(nullable = true)))
+    }
+    // carry forward the untouched buckets' deletion vectors (touched
+    // buckets' tombstones are physically applied by the rewrite)
+    dvMinusBuckets(priorDv, touched.toSet).foreach(dv =>
+      dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
+    // manifest into the attempt (touched buckets live at this slot,
+    // untouched buckets keep pointing at their current version),
+    // then the PUBLISH: one atomic no-overwrite rename onto the slot
+    // — the commit marker and the concurrency check in one step
+    writeManifest(fs, attempt,
+      Manifest(priorMap ++ touched.map(_ -> seq), nBuckets, txn,
+        Some(recordedSchema)))
+    val next = commitAttempt(spark, fs, baseDir, attempt, seq)
+    // refresh the driver-side registries from the new manifest so
+    // the NEXT plain read plans from fresh metadata
+    maintain.foreach(mt => registerSnapshot(spark, next, mt))
+    next
   }
 
   /** BATCH writer for a [[streamUpsertSink]] layout — stream and batch
@@ -942,6 +978,111 @@ object Loader {
       s"upsertBatch: layout $baseDir carries no bucket count")
     applyDelta(spark, baseDir, delta, key, orderCols, man.nBuckets,
       maintain, txn = -1L)
+  }
+
+  /** SQL MERGE INTO for the snapshot sink — the general conditional
+    * write verb every table format provides, of which upsert is the
+    * unconditional special case:
+    *
+    * {{{
+    *   MERGE INTO snapshot t USING source s ON t.<key> = s.<key>
+    *   WHEN MATCHED AND <deleteWhen>     THEN DELETE
+    *   WHEN MATCHED AND <updateWhen>     THEN UPDATE SET *  -- source row
+    *   WHEN NOT MATCHED AND <insertWhen> THEN INSERT *      -- source row
+    * }}}
+    *
+    * Clause semantics follow the SQL standard: for a matched pair
+    * DELETE evaluates first, then UPDATE, else the target row stands;
+    * an unmatched target row always survives; an unmatched source row
+    * inserts when `insertWhen` holds. A NULL condition value means the
+    * clause is NOT taken (SQL three-valued logic). Conditions are
+    * Columns over the joined view, where target columns appear as
+    * `t_<name>` and source columns as `s_<name>` — both sides carry
+    * the key. Defaults make the call an upsert: no delete clause,
+    * update/insert unconditional.
+    *
+    * Contracts: the source must be KEY-UNIQUE (two source matches for
+    * one target row are ambiguous — the standard's cardinality
+    * violation — and refuse loudly); source columns must equal the
+    * snapshot's data columns (MERGE is not the schema-evolution path —
+    * that is [[upsertBatch]]); `maintain.check` validates the raw
+    * source like every incoming commit. Copy-on-write on exactly the
+    * buckets holding a source key; deletion vectors are applied on
+    * read and purged/carried by [[stageAndPublish]]; OCC like every
+    * commit; `txn` -1 (maintenance — never collides with stream
+    * replay). Single-writer contract: run with the stream stopped.
+    * Returns the committed version dir.
+    */
+  def mergeInto(spark: org.apache.spark.sql.SparkSession,
+                baseDir: String, source: DataFrame, key: String,
+                deleteWhen: Option[org.apache.spark.sql.Column] = None,
+                updateWhen: Option[org.apache.spark.sql.Column] = None,
+                insertWhen: Option[org.apache.spark.sql.Column] = None,
+                maintain: Option[Maintain] = None): String = {
+    import org.apache.spark.sql.functions._
+    require(!source.isStreaming, "mergeInto: streaming source")
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(sys.error(
+      "mergeInto: no committed layout under " + baseDir +
+      " — seed the table with streamUpsertSink first"))
+    val cur = s"$baseDir/v$latest"
+    val man = readManifest(fs, cur)
+    val snapSchema = man.schema.getOrElse {
+      val pdirs = man.buckets.toSeq.sorted.map {
+        case (b, v) => s"$baseDir/v$v/$BucketCol=$b"
+      }
+      org.apache.spark.sql.types.StructType(
+        spark.read.option("mergeSchema", "true").parquet(pdirs: _*)
+          .schema.filterNot(_.name == BucketCol))
+    }
+    require(source.columns.toSet == snapSchema.fieldNames.toSet,
+      s"mergeInto: source columns (${source.columns.sorted.mkString(",")}) " +
+      s"must equal the snapshot's (${snapSchema.fieldNames.sorted
+        .mkString(",")}) — MERGE is not the schema-evolution path")
+    checkGate(spark, source, maintain, "mergeInto")
+    val src = source.persist()
+    try {
+      val dup = src.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        s"mergeInto: the source has multiple rows for one $key — " +
+        "ambiguous MATCHED actions (the standard's cardinality " +
+        "violation); de-duplicate the source first")
+      val touched = src
+        .select(bucketOf(key, man.nBuckets).as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+      val priorDirs = touched.flatMap(b =>
+        man.buckets.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
+      val priorDv = readDv(spark, fs, cur)
+      val dataCols = snapSchema.fieldNames.toIndexedSeq
+      val target =
+        if (priorDirs.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), snapSchema)
+        else applyDv(spark.read.schema(snapSchema)
+          .parquet(priorDirs: _*), priorDv)
+      val t = target.select(dataCols.map(c => col(c).as(s"t_$c")): _*)
+      val sp = src.select(dataCols.map(c => col(c).as(s"s_$c")): _*)
+      val j = t.join(sp, col(s"t_$key") === col(s"s_$key"), "full_outer")
+      val matched = col(s"t_$key").isNotNull && col(s"s_$key").isNotNull
+      // NULL condition = clause not taken (SQL three-valued logic)
+      def taken(c: Option[org.apache.spark.sql.Column],
+                default: Boolean) =
+        coalesce(c.getOrElse(lit(default)), lit(false))
+      val doDelete = matched && taken(deleteWhen, default = false)
+      val doUpdate = matched && !doDelete && taken(updateWhen, true)
+      val doInsert = col(s"t_$key").isNull && taken(insertWhen, true)
+      val takeSource = doUpdate || doInsert
+      val keepTarget = (matched && !doDelete && !doUpdate) ||
+        col(s"s_$key").isNull // unmatched target rows always survive
+      val merged = j.filter(takeSource || keepTarget)
+        .select(dataCols.map(c =>
+          when(takeSource, col(s"s_$c")).otherwise(col(s"t_$c"))
+            .as(c)): _*)
+      stageAndPublish(spark, fs, baseDir, merged, touched,
+        man.buckets, Some(man), priorDv, man.nBuckets, key, maintain,
+        txn = -1L, seq = latest + 1)
+    } finally { src.unpersist(); () }
   }
 
   /** Compaction (OPTIMIZE) for [[streamUpsertSink]] snapshots — the
