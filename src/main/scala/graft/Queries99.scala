@@ -93,6 +93,75 @@ object Queries99 {
         .orderBy(col("grp"))
     }),
 
+    // q248 — metadata-only DROP COLUMN: a score column evolves IN via
+    // one upsert era, drops OUT via a manifest-schema-only commit (not
+    // one data file rewritten — pinned), stays dropped through the
+    // next upsert (the mergeSchema-resurrection regression the
+    // recorded-schema prior read prevents), while the pre-drop era
+    // still shows it under time travel. The column never influences
+    // cents, so the oracle replays the final state as if it never
+    // existed — which is exactly the drop contract.
+    "q248_sink_drop_column" -> ((s, d) => {
+      val (base, v0) = Queries98.seedSnapshotSink(
+        s, d, "q248_sink", 4, _ => None)
+      val snap0 = sources.Loader.readSnapshot(s, v0)
+      sources.Loader.upsertBatch(s, base,
+        snap0.filter(col("user_id") % 3 === 0)
+          .select(col("user_id"), col("cents"),
+                  (col("cents") % 97L).as("score")),
+        key = "user_id", orderCols = Seq("user_id"))
+      def latestDir = s"$base/v${sources.Loader
+        .snapshotVersions(s, base).map(_._1).max}"
+      val vScore = latestDir
+      val filesBefore = sources.Loader.readSnapshot(s, vScore)
+        .inputFiles.toSet
+      sources.Loader.dropColumn(s, base, "score", key = "user_id")
+      val droppedView = sources.Loader.readSnapshot(s, latestDir)
+      require(droppedView.inputFiles.toSet == filesBefore,
+        "q248: the metadata-only drop rewrote data files")
+      sources.Loader.upsertBatch(s, base,
+        droppedView.filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), (col("cents") + 7L).as("cents")),
+        key = "user_id", orderCols = Seq("user_id"))
+      val after = sources.Loader.readSnapshot(s, latestDir)
+      val scoreNow = if (after.columns.contains("score")) 1L else 0L
+      val scoreEra2 = if (sources.Loader.readSnapshot(s, vScore)
+        .columns.contains("score")) 1L else 0L
+      after
+        .groupBy((col("user_id") % 4).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .withColumn("score_now", lit(scoreNow))
+        .withColumn("score_era2", lit(scoreEra2))
+        .orderBy(col("grp"))
+    }),
+
+    // q249 — bucket-count evolution: the 4-bucket layout migrates to 7
+    // FNV buckets in one OCC commit (the honest full-shuffle rewrite —
+    // no metadata trick re-homes keys across a different modulus), a
+    // batch write lands against the NEW modulus, and the oracle
+    // replays the new version's bucket-dir count from the FNV bucket
+    // assignment itself.
+    "q249_sink_rebucket" -> ((s, d) => {
+      val (base, v0) = Queries98.seedSnapshotSink(
+        s, d, "q249_sink", 4, _ => None)
+      val vNew = sources.Loader.rebucket(s, base, newBuckets = 7,
+        key = "user_id")
+      val nDirs = new java.io.File(vNew).listFiles()
+        .count(_.getName.startsWith("graft_bucket=")).toLong
+      sources.Loader.upsertBatch(s, base,
+        sources.Loader.readSnapshot(s, vNew)
+          .filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), (col("cents") + 7L).as("cents")),
+        key = "user_id", orderCols = Seq("user_id"))
+      val latest = s"$base/v${sources.Loader
+        .snapshotVersions(s, base).map(_._1).max}"
+      sources.Loader.readSnapshot(s, latest)
+        .groupBy((col("user_id") % 4).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .withColumn("n_bucket_dirs", lit(nDirs))
+        .orderBy(col("grp"))
+    }),
+
     // t25's compression signal cannot be value-oracled (deflate output
     // bytes are zlib-implementation-defined — DuckDB cannot replay
     // them), but its INVARIANTS can (VERDICT r12 task 8): this
@@ -183,6 +252,54 @@ object Queries99 {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(cents) AS BIGINT) AS cents_sum
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the drop contract IS "as if the column never existed" for the
+    // live view: final cents = seeded state + the %5 bump, the column
+    // flags pinned (live 0, pre-drop era 1)
+    "q248_sink_drop_column" ->
+      """WITH snap AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |fin AS MATERIALIZED (
+        |  SELECT user_id, cents
+        |    + (CASE WHEN user_id % 5 = 0 THEN 7 ELSE 0 END) AS cents
+        |  FROM snap)
+        |SELECT CAST(user_id % 4 AS BIGINT) AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(0 AS BIGINT) AS score_now,
+        |  CAST(1 AS BIGINT) AS score_era2
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // n_bucket_dirs replayed from the FNV bucket assignment at the new
+    // modulus (the q245 device): the layout cannot fake its re-shard
+    "q249_sink_rebucket" -> {
+      val fnv = ExtensionQueries.FnvSql("CAST(user_id AS VARCHAR)")
+      s"""WITH snap AS MATERIALIZED (
+         |  SELECT user_id,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events
+         |  QUALIFY row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) = 1),
+         |bk AS MATERIALIZED (
+         |  SELECT ((((CASE WHEN fu >= 9223372036854775808::HUGEINT
+         |       THEN fu - 18446744073709551616::HUGEINT
+         |       ELSE fu END) % 7) + 7) % 7) AS b
+         |  FROM (SELECT user_id, $fnv AS fu FROM snap)),
+         |fin AS MATERIALIZED (
+         |  SELECT user_id, cents
+         |    + (CASE WHEN user_id % 5 = 0 THEN 7 ELSE 0 END) AS cents
+         |  FROM snap)
+         |SELECT CAST(user_id % 4 AS BIGINT) AS grp,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+         |  (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM bk)
+         |    AS n_bucket_dirs
+         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "t69_compression_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

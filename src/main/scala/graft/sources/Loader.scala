@@ -836,12 +836,23 @@ object Loader {
       // touched buckets' tombstones (their files are replaced)
       val priorDv = committed.lastOption.flatMap(v =>
         readDv(spark, fs, s"$baseDir/v$v"))
+      // prior files read under the manifest's RECORDED schema when one
+      // exists: (a) no per-commit footer pass, (b) columns dropped by
+      // dropColumn stay dropped (a mergeSchema read would resurrect
+      // them from old files on the very next upsert), (c) narrow-era
+      // files upcast to the recorded widened type. Legacy pre-schema
+      // manifests keep the mergeSchema fallback.
       val merged =
         if (priorDirs.isEmpty) batchData
-        else graft.operators.Upsert.upsertEvolve(
-          applyDv(spark.read.option("mergeSchema", "true")
-            .parquet(priorDirs: _*), priorDv),
-          batchData, key)
+        else {
+          val priorRead = priorManifest.flatMap(_.schema) match {
+            case Some(sc) => spark.read.schema(sc).parquet(priorDirs: _*)
+            case None => spark.read.option("mergeSchema", "true")
+              .parquet(priorDirs: _*)
+          }
+          graft.operators.Upsert.upsertEvolve(
+            applyDv(priorRead, priorDv), batchData, key)
+        }
       stageAndPublish(spark, fs, baseDir, merged, touched.toIndexedSeq,
         priorMap, priorManifest, priorDv, nBuckets, key, maintain, txn,
         seq)
@@ -1085,6 +1096,85 @@ object Loader {
     } finally { src.unpersist(); () }
   }
 
+  /** Metadata-only ALTER TABLE DROP COLUMN for the snapshot sink —
+    * the Delta column-mapping shape: the commit rewrites NO data file,
+    * it records a manifest schema without `column`, and every reader
+    * projects the column away (readSnapshot's schema-specified read
+    * never touches its pages — columnar formats make an unread column
+    * free). The bytes linger in old files until their bucket next
+    * rewrites: upsert's prior read and compaction both read under the
+    * recorded schema, so the next churn of a bucket purges the column
+    * physically. Time travel keeps era semantics — pre-drop versions
+    * still show it. `key` is the layout's upsert key and cannot be
+    * dropped. Maintenance commit (txn -1), OCC-protected, single
+    * writer. Returns the committed version dir.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession,
+                 baseDir: String, column: String, key: String): String = {
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(sys.error(
+      s"dropColumn: no committed layout under $baseDir"))
+    val cur = s"$baseDir/v$latest"
+    val man = readManifest(fs, cur)
+    val sc = man.schema.getOrElse(sys.error(
+      "dropColumn: legacy pre-schema manifest — commit once through " +
+      "upsertBatch to record a schema first"))
+    require(column != key,
+      s"dropColumn: $column is the layout's upsert key")
+    require(sc.fieldNames.contains(column),
+      s"dropColumn: no column '$column' in " +
+      s"(${sc.fieldNames.mkString(", ")})")
+    val attempt = newAttemptDir(fs, baseDir)
+    // the full applicable DV set carries forward untouched — no file
+    // was rewritten, so no tombstone was applied
+    readDv(spark, fs, cur).foreach(dv =>
+      dv.write.mode(SaveMode.Overwrite).parquet(s"$attempt/$DvDirName"))
+    writeManifest(fs, attempt,
+      Manifest(man.buckets, man.nBuckets, -1L,
+        Some(org.apache.spark.sql.types.StructType(
+          sc.filterNot(_.name == column)))))
+    commitAttempt(spark, fs, baseDir, attempt, latest + 1)
+  }
+
+  /** Bucket-count evolution (ALTER TABLE CLUSTER BY — the re-shard
+    * migration): rewrite the WHOLE live snapshot into `newBuckets`
+    * FNV buckets under one OCC commit. The honest cost is a full-table
+    * shuffle — there is no metadata trick that re-homes keys across a
+    * different modulus — so this is the deliberate, explicit verb for
+    * "the table outgrew its layout", not a maintenance routine.
+    * Deletion vectors are applied during the rewrite (nothing carries
+    * forward — every file is new); the recorded schema is unchanged;
+    * time travel across the migration keeps each era's own layout
+    * (manifests pin nBuckets per version). Streams writing the old
+    * layout must be restarted with the new bucket count — the
+    * persisted-layout require refuses a mismatch loudly, by design.
+    * Returns the committed version dir.
+    */
+  def rebucket(spark: org.apache.spark.sql.SparkSession,
+               baseDir: String, newBuckets: Int, key: String,
+               maintain: Option[Maintain] = None): String = {
+    import org.apache.spark.sql.functions.col
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir)
+    val latest = committed.lastOption.getOrElse(sys.error(
+      s"rebucket: no committed layout under $baseDir"))
+    val cur = s"$baseDir/v$latest"
+    val man = readManifest(fs, cur)
+    require(newBuckets >= 1, s"rebucket: $newBuckets < 1")
+    require(newBuckets != man.nBuckets,
+      s"rebucket: layout already has $newBuckets buckets")
+    // the live snapshot (DV-applied), full rewrite
+    val merged = readSnapshot(spark, cur)
+    val touched = merged
+      .select(bucketOf(key, newBuckets).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+    stageAndPublish(spark, fs, baseDir, merged, touched,
+      priorMap = Map.empty, priorManifest = Some(man), priorDv = None,
+      nBuckets = newBuckets, key = key, maintain = maintain,
+      txn = -1L, seq = latest + 1)
+  }
+
   /** Compaction (OPTIMIZE) for [[streamUpsertSink]] snapshots — the
     * other half of every table format's maintenance pair (vacuum
     * removes dead VERSIONS; this bin-packs accumulated small FILES).
@@ -1137,9 +1227,15 @@ object Loader {
     // private staging + atomic publish rename: see [[commitAttempt]]
     val attempt = newAttemptDir(fs, baseDir)
     for ((b, v) <- fragmented) {
-      val one = applyDv(
-          spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b"), priorDv)
-        .coalesce(1)
+      // recorded-schema read: columns dropped by dropColumn are
+      // PHYSICALLY purged here (compaction is where merge-on-read debt
+      // of every kind — tombstones, dead columns — gets applied)
+      val raw = man.schema match {
+        case Some(sc) =>
+          spark.read.schema(sc).parquet(s"$baseDir/v$v/$BucketCol=$b")
+        case None => spark.read.parquet(s"$baseDir/v$v/$BucketCol=$b")
+      }
+      val one = applyDv(raw, priorDv).coalesce(1)
       val sorted = maintain.flatMap(_.clusterBy).fold(one)(
         c => one.sortWithinPartitions(col(c)))
       val w0 = sorted.write.mode(SaveMode.Overwrite)
