@@ -162,6 +162,37 @@ object Queries99 {
         .orderBy(col("grp"))
     }),
 
+    // q250 — CHANGE DATA FEED: three commits (conditional upsert with
+    // an insert; a deletion-vector delete; a copy-on-write delete) and
+    // then `tableChanges(0, 3)` replays them as typed events — one
+    // row per insert/delete, update rows as pre+post image pairs, each
+    // stamped with its commit version. The oracle reconstructs every
+    // step's state from first principles and re-derives the event
+    // multiset, so the feed is proven equal to "what actually changed"
+    // rather than merely plausible. Derivation is read-side O(churn):
+    // only the buckets whose manifest pointer moved at a step (plus
+    // the step's new tombstones) are read.
+    "q250_sink_changes" -> ((s, d) => {
+      val ss = s
+      import ss.implicits._
+      val (base, v0) = Queries98.seedSnapshotSink(
+        s, d, "q250_sink", 4, _ => None)
+      val snap0 = sources.Loader.readSnapshot(s, v0)
+      sources.Loader.upsertBatch(s, base,
+        snap0.filter(col("user_id") % 5 === 0)
+          .select(col("user_id"), (col("cents") + 7L).as("cents"))
+          .unionByName(Seq((-1L, 4200L)).toDF("user_id", "cents")),
+        key = "user_id", orderCols = Seq("user_id"))
+      sources.Loader.deleteWhereVectors(s, base, col("cents") % 7 === 0)
+        .getOrElse(sys.error("q250: the tombstone matched nothing"))
+      sources.Loader.deleteWhere(s, base, col("user_id") % 9 === 0)
+        .getOrElse(sys.error("q250: the CoW delete matched nothing"))
+      sources.Loader.tableChanges(s, base, "user_id", 0L, 3L)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy(col("_commit_version"), col("_change_type"))
+    }),
+
     // t25's compression signal cannot be value-oracled (deflate output
     // bytes are zlib-implementation-defined — DuckDB cannot replay
     // them), but its INVARIANTS can (VERDICT r12 task 8): this
@@ -300,6 +331,49 @@ object Queries99 {
          |    AS n_bucket_dirs
          |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // each step's state reconstructed from first principles; the event
+    // multiset re-derived from consecutive states (updates always fire
+    // — +7 never leaves cents unchanged; the inserted -1/4200 row can
+    // itself be tombstoned at step 2: 4200 % 7 = 0 — replayed the same
+    // way on both sides)
+    "q250_sink_changes" ->
+      """WITH snap AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |upd AS MATERIALIZED (
+        |  SELECT user_id, cents FROM snap WHERE user_id % 5 = 0),
+        |st1 AS MATERIALIZED (
+        |  SELECT user_id, cents
+        |    + (CASE WHEN user_id % 5 = 0 THEN 7 ELSE 0 END) AS cents
+        |  FROM snap
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(4200 AS BIGINT)),
+        |del2 AS MATERIALIZED (
+        |  SELECT user_id, cents FROM st1 WHERE cents % 7 = 0),
+        |st2 AS MATERIALIZED (
+        |  SELECT user_id, cents FROM st1 WHERE cents % 7 <> 0),
+        |del3 AS MATERIALIZED (
+        |  SELECT user_id, cents FROM st2 WHERE user_id % 9 = 0)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS _commit_version,
+        |    'insert' AS _change_type, CAST(1 AS BIGINT) AS n,
+        |    CAST(4200 AS BIGINT) AS cents_sum
+        |  UNION ALL SELECT 1, 'update_preimage',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM upd),
+        |    (SELECT CAST(SUM(cents) AS BIGINT) FROM upd)
+        |  UNION ALL SELECT 1, 'update_postimage',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM upd),
+        |    (SELECT CAST(SUM(cents + 7) AS BIGINT) FROM upd)
+        |  UNION ALL SELECT 2, 'delete',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM del2),
+        |    (SELECT CAST(SUM(cents) AS BIGINT) FROM del2)
+        |  UNION ALL SELECT 3, 'delete',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM del3),
+        |    (SELECT CAST(SUM(cents) AS BIGINT) FROM del3))
+        |ORDER BY _commit_version, _change_type""".stripMargin,
 
     "t69_compression_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1096,6 +1096,174 @@ object Loader {
     } finally { src.unpersist(); () }
   }
 
+  /** CHANGE DATA FEED — typed per-commit row changes between two
+    * committed versions (the `table_changes(from, to)` surface every
+    * table format exposes for incremental downstream consumers):
+    * one row per change, data columns plus
+    * `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} and `_commit_version`.
+    *
+    * READ-SIDE derivation, O(churn) not O(table): each step diffs
+    * ONLY the buckets whose manifest pointer changed at that commit
+    * (copy-on-write means everything else is bit-identical), plus the
+    * step's NEW deletion-vector tombstones (a DV commit changes no
+    * bucket pointer — its deletes are read back from exactly the
+    * tombstoned files' buckets). Rows of a rewritten bucket that did
+    * not change produce no events (prev/cur null-safe struct
+    * comparison). Layout migrations ([[rebucket]]: nBuckets changes)
+    * rewrite every file while changing no visible row — those steps
+    * are skipped outright instead of paying a full-table self-diff.
+    * Schema evolution across the range is handled per era (each side
+    * reads under its own manifest schema; events union by name,
+    * missing columns null). A write-time CDF file would avoid the
+    * changed-bucket re-read on heavy-churn tables — this read-side
+    * derivation is the zero-write-amplification trade, correct for
+    * any history the vacuum window still holds (reclaimed versions
+    * throw [[VacuumedVersionException]] via the historical reads).
+    *
+    * `key` is the layout's upsert key (manifests do not record it).
+    * Bounded driver work per step: two manifest reads + the changed
+    * bucket set; all data work is distributed.
+    */
+  def tableChanges(spark: org.apache.spark.sql.SparkSession,
+                   baseDir: String, key: String,
+                   fromSeq: Long, toSeq: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromSeq < toSeq,
+      s"tableChanges: fromSeq $fromSeq must precede toSeq $toSeq")
+    val fs = fsFor(baseDir, spark)
+    val committed = committedVersions(fs, baseDir).toSet
+    ((fromSeq to toSeq) filterNot committed).headOption.foreach(v =>
+      throw new VacuumedVersionException(
+        s"tableChanges: version v$v of $baseDir is not committed or " +
+        "was reclaimed by vacuumSnapshots — the change window is gone"))
+    def readVersionBuckets(man: Manifest, buckets: Seq[Int],
+                           dv: Option[DataFrame]): DataFrame = {
+      val dirs = buckets.sorted.flatMap(b =>
+        man.buckets.get(b).map(v => s"$baseDir/v$v/$BucketCol=$b"))
+      val live = dirs.filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (live.size != dirs.size)
+        throw new VacuumedVersionException(
+          s"tableChanges: ${dirs.size - live.size} bucket dir(s) of " +
+          s"$baseDir were reclaimed by vacuumSnapshots mid-window")
+      if (live.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          man.schema.getOrElse(sys.error(
+            "tableChanges: legacy pre-schema manifest")))
+      else applyDv(man.schema match {
+        case Some(sc) => spark.read.schema(sc).parquet(live: _*)
+        case None => spark.read.option("mergeSchema", "true")
+          .parquet(live: _*)
+      }, dv)
+    }
+    val steps = (fromSeq + 1 to toSeq).map { seq =>
+      val manPrev = readManifest(fs, s"$baseDir/v${seq - 1}")
+      val manCur = readManifest(fs, s"$baseDir/v$seq")
+      val dvPrev = readDv(spark, fs, s"$baseDir/v${seq - 1}")
+      val dvCur = readDv(spark, fs, s"$baseDir/v$seq")
+      if (manCur.nBuckets != manPrev.nBuckets) {
+        // layout migration: every file rewritten, no visible row change
+        None
+      } else {
+        val changed = (manCur.buckets.filter(_._2 == seq).keySet ++
+          (manPrev.buckets.keySet -- manCur.buckets.keySet)).toSeq.sorted
+        val cols = manCur.schema.orElse(manPrev.schema).getOrElse(
+          sys.error("tableChanges: legacy pre-schema manifest"))
+          .fieldNames.toIndexedSeq
+        val bucketDiff =
+          if (changed.isEmpty) None
+          else {
+            val prev = readVersionBuckets(manPrev, changed, dvPrev)
+            val cur = readVersionBuckets(manCur, changed, dvCur)
+            val pCols = prev.columns.toIndexedSeq
+            val cCols = cur.columns.toIndexedSeq
+            val all = (pCols ++ cCols).distinct
+            def side(df: DataFrame, have: Seq[String], p: String) =
+              df.select(all.map(c =>
+                (if (have.contains(c)) col(c)
+                 else lit(null)).as(s"$p$c")): _*)
+            val j = side(prev, pCols, "p_")
+              .join(side(cur, cCols, "c_"),
+                col(s"p_$key") === col(s"c_$key"), "full_outer")
+            val pStruct = struct(all.map(c => col(s"p_$c")): _*)
+            val cStruct = struct(all.map(c => col(s"c_$c")): _*)
+            val isIns = col(s"p_$key").isNull
+            val isDel = col(s"c_$key").isNull
+            val isUpd = !isIns && !isDel && !(pStruct <=> cStruct)
+            val evts = j
+              .withColumn("__types",
+                when(isIns, array(lit("insert")))
+                .when(isDel, array(lit("delete")))
+                .when(isUpd, array(lit("update_preimage"),
+                                   lit("update_postimage")))
+                .otherwise(array()))
+              .withColumn("_change_type", explode(col("__types")))
+            Some(evts.select(all.map(c =>
+              when(col("_change_type").isin("delete", "update_preimage"),
+                col(s"p_$c")).otherwise(col(s"c_$c")).as(c)) :+
+              col("_change_type"): _*))
+          }
+        // NEW tombstones this step: deletes read back from exactly the
+        // tombstoned files (their buckets are unchanged by definition —
+        // a rewritten bucket's tombstones were purged, not added)
+        val newDv = (dvPrev, dvCur) match {
+          case (_, None) => None
+          case (None, Some(c)) => Some(c)
+          case (Some(p), Some(c)) => Some(c.join(p.select(
+            col("file").as("pf"), col("pos").as("pp")),
+            col("file") === col("pf") && col("pos") === col("pp"),
+            "left_anti"))
+        }
+        val dvDiff = newDv.map { nd =>
+          val ndP = nd.persist()
+          try {
+            val bs = ndP.select(regexp_extract(col("file"),
+                BucketCol + "=([0-9]+)/", 1).cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+            if (bs.isEmpty) None
+            else {
+              // read raw (no DV filter): the tombstoned row itself
+              val dirs = bs.sorted.flatMap(b => manCur.buckets.get(b)
+                .map(v => s"$baseDir/v$v/$BucketCol=$b"))
+              val sc = manCur.schema.getOrElse(sys.error(
+                "tableChanges: legacy pre-schema manifest"))
+              val scan = spark.read.schema(sc).parquet(dirs: _*)
+                .withColumn("__f", dvSuffix(col("_metadata.file_path")))
+                .withColumn("__p", col("_metadata.row_index"))
+              Some(scan.join(broadcast(ndP.select(
+                  col("file").as("__f"), col("pos").as("__p"))),
+                  Seq("__f", "__p"))
+                .drop("__f", "__p")
+                .withColumn("_change_type", lit("delete")))
+            }
+          } finally { ndP.unpersist(); () }
+        }.flatten
+        val stepEvents = (bucketDiff, dvDiff) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b,
+            allowMissingColumns = true))
+          case (a, b) => a.orElse(b)
+        }
+        stepEvents.map(_.withColumn("_commit_version", lit(seq)))
+      }
+    }.flatten
+    steps.reduceOption((a, b) =>
+        a.unionByName(b, allowMissingColumns = true))
+      .getOrElse {
+        val man = readManifest(fs, s"$baseDir/v$toSeq")
+        val sc = man.schema.getOrElse(sys.error(
+          "tableChanges: legacy pre-schema manifest"))
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(sc
+            :+ org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType)
+            :+ org.apache.spark.sql.types.StructField("_commit_version",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+      }
+  }
+
   /** Metadata-only ALTER TABLE DROP COLUMN for the snapshot sink —
     * the Delta column-mapping shape: the commit rewrites NO data file,
     * it records a manifest schema without `column`, and every reader
@@ -1303,9 +1471,20 @@ object Loader {
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
     val snapSchema = probe0.schema
-    val probe = applyDv(probe0, priorDv)
+    // file identity captured from _metadata BEFORE the DV anti-join:
+    // input_file_name() refuses multi-source plans, and a join's
+    // projection hides the scan's metadata struct downstream
+    val withF = probe0
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__dv_f", dvSuffix(col("_metadata.file_path")))
+      .withColumn("__dv_p", col("_metadata.row_index"))
+    val probe = priorDv.fold(withF)(dv =>
+      withF.join(
+        org.apache.spark.sql.functions.broadcast(
+          dv.select(col("file").as("__dv_f"), col("pos").as("__dv_p"))),
+        Seq("__dv_f", "__dv_p"), "left_anti"))
     val touchedFiles = probe.filter(cond)
-      .select(input_file_name().as("f"))
+      .select(col("__file").as("f"))
       .groupBy(col("f")).agg(cnt(lit(1)).as("n"))
       .collect()
     if (touchedFiles.isEmpty) return None
