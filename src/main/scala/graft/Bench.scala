@@ -228,7 +228,8 @@ object Bench {
     // merge-on-read DELETE via deletion vectors
     "d33_jaro_neighbors_scale", "t69_compression_invariants",
     "q246_sink_delete_vectors", "q247_sink_merge",
-    "q248_sink_drop_column", "q249_sink_rebucket", "q250_sink_changes")
+    "q248_sink_drop_column", "q249_sink_rebucket", "q250_sink_changes",
+    "q251_sink_zorder_skip")
 
   /** The DRIVER FLOOR: the set the default (driver-mode) run times and
     * warms — sized to what the driver can actually consume. The driver

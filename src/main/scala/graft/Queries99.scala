@@ -193,6 +193,56 @@ object Queries99 {
         .orderBy(col("_commit_version"), col("_change_type"))
     }),
 
+    // q251 — OPTIMIZE ZORDER BY, end-to-end: the sink lays each rolled
+    // file out along the Morton interleave of (user_id, cents)
+    // (`Maintain.zorderBy` — q205 measured WHY: a concatenated sort
+    // answers one dimension and touches every file for the other), so
+    // per-file zone maps are tight little bounding boxes and a 2-D
+    // RANGE probe prunes files on BOTH columns. The query PINS the
+    // pruning (kept ≤ half the files) and the oracle replays the box
+    // aggregate; box bounds derive from min/max by floor-division
+    // arithmetic both engines share.
+    "q251_sink_zorder_skip" -> ((s, d) => {
+      val (_, v0) = Queries98.seedSnapshotSink(
+        s, d, "q251_sink", 1, nUsers => {
+          val m = (nUsers + Queries95.TargetFiles - 1) /
+            Queries95.TargetFiles
+          Some(sources.Loader.Maintain(
+            zoneCols = Seq("user_id", "cents"),
+            maxRecordsPerFile = Some(m),
+            zorderBy = Some(("user_id", "cents"))))
+        })
+      val snap = sources.Loader.readSnapshot(s, v0)
+      val total = snap.inputFiles.count(!_.contains("/_dv/"))
+      require(total > 4, s"q251: unfragmented fixture ($total files)")
+      val b = snap.agg(
+        min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+        min(col("cents")).as("mnc"), max(col("cents")).as("mxc"))
+        .head()
+      val (mnu, mxu, mnc, mxc) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      // the middle-quarter box on both dimensions (floorDiv == the
+      // oracle's // — sign-safe)
+      val (loU, hiU) = (Math.floorDiv(3 * mnu + mxu, 4L),
+                        Math.floorDiv(mnu + mxu, 2L))
+      val (loC, hiC) = (Math.floorDiv(3 * mnc + mxc, 4L),
+                        Math.floorDiv(mnc + mxc, 2L))
+      val res = sources.Loader.readSnapshot(s, v0)
+        .filter(col("user_id").between(loU, hiU) &&
+                col("cents").between(loC, hiC))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+      val kept = res.queryExecution.optimizedPlan.collectLeaves()
+        .collect { case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation }
+        .collect { case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.inputFiles.length }
+        .sum
+      require(kept * 2 <= total,
+        s"q251: the Z-ordered layout kept $kept of $total files for " +
+        "the 2-D box — zones are not pruning both dimensions")
+      res.withColumn("pruned_2d", lit(1L))
+    }),
+
     // t25's compression signal cannot be value-oracled (deflate output
     // bytes are zlib-implementation-defined — DuckDB cannot replay
     // them), but its INVARIANTS can (VERDICT r12 task 8): this
@@ -374,6 +424,26 @@ object Queries99 {
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM del3),
         |    (SELECT CAST(SUM(cents) AS BIGINT) FROM del3))
         |ORDER BY _commit_version, _change_type""".stripMargin,
+
+    // the 2-D box aggregate over the latest-per-key state; the pruning
+    // itself is pinned by the query's own kept*2 <= total require
+    "q251_sink_zorder_skip" ->
+      """WITH snap AS MATERIALIZED (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |b AS MATERIALIZED (
+        |  SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+        |         MIN(cents) AS mnc, MAX(cents) AS mxc FROM snap)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_sum,
+        |  CAST(1 AS BIGINT) AS pruned_2d
+        |FROM snap, b
+        |WHERE user_id BETWEEN (3 * mnu + mxu) // 4 AND (mnu + mxu) // 2
+        |  AND cents BETWEEN (3 * mnc + mxc) // 4 AND (mnc + mxc) // 2"""
+        .stripMargin,
 
     "t69_compression_invariants" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -222,7 +222,12 @@ object Loader {
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 1 << 16,
                             bloomHashes: Int = 5,
-                            check: Option[(String, String)] = None)
+                            check: Option[(String, String)] = None,
+                            zorderBy: Option[(String, String)] = None) {
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "Maintain: clusterBy and zorderBy are exclusive — both decide " +
+      "the within-bucket file order")
+  }
 
   private val BucketCol = "graft_bucket"
   private val ManifestName = "graft_manifest"
@@ -888,8 +893,35 @@ object Loader {
     val bucketed = merged
       .withColumn(BucketCol, bucketOf(key, nBuckets))
       .repartition(col(BucketCol))
-    val clustered = maintain.flatMap(_.clusterBy).fold(bucketed)(
-      c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
+    // within-bucket file order: clusterBy sorts one dimension tight;
+    // zorderBy sorts by the 16-bit-per-dim Morton interleave of TWO
+    // dimensions (linear cells against the commit's min/max — one
+    // 1-row broadcast agg), so each rolled file covers a small
+    // BOUNDING BOX and zone maps prune RANGE predicates on EITHER
+    // column (the OPTIMIZE ZORDER BY shape; q205 measures why: the
+    // concatenated sort answers one dimension and touches every file
+    // for the other). Skewed dimensions should be pre-transformed —
+    // linear cells, not equi-depth, is the deliberate cheap trade.
+    val clustered = maintain.flatMap(_.zorderBy) match {
+      case Some((c1, c2)) =>
+        import org.apache.spark.sql.functions.{broadcast, max => fmax,
+          min => fmin}
+        val bounds = bucketed.agg(
+          fmin(col(c1).cast("long")).as("__n1"),
+          fmax(col(c1).cast("long")).as("__x1"),
+          fmin(col(c2).cast("long")).as("__n2"),
+          fmax(col(c2).cast("long")).as("__x2"))
+        bucketed.crossJoin(broadcast(bounds))
+          .withColumn("__z", graft.functions.Expressions.morton16(
+            expr(s"(CAST($c1 AS BIGINT) - __n1) * 65536L " +
+              "div (__x1 - __n1 + 1L)"),
+            expr(s"(CAST($c2 AS BIGINT) - __n2) * 65536L " +
+              "div (__x2 - __n2 + 1L)")))
+          .sortWithinPartitions(col(BucketCol), col("__z"))
+          .drop("__z", "__n1", "__x1", "__n2", "__x2")
+      case None => maintain.flatMap(_.clusterBy).fold(bucketed)(
+        c => bucketed.sortWithinPartitions(col(BucketCol), col(c)))
+    }
     val w0 = clustered.write.mode(SaveMode.Overwrite)
     val w1 = maintain.flatMap(_.maxRecordsPerFile).fold(w0)(
       m => w0.option("maxRecordsPerFile", m.toString))

@@ -159,4 +159,13 @@ class SchemaLifecycleSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already"))
   }
+
+  test("clusterBy and zorderBy refuse to coexist — both decide the " +
+       "within-bucket file order") {
+    val e = intercept[IllegalArgumentException] {
+      Loader.Maintain(clusterBy = Some("cents"),
+        zorderBy = Some(("user_id", "cents")))
+    }
+    assert(e.getMessage.contains("exclusive"))
+  }
 }
